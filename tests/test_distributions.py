@@ -1,0 +1,196 @@
+"""Core distribution semantics: closed forms, sampling moments, shapes.
+
+Mirrors the reference's analytic-value testing style
+(vaemolsim/tests/test_losses.py:15-26 uses offset Gaussians with known KL).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import stats
+
+from vaemolsim_tpu.ops import distributions as d
+
+
+class TestNormal:
+
+    def test_log_prob_matches_scipy(self):
+        loc = jnp.array([0.0, 1.0, -2.0])
+        scale = jnp.array([1.0, 0.5, 3.0])
+        x = jnp.array([0.3, -1.2, 4.0])
+        got = d.Normal(loc, scale).log_prob(x)
+        want = stats.norm.logpdf(np.asarray(x), np.asarray(loc), np.asarray(scale))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_sample_moments(self):
+        dist = d.Normal(jnp.float32(2.0), jnp.float32(0.5))
+        s = dist.sample(jax.random.PRNGKey(0), (20000,))
+        assert abs(float(jnp.mean(s)) - 2.0) < 0.02
+        assert abs(float(jnp.std(s)) - 0.5) < 0.02
+
+    def test_analytic_kl(self):
+        a = d.Normal(jnp.float32(0.0), jnp.float32(1.0))
+        b = d.Normal(jnp.float32(jnp.sqrt(2.0)), jnp.float32(1.0))
+        # Offset sqrt(2) with unit scales -> KL = 1 (reference test_losses).
+        np.testing.assert_allclose(a.kl_divergence(b), 1.0, rtol=1e-6)
+
+    def test_sample_and_log_prob_consistent(self):
+        dist = d.Normal(jnp.zeros(4), jnp.ones(4))
+        s, lp = dist.sample_and_log_prob(jax.random.PRNGKey(1), (7,))
+        assert s.shape == (7, 4)
+        np.testing.assert_allclose(lp, dist.log_prob(s), rtol=1e-6)
+
+
+class TestVonMises:
+
+    def test_log_prob_matches_scipy(self):
+        loc = jnp.array([0.0, 1.0, -2.0])
+        conc = jnp.array([0.5, 2.0, 10.0])
+        x = jnp.array([0.3, -1.2, 3.0])
+        got = d.VonMises(loc, conc).log_prob(x)
+        want = stats.vonmises.logpdf(np.asarray(x), np.asarray(conc),
+                                     loc=np.asarray(loc))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_normalization(self):
+        # Numerically integrate the density over [-pi, pi].
+        grid = jnp.linspace(-math.pi, math.pi, 20001)
+        dist = d.VonMises(jnp.float32(0.7), jnp.float32(3.0))
+        p = jnp.exp(dist.log_prob(grid))
+        integral = jnp.trapezoid(p, grid)
+        np.testing.assert_allclose(integral, 1.0, rtol=1e-4)
+
+    def test_sample_range_and_moments(self):
+        dist = d.VonMises(jnp.float32(1.0), jnp.float32(4.0))
+        s = dist.sample(jax.random.PRNGKey(0), (20000,))
+        assert jnp.all(s >= -math.pi) and jnp.all(s <= math.pi)
+        # Circular mean should be close to loc.
+        circ_mean = jnp.arctan2(jnp.mean(jnp.sin(s)), jnp.mean(jnp.cos(s)))
+        assert abs(float(circ_mean) - 1.0) < 0.02
+        # Mean resultant length R = I1(k)/I0(k) for k=4 is ~0.8635.
+        R = jnp.hypot(jnp.mean(jnp.cos(s - 1.0)), jnp.mean(jnp.sin(s - 1.0)))
+        from scipy.special import i0, i1
+        np.testing.assert_allclose(R, i1(4.0) / i0(4.0), atol=0.01)
+
+    def test_tiny_concentration_uniform(self):
+        dist = d.VonMises(jnp.float32(0.0), jnp.float32(1e-8))
+        s = dist.sample(jax.random.PRNGKey(0), (10000,))
+        # Should look uniform on [-pi, pi).
+        assert abs(float(jnp.mean(s))) < 0.1
+        np.testing.assert_allclose(jnp.var(s), math.pi ** 2 / 3.0, rtol=0.05)
+
+    def test_sample_jit_vmap(self):
+        def draw(key, loc):
+            return d.VonMises(loc, jnp.float32(2.0)).sample(key)
+
+        keys = jax.random.split(jax.random.PRNGKey(0), 16)
+        locs = jnp.linspace(-3.0, 3.0, 16)
+        out = jax.jit(jax.vmap(draw))(keys, locs)
+        assert out.shape == (16,)
+        assert jnp.all(jnp.isfinite(out))
+
+    def test_large_concentration_no_overflow(self):
+        # Reference SoftClip bound: sqrt(float32.max)/2 (~9.2e18).
+        big = jnp.float32(np.sqrt(np.finfo(np.float32).max) / 2.0)
+        dist = d.VonMises(jnp.float32(0.0), big)
+        lp = dist.log_prob(jnp.float32(0.0))
+        assert jnp.isfinite(lp)
+
+
+class TestDeterministic:
+
+    def test_sample_reproduces_loc(self):
+        loc = jnp.array([1.0, -2.0, 3.0])
+        dist = d.Deterministic(loc)
+        s = dist.sample(jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(s, loc)
+
+    def test_sample_has_gradient(self):
+        # The deterministic-encoder VAE relies on gradients through sample.
+        def f(loc):
+            return jnp.sum(d.Deterministic(loc).sample(jax.random.PRNGKey(0)) ** 2)
+
+        g = jax.grad(f)(jnp.array([1.0, 2.0]))
+        np.testing.assert_allclose(g, [2.0, 4.0])
+
+    def test_log_prob(self):
+        dist = d.Deterministic(jnp.array([1.0]))
+        assert float(dist.log_prob(jnp.array([1.0]))[0]) == 0.0
+        assert float(dist.log_prob(jnp.array([1.5]))[0]) == -np.inf
+
+
+class TestIndependent:
+
+    def test_log_prob_sums_event(self, normal_dist, normal_sample):
+        lp = normal_dist.log_prob(normal_sample)
+        assert lp.shape == (10,)
+        base = d.Normal(jnp.linspace(-2.0, 2.0, 5), jnp.ones(5))
+        np.testing.assert_allclose(lp, jnp.sum(base.log_prob(normal_sample), -1),
+                                   rtol=1e-6)
+
+    def test_shapes(self, vonmises_dist):
+        assert vonmises_dist.event_shape == (5,)
+        assert vonmises_dist.batch_shape == ()
+
+
+class TestMixture:
+
+    def test_four_mode_mixture(self):
+        # The Using_Normalizing_Flows workload target: 4-mode 1-D mixture.
+        locs = jnp.array([-5.0, -1.5, 1.5, 5.0])
+        comp = d.Normal(locs, 0.5 * jnp.ones(4))
+        mix = d.MixtureSameFamily(jnp.zeros(4), comp)
+        s = mix.sample(jax.random.PRNGKey(0), (40000,))
+        assert s.shape == (40000,)
+        # Each mode should hold roughly a quarter of the mass.
+        frac = jnp.mean((s > -3.25) & (s < 0.0))
+        np.testing.assert_allclose(frac, 0.25, atol=0.02)
+        # log_prob vs manual logsumexp.
+        x = jnp.linspace(-7, 7, 101)
+        want = jax.scipy.special.logsumexp(
+            comp.log_prob(x[:, None]) + jnp.log(0.25), axis=-1)
+        np.testing.assert_allclose(mix.log_prob(x), want, rtol=1e-6)
+
+
+class TestBlockwise:
+
+    def _make(self):
+        # DOFs: [normal, vonmises, normal, vonmises] -> families grouped.
+        fams = (
+            d.Normal(jnp.array([0.0, 1.0]), jnp.array([1.0, 2.0])),
+            d.VonMises(jnp.array([0.5, -0.5]), jnp.array([2.0, 3.0])),
+        )
+        return d.Blockwise(families=fams, dof_indices=((0, 2), (1, 3)))
+
+    def test_log_prob_matches_manual(self):
+        bw = self._make()
+        x = jnp.array([0.1, 0.2, 0.3, 0.4])
+        want = (d.Normal(0.0, 1.0).log_prob(x[0]) +
+                d.Normal(1.0, 2.0).log_prob(x[2]) +
+                d.VonMises(0.5, 2.0).log_prob(x[1]) +
+                d.VonMises(-0.5, 3.0).log_prob(x[3]))
+        np.testing.assert_allclose(bw.log_prob(x), want, rtol=1e-6)
+
+    def test_sample_shape_and_order(self):
+        bw = self._make()
+        s = bw.sample(jax.random.PRNGKey(0), (1000,))
+        assert s.shape == (1000, 4)
+        # von Mises DOFs (cols 1, 3) live in [-pi, pi].
+        assert jnp.all(jnp.abs(s[:, 1]) <= math.pi)
+        assert jnp.all(jnp.abs(s[:, 3]) <= math.pi)
+        # Normal DOF means land where they should.
+        assert abs(float(jnp.mean(s[:, 0]))) < 0.15
+        assert abs(float(jnp.mean(s[:, 2])) - 1.0) < 0.3
+
+    def test_log_prob_per_dof_order(self):
+        bw = self._make()
+        x = jnp.array([0.1, 0.2, 0.3, 0.4])
+        per = bw.log_prob_per_dof(x)
+        np.testing.assert_allclose(per[0], d.Normal(0.0, 1.0).log_prob(x[0]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(per[1], d.VonMises(0.5, 2.0).log_prob(x[1]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(jnp.sum(per), bw.log_prob(x), rtol=1e-6)

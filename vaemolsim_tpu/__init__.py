@@ -1,0 +1,37 @@
+"""vaemolsim_tpu: a TPU-native (JAX/XLA/Pallas) framework for VAEs in
+molecular simulation.
+
+A from-scratch rebuild of the capabilities of
+`Monroe-Molecular-Simulation-Group/vae-mol-sim` (vaemolsim): probabilistic
+coarse-graining and backmapping of molecular systems, rational-quadratic
+spline normalizing flows over periodic and non-periodic internal
+coordinates, distribution-emitting neural layers, ELBO/KL losses, and a
+VAE-proposal Metropolis Monte Carlo engine — designed TPU-first:
+
+- functional distribution / bijector pytrees (no Python-object loops on the
+  hot path; heterogeneous blockwise distributions are vectorized by family),
+- Flax modules as parameter containers, pure-function compute,
+- a fully jitted ``lax.scan`` MC inner loop, ``vmap``-ed over thousands of
+  chains and shardable over a ``jax.sharding.Mesh`` (chain-parallel DP with
+  replica exchange via ``lax.ppermute``),
+- Pallas kernels for the hot ops (RQS spline eval, von Mises log-probs).
+
+Reference parity map (see SURVEY.md): ``ops.distributions`` +
+``ops.bijectors`` replace tfp.distributions/tfp.bijectors usage;
+``nn`` replaces vaemolsim/mappings.py; ``flows`` replaces
+vaemolsim/flows.py; ``dists`` replaces vaemolsim/dists.py; ``losses``
+replaces vaemolsim/losses.py; ``models`` replaces vaemolsim/models.py;
+``mcmc`` replaces vaemolsim/mcmc.py.
+"""
+
+from vaemolsim_tpu import ops  # noqa: F401
+from vaemolsim_tpu import nn  # noqa: F401
+from vaemolsim_tpu import flows  # noqa: F401
+from vaemolsim_tpu import dists  # noqa: F401
+from vaemolsim_tpu import losses  # noqa: F401
+from vaemolsim_tpu import models  # noqa: F401
+from vaemolsim_tpu import mcmc  # noqa: F401
+from vaemolsim_tpu import parallel  # noqa: F401
+from vaemolsim_tpu import train  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,456 @@
+"""Functional probability distributions as JAX pytrees.
+
+TPU-first replacement for the tfp.distributions objects the reference
+library emits from its layers (reference: vaemolsim/dists.py,
+vaemolsim/flows.py — see SURVEY.md §2.3).  Each distribution is a
+``flax.struct`` dataclass: parameters are pytree leaves (traced, vmappable,
+shardable), structural configuration is static.  All distributions expose
+
+- ``log_prob(x)``
+- ``sample(key, sample_shape=())``
+- ``sample_and_log_prob(key, sample_shape=())``  (reference:
+  ``experimental_sample_and_log_prob``, vaemolsim/mcmc.py:100-103)
+- ``event_shape`` / ``batch_shape`` following TFP conventions: samples have
+  shape ``sample_shape + batch_shape + event_shape``.
+
+Design notes
+------------
+* Heterogeneous per-DOF distributions (reference
+  ``tfp.distributions.Blockwise`` built from a Python list of scalar dists,
+  vaemolsim/dists.py:213-217) are vectorized *by family* in
+  :class:`Blockwise` here: one fused log-prob per distribution family
+  instead of a Python loop per DOF.  This is the main structural
+  performance win for the ELBO hot path.
+* Von Mises sampling is a fixed-shape Best–Fisher rejection loop that is
+  jit/vmap/scan-safe (no data-dependent shapes).  Gradients do not flow
+  through the rejection sampler (stop_gradient on parameters); the
+  log-prob path is fully differentiable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+Array = jax.Array
+
+__all__ = [
+    "Distribution",
+    "Normal",
+    "Uniform",
+    "VonMises",
+    "Deterministic",
+    "Independent",
+    "Categorical",
+    "MixtureSameFamily",
+    "Blockwise",
+    "TransformedDistribution",
+]
+
+_TWO_PI = 2.0 * math.pi
+
+
+def _reduce_last(x: Array, ndims: int) -> Array:
+    """Sum over the trailing ``ndims`` axes."""
+    if ndims == 0:
+        return x
+    return jnp.sum(x, axis=tuple(range(-ndims, 0)))
+
+
+class Distribution:
+    """Mixin with shared conveniences (not a pytree itself)."""
+
+    def sample_and_log_prob(self, key: Array, sample_shape: Tuple[int, ...] = ()):
+        s = self.sample(key, sample_shape)
+        return s, self.log_prob(s)
+
+    def sample(self, key, sample_shape=()):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def log_prob(self, x):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    @property
+    def event_shape(self) -> Tuple[int, ...]:
+        return ()
+
+    @property
+    def batch_shape(self) -> Tuple[int, ...]:
+        raise NotImplementedError
+
+
+@struct.dataclass
+class Normal(Distribution):
+    """Scalar normal distribution (batched elementwise).
+
+    Reference analog: ``tfp.distributions.Normal`` as used for latent
+    encoders and flow bases (e.g. vaemolsim/tests/conftest.py:14-18).
+    """
+
+    loc: Array
+    scale: Array
+
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(jnp.shape(self.loc), jnp.shape(self.scale))
+
+    def log_prob(self, x: Array) -> Array:
+        z = (x - self.loc) / self.scale
+        return -0.5 * z * z - jnp.log(self.scale) - 0.5 * math.log(_TWO_PI)
+
+    def sample(self, key: Array, sample_shape: Tuple[int, ...] = ()) -> Array:
+        shape = tuple(sample_shape) + self.batch_shape
+        eps = jax.random.normal(key, shape, dtype=jnp.result_type(self.loc))
+        return self.loc + self.scale * eps
+
+    def entropy(self) -> Array:
+        return 0.5 * (1.0 + math.log(_TWO_PI)) + jnp.log(self.scale)
+
+    def kl_divergence(self, other: "Normal") -> Array:
+        """Analytic KL(self || other) for two normals."""
+        var_ratio = (self.scale / other.scale) ** 2
+        t1 = ((self.loc - other.loc) / other.scale) ** 2
+        return 0.5 * (var_ratio + t1 - 1.0 - jnp.log(var_ratio))
+
+
+@struct.dataclass
+class Uniform(Distribution):
+    """Scalar uniform distribution on [low, high)."""
+
+    low: Array
+    high: Array
+
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(jnp.shape(self.low), jnp.shape(self.high))
+
+    def log_prob(self, x: Array) -> Array:
+        inside = (x >= self.low) & (x < self.high)
+        lp = -jnp.log(self.high - self.low)
+        return jnp.where(inside, lp, -jnp.inf)
+
+    def sample(self, key: Array, sample_shape: Tuple[int, ...] = ()) -> Array:
+        shape = tuple(sample_shape) + self.batch_shape
+        u = jax.random.uniform(key, shape, dtype=jnp.result_type(self.low))
+        return self.low + u * (self.high - self.low)
+
+
+def _von_mises_sample(key: Array, loc: Array, concentration: Array,
+                      shape: Tuple[int, ...], max_iters: int = 60) -> Array:
+    """Best–Fisher (1979) rejection sampler, fixed-shape and jit-safe.
+
+    Uses a wrapped-Cauchy envelope; the while_loop re-draws only until all
+    lanes have accepted (capped at ``max_iters`` rounds).  Small
+    concentrations (< 1e-5) fall back to a uniform draw on [-pi, pi).
+    Parameters are stop_gradient-ed: sampling is not reparameterized
+    (the reference relies on TFP's implicit reparam only in the reverse-KL
+    path; see losses.py for how that is handled here).
+    """
+    dtype = jnp.result_type(loc)
+    loc = jax.lax.stop_gradient(jnp.broadcast_to(loc, shape).astype(dtype))
+    kappa = jax.lax.stop_gradient(
+        jnp.broadcast_to(concentration, shape).astype(dtype))
+    safe_kappa = jnp.maximum(kappa, 1e-7)
+
+    tau = 1.0 + jnp.sqrt(1.0 + 4.0 * safe_kappa * safe_kappa)
+    rho = (tau - jnp.sqrt(2.0 * tau)) / (2.0 * safe_kappa)
+    r = (1.0 + rho * rho) / (2.0 * rho)
+
+    def cond(state):
+        i, _, _, done = state
+        return (i < max_iters) & (~jnp.all(done))
+
+    def body(state):
+        i, k, theta, done = state
+        k, k1, k2, k3 = jax.random.split(k, 4)
+        u1 = jax.random.uniform(k1, shape, dtype=dtype)
+        u2 = jax.random.uniform(k2, shape, dtype=dtype, minval=1e-12)
+        u3 = jax.random.uniform(k3, shape, dtype=dtype)
+        z = jnp.cos(math.pi * u1)
+        f = (1.0 + r * z) / (r + z)
+        c = safe_kappa * (r - f)
+        accept = ((c * (2.0 - c) - u2) > 0.0) | ((jnp.log(c / u2) + 1.0 - c) >= 0.0)
+        new_theta = jnp.sign(u3 - 0.5) * jnp.arccos(jnp.clip(f, -1.0, 1.0))
+        theta = jnp.where(done, theta, jnp.where(accept, new_theta, theta))
+        done = done | accept
+        return i + 1, k, theta, done
+
+    key, sub = jax.random.split(key)
+    init = (jnp.asarray(0), sub, jnp.zeros(shape, dtype), jnp.zeros(shape, bool))
+    _, _, theta, _ = jax.lax.while_loop(cond, body, init)
+
+    # Uniform fallback for tiny concentration.
+    key, sub = jax.random.split(key)
+    uni = jax.random.uniform(sub, shape, dtype=dtype,
+                             minval=-math.pi, maxval=math.pi)
+    theta = jnp.where(kappa < 1e-5, uni, theta)
+
+    # Shift by loc and wrap to [-pi, pi].
+    out = theta + loc
+    return out - _TWO_PI * jnp.round(out / _TWO_PI)
+
+
+@struct.dataclass
+class VonMises(Distribution):
+    """Scalar von Mises distribution on [-pi, pi].
+
+    log_prob(x) = concentration*cos(x - loc) - log(2*pi*I0(concentration)),
+    computed via the exponentially-scaled Bessel function for stability:
+    log I0(k) = log(i0e(k)) + k.
+
+    Reference analog: ``tfp.distributions.VonMises`` with the special
+    parameter transform of vaemolsim/dists.py:59-72 (see
+    ``dists.param_transforms``).
+    """
+
+    loc: Array
+    concentration: Array
+
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(jnp.shape(self.loc),
+                                    jnp.shape(self.concentration))
+
+    def log_prob(self, x: Array) -> Array:
+        k = self.concentration
+        log_norm = jnp.log(jax.scipy.special.i0e(k)) + k + math.log(_TWO_PI)
+        return k * jnp.cos(x - self.loc) - log_norm
+
+    def sample(self, key: Array, sample_shape: Tuple[int, ...] = ()) -> Array:
+        shape = tuple(sample_shape) + self.batch_shape
+        return _von_mises_sample(key, self.loc, self.concentration, shape)
+
+
+@struct.dataclass
+class Deterministic(Distribution):
+    """Dirac delta at ``loc`` (reference: vaemolsim/dists.py:701-704).
+
+    ``sample`` returns ``loc`` *with gradients* — this is what makes the
+    reference's deterministic-encoder VAE trainable (the encoder output
+    flows through the prior's log-prob).  ``log_prob`` is 0 at the atom and
+    -inf elsewhere (within ``atol``), matching tfp.distributions.Deterministic.
+    """
+
+    loc: Array
+    atol: float = struct.field(pytree_node=False, default=1e-6)
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.loc)
+
+    def log_prob(self, x: Array) -> Array:
+        eq = jnp.abs(x - self.loc) <= self.atol
+        return jnp.where(eq, 0.0, -jnp.inf)
+
+    def sample(self, key: Array, sample_shape: Tuple[int, ...] = ()) -> Array:
+        del key
+        return jnp.broadcast_to(self.loc, tuple(sample_shape) + self.batch_shape)
+
+
+@struct.dataclass
+class Independent(Distribution):
+    """Reinterpret the trailing ``reinterpreted_batch_ndims`` batch axes of a
+    scalar distribution as event axes (log-probs summed over them).
+
+    Reference analog: ``tfp.distributions.Independent`` (e.g.
+    vaemolsim/dists.py:604-610).
+    """
+
+    base: Distribution
+    reinterpreted_batch_ndims: int = struct.field(pytree_node=False, default=1)
+
+    @property
+    def batch_shape(self):
+        bs = self.base.batch_shape
+        return bs[: len(bs) - self.reinterpreted_batch_ndims]
+
+    @property
+    def event_shape(self):
+        bs = self.base.batch_shape
+        return bs[len(bs) - self.reinterpreted_batch_ndims:]
+
+    def log_prob(self, x: Array) -> Array:
+        return _reduce_last(self.base.log_prob(x), self.reinterpreted_batch_ndims)
+
+    def sample(self, key: Array, sample_shape: Tuple[int, ...] = ()) -> Array:
+        return self.base.sample(key, sample_shape)
+
+    def entropy(self) -> Array:
+        return _reduce_last(self.base.entropy(), self.reinterpreted_batch_ndims)
+
+
+@struct.dataclass
+class Categorical(Distribution):
+    """Categorical over the last axis of ``logits``."""
+
+    logits: Array
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.logits)[:-1]
+
+    @property
+    def num_categories(self):
+        return jnp.shape(self.logits)[-1]
+
+    def log_prob(self, x: Array) -> Array:
+        lp = jax.nn.log_softmax(self.logits, axis=-1)
+        return jnp.take_along_axis(
+            lp, x[..., None].astype(jnp.int32), axis=-1)[..., 0]
+
+    def sample(self, key: Array, sample_shape: Tuple[int, ...] = ()) -> Array:
+        shape = tuple(sample_shape) + self.batch_shape
+        return jax.random.categorical(key, self.logits, axis=-1, shape=shape)
+
+
+@struct.dataclass
+class MixtureSameFamily(Distribution):
+    """Mixture with a shared component family.
+
+    ``components`` is any scalar-event distribution whose *last batch axis*
+    indexes the mixture components.  Used for analytic multi-mode targets in
+    tests/benchmarks (reference notebooks build tfp Mixture data sources).
+    """
+
+    mixing_logits: Array  # (..., K)
+    components: Distribution  # batch shape (..., K)
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.mixing_logits)[:-1]
+
+    def log_prob(self, x: Array) -> Array:
+        lp_comp = self.components.log_prob(x[..., None])  # (..., K)
+        log_mix = jax.nn.log_softmax(self.mixing_logits, axis=-1)
+        return jax.scipy.special.logsumexp(lp_comp + log_mix, axis=-1)
+
+    def sample(self, key: Array, sample_shape: Tuple[int, ...] = ()) -> Array:
+        k1, k2 = jax.random.split(key)
+        shape = tuple(sample_shape) + self.batch_shape
+        idx = jax.random.categorical(k1, self.mixing_logits, axis=-1, shape=shape)
+        comp_samples = self.components.sample(k2, sample_shape)  # (..., K)
+        return jnp.take_along_axis(
+            comp_samples, idx[..., None], axis=-1)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Family-grouped Blockwise
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class Blockwise(Distribution):
+    """Concatenation of per-DOF scalar distributions into one event vector,
+    vectorized by distribution family.
+
+    Reference analog: ``tfp.distributions.Blockwise`` over a Python list of
+    per-DOF dists (vaemolsim/dists.py:210-217) — a Python-object loop per
+    call.  Here, DOFs sharing a family are evaluated in one fused op: each
+    entry of ``families`` is a scalar distribution whose last batch axis
+    spans that family's DOFs, and ``perm``/static index bookkeeping scatters
+    results back to the original DOF order.
+
+    Attributes
+    ----------
+    families : tuple of Distribution
+        One batched scalar distribution per family; family f has batch shape
+        ``batch + (n_f,)``.
+    dof_indices : tuple of tuple of int  (static)
+        ``dof_indices[f][j]`` is the original DOF position of family f's
+        j-th column.  Together the indices are a permutation of
+        ``range(num_dofs)``.
+    """
+
+    families: Tuple[Distribution, ...]
+    dof_indices: Tuple[Tuple[int, ...], ...] = struct.field(pytree_node=False)
+
+    @property
+    def num_dofs(self) -> int:
+        return sum(len(ix) for ix in self.dof_indices)
+
+    @property
+    def event_shape(self):
+        return (self.num_dofs,)
+
+    @property
+    def batch_shape(self):
+        bs = self.families[0].batch_shape
+        return bs[:-1]
+
+    def _gather_cols(self, x: Array, f: int) -> Array:
+        idx = jnp.asarray(self.dof_indices[f])
+        return jnp.take(x, idx, axis=-1)
+
+    def log_prob(self, x: Array) -> Array:
+        total = 0.0
+        for f, fam in enumerate(self.families):
+            total = total + jnp.sum(fam.log_prob(self._gather_cols(x, f)), axis=-1)
+        return total
+
+    def log_prob_per_dof(self, x: Array) -> Array:
+        """Per-DOF log probs in the original DOF order (for diagnostics)."""
+        parts = [fam.log_prob(self._gather_cols(x, f))
+                 for f, fam in enumerate(self.families)]
+        cat = jnp.concatenate(parts, axis=-1)
+        perm = [i for ix in self.dof_indices for i in ix]
+        inv = [0] * len(perm)
+        for pos, dof in enumerate(perm):
+            inv[dof] = pos
+        return jnp.take(cat, jnp.asarray(inv), axis=-1)
+
+    def sample(self, key: Array, sample_shape: Tuple[int, ...] = ()) -> Array:
+        keys = jax.random.split(key, len(self.families))
+        parts = [fam.sample(k, sample_shape)
+                 for fam, k in zip(self.families, keys)]
+        cat = jnp.concatenate(parts, axis=-1)
+        perm = [i for ix in self.dof_indices for i in ix]
+        inv = [0] * len(perm)
+        for pos, dof in enumerate(perm):
+            inv[dof] = pos
+        return jnp.take(cat, jnp.asarray(inv), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Transformed distribution
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class TransformedDistribution(Distribution):
+    """Pushforward of ``base`` through ``bijector``.
+
+    Reference analog: ``tfp.distributions.TransformedDistribution``
+    (vaemolsim/flows.py:350-355, 678-690).  Conditional context for the
+    bijector (the reference's ``kwargs_split_fn`` / ``bijector_kwargs``
+    machinery, vaemolsim/flows.py:684-688) is carried explicitly as the
+    ``context`` field — an array pytree passed to every bijector call.
+    """
+
+    base: Distribution
+    bijector: Any  # ops.bijectors.Bijector
+    context: Optional[Array] = None
+
+    @property
+    def batch_shape(self):
+        return self.base.batch_shape
+
+    @property
+    def event_shape(self):
+        return self.base.event_shape
+
+    def log_prob(self, y: Array) -> Array:
+        x, ildj = self.bijector.inverse_and_log_det(y, context=self.context)
+        return self.base.log_prob(x) + ildj
+
+    def sample(self, key: Array, sample_shape: Tuple[int, ...] = ()) -> Array:
+        x = self.base.sample(key, sample_shape)
+        return self.bijector.forward(x, context=self.context)
+
+    def sample_and_log_prob(self, key: Array, sample_shape: Tuple[int, ...] = ()):
+        x, base_lp = self.base.sample_and_log_prob(key, sample_shape)
+        y, fldj = self.bijector.forward_and_log_det(x, context=self.context)
+        return y, base_lp - fldj
