@@ -1,1 +1,11 @@
-"""Placeholder — populated incrementally."""
+"""Normalizing flows (reference L2: vaemolsim/flows.py)."""
+
+from vaemolsim_tpu.flows.spline_flows import (  # noqa: F401
+    CouplingLayer,
+    MAFLayer,
+    MaskedSplineConditioner,
+    RQSSplineMAF,
+    RQSSplineRealNVP,
+    SplineConditioner,
+)
+from vaemolsim_tpu.ops.bijectors import make_domain_transform  # noqa: F401

@@ -1,0 +1,398 @@
+"""Rational-quadratic-spline normalizing flows: RealNVP and MAF chains.
+
+TPU-first replacement for vaemolsim/flows.py (reference L2 layer).  All
+flows are parameter pytrees (flax.struct) that act as *bijectors* and are
+polymorphic like the reference (SURVEY.md idiom 2): calling on an array
+transforms the array; calling on a distribution returns a
+``TransformedDistribution`` (vaemolsim/flows.py:350-355, 678-690).
+
+Numerics match the reference's load-bearing constants
+(SURVEY.md §5.2): spline bin positions are
+``softmax(raw) * (bin_max - bin_min - num_bins*1e-2) + 1e-2``
+(vaemolsim/flows.py:86-93) and knot slopes are ``softplus(raw) + 1e-2``
+(flows.py:95-101); defaults bin_range=[-10,10], num_bins=32,
+hidden_dim=200, truncated-normal init (flows.py:106-109).
+
+Train/eval asymmetry of interleaved BatchNorm bijectors is handled
+functionally: the flow stores BN parameters and constructs
+``BatchNormBijector`` pytrees with the static ``use_batch_stats`` flag at
+call time (the reference instead mutates ``bij.training`` imperatively,
+flows.py:344-348).  ``update_batch_stats`` returns a flow with
+EMA-updated running moments from a data batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from vaemolsim_tpu.nn.core import Dense, MADE
+from vaemolsim_tpu.ops import bijectors as bj
+from vaemolsim_tpu.ops import distributions as dist_lib
+from vaemolsim_tpu.ops.rqs import RationalQuadraticSpline
+
+Array = jax.Array
+
+__all__ = ["SplineConditioner", "CouplingLayer", "RQSSplineRealNVP",
+           "MaskedSplineConditioner", "MAFLayer", "RQSSplineMAF"]
+
+
+def _bin_positions(raw: Array, bin_min: float, bin_max: float,
+                   num_bins: int) -> Array:
+    out = jax.nn.softmax(raw, axis=-1)
+    return out * (bin_max - bin_min - num_bins * 1e-2) + 1e-2
+
+
+def _slopes(raw: Array) -> Array:
+    return jax.nn.softplus(raw) + 1e-2
+
+
+@struct.dataclass
+class SplineConditioner:
+    """Coupling-flow conditioner: Dense(tanh) trunk + three linear heads
+    producing RQS spline parameters for ``data_dim`` outputs.
+
+    Reference analog: ``SplineBijector`` (vaemolsim/flows.py:63-218).
+    The 1-D event edge case — RealNVP passes a zero-width tensor when
+    nothing is masked — feeds ones to the trunk instead
+    (flows.py:180-187).
+    """
+
+    trunk: Dense
+    w_head: Dense
+    h_head: Dense
+    s_head: Dense
+    data_dim: int = struct.field(pytree_node=False)
+    bin_min: float = struct.field(pytree_node=False, default=-10.0)
+    bin_max: float = struct.field(pytree_node=False, default=10.0)
+    num_bins: int = struct.field(pytree_node=False, default=32)
+
+    @classmethod
+    def create(cls, key: Array, in_dim: int, data_dim: int,
+               bin_range: Sequence[float] = (-10.0, 10.0),
+               num_bins: int = 32, hidden_dim: int = 200,
+               kernel_initializer="truncated_normal") -> "SplineConditioner":
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        eff_in = max(in_dim, 1)  # zero-width input is replaced by ones
+        return cls(
+            trunk=Dense.create(k1, eff_in, hidden_dim, "tanh",
+                               kernel_initializer),
+            w_head=Dense.create(k2, hidden_dim, data_dim * num_bins, None,
+                                kernel_initializer),
+            h_head=Dense.create(k3, hidden_dim, data_dim * num_bins, None,
+                                kernel_initializer),
+            s_head=Dense.create(k4, hidden_dim, data_dim * (num_bins - 1),
+                                None, kernel_initializer),
+            data_dim=data_dim, bin_min=float(bin_range[0]),
+            bin_max=float(bin_range[1]), num_bins=num_bins)
+
+    def __call__(self, x: Array) -> RationalQuadraticSpline:
+        if x.shape[-1] == 0:
+            x = jnp.ones(x.shape[:-1] + (1,), x.dtype)
+        h = self.trunk(x)
+        shp = h.shape[:-1] + (self.data_dim, self.num_bins)
+        w = _bin_positions(self.w_head(h).reshape(shp), self.bin_min,
+                           self.bin_max, self.num_bins)
+        hh = _bin_positions(self.h_head(h).reshape(shp), self.bin_min,
+                            self.bin_max, self.num_bins)
+        s = _slopes(self.s_head(h).reshape(
+            h.shape[:-1] + (self.data_dim, self.num_bins - 1)))
+        return RationalQuadraticSpline(w, hh, s, range_min=self.bin_min)
+
+
+@struct.dataclass
+class CouplingLayer(bj.Bijector):
+    """RealNVP coupling: ``num_masked`` DOFs pass through and condition an
+    RQS transform of the remainder (reference uses tfp.bijectors.RealNVP,
+    vaemolsim/flows.py:312-316).  Negative ``num_masked`` masks the *last*
+    |num_masked| DOFs instead (tfp convention, flows.py:291-306)."""
+
+    conditioner: SplineConditioner
+    num_masked: int = struct.field(pytree_node=False)
+
+    def _split(self, x: Array):
+        n = self.num_masked
+        if n >= 0:
+            return x[..., :n], x[..., n:], False
+        return x[..., n:], x[..., :n], True
+
+    def _join(self, cond_part: Array, moved: Array, flipped: bool) -> Array:
+        if flipped:
+            return jnp.concatenate([moved, cond_part], axis=-1)
+        return jnp.concatenate([cond_part, moved], axis=-1)
+
+    def forward_and_log_det(self, x, context=None):
+        cond_part, rest, flipped = self._split(x)
+        spline = self.conditioner(cond_part)
+        y, ldj = spline.forward_and_log_det(rest)
+        return self._join(cond_part, y, flipped), jnp.sum(ldj, axis=-1)
+
+    def inverse_and_log_det(self, y, context=None):
+        cond_part, rest, flipped = self._split(y)
+        spline = self.conditioner(cond_part)
+        x, ldj = spline.inverse_and_log_det(rest)
+        return self._join(cond_part, x, flipped), jnp.sum(ldj, axis=-1)
+
+
+def _assemble_chain(blocks, bn_params, before, after, train: bool):
+    """Forward-order list: before, block0, BN, block1, ..., after
+    (reference vaemolsim/flows.py:286-323 builds the same order and chains
+    reversed).  Returns a Chain (whose forward applies last-entry first)."""
+    seq = []
+    if before is not None:
+        seq.append(before)
+    for i, blk in enumerate(blocks):
+        if i > 0 and bn_params:
+            seq.append(bj.Block(
+                bn_params[i - 1].replace(use_batch_stats=train), 1))
+        seq.append(blk)
+    if after is not None:
+        seq.append(after)
+    return bj.Chain(tuple(reversed(seq)))
+
+
+def _make_bns(data_dim: int, n: int) -> Tuple[bj.BatchNormBijector, ...]:
+    return tuple(
+        bj.BatchNormBijector(
+            mean=jnp.zeros(data_dim), var=jnp.ones(data_dim),
+            log_gamma=jnp.zeros(data_dim), beta=jnp.zeros(data_dim))
+        for _ in range(n))
+
+
+class _FlowMixin:
+    """Shared polymorphic-call + batch-stat machinery for flow chains."""
+
+    def as_bijector(self, train: bool = False) -> bj.Chain:
+        return _assemble_chain(self.blocks, self.bn_params,
+                               self.before_flow_transform,
+                               self.after_flow_transform, train)
+
+    def __call__(self, inputs, train: bool = False,
+                 conditional_input: Optional[Array] = None):
+        if self.conditional and conditional_input is None:
+            raise ValueError(
+                "This flow is conditional; pass conditional_input= "
+                "(reference contract, vaemolsim/flows.py test coverage).")
+        chain = self.as_bijector(train)
+        if isinstance(inputs, dist_lib.Distribution):
+            return dist_lib.TransformedDistribution(
+                base=inputs, bijector=chain, context=conditional_input)
+        return chain.forward(inputs, context=conditional_input)
+
+    def update_batch_stats(self, x: Array,
+                           conditional_input: Optional[Array] = None):
+        """Run the density (inverse) pass on a batch and EMA-update the
+        BatchNorm running statistics; returns the updated flow."""
+        if not self.bn_params:
+            return self
+        chain = self.as_bijector(train=True)
+        new_bns = list(self.bn_params)
+        # Walk the chain in inverse order (density direction), updating
+        # each BN with the moments of its input.
+        bn_i = len(new_bns)
+        y = x
+        for bijector in chain.bijectors:
+            inner = bijector.inner if isinstance(bijector, bj.Block) else None
+            if isinstance(inner, bj.BatchNormBijector):
+                bn_i -= 1
+                y, _, m, v = inner.inverse_and_log_det_and_moments(y)
+                mom = 0.99
+                old = new_bns[bn_i]
+                new_bns[bn_i] = old.replace(
+                    mean=mom * old.mean + (1 - mom) * m,
+                    var=mom * old.var + (1 - mom) * v)
+            else:
+                y = bijector.inverse(y, context=conditional_input)
+        return self.replace(bn_params=tuple(new_bns))
+
+
+@struct.dataclass
+class RQSSplineRealNVP(_FlowMixin):
+    """Chain of RQS coupling blocks with alternating half-masks.
+
+    Reference analog: ``RQSSplineRealNVP`` (vaemolsim/flows.py:221-360):
+    ``num_blocks`` (default 4) blocks; even blocks mask the first
+    floor(d/2) DOFs, odd blocks mask the last floor(d/2)
+    (flows.py:291-306); data_dim==1 masks nothing and transforms the
+    single DOF via the ones-fed conditioner (flows.py:294-296); optional
+    BatchNorm between blocks (flows.py:308-309) and before/after domain
+    bijectors (flows.py:288-289, 318-319).  Never conditional
+    (flows.py:274).
+    """
+
+    blocks: Tuple[CouplingLayer, ...]
+    bn_params: Tuple[bj.BatchNormBijector, ...]
+    before_flow_transform: Optional[Any] = None
+    after_flow_transform: Optional[Any] = None
+    data_dim: int = struct.field(pytree_node=False, default=1)
+    conditional: bool = struct.field(pytree_node=False, default=False)
+
+    @classmethod
+    def create(cls, key: Array, data_dim: int, num_blocks: int = 4,
+               rqs_params: Optional[dict] = None, batch_norm: bool = False,
+               before_flow_transform=None, after_flow_transform=None
+               ) -> "RQSSplineRealNVP":
+        rqs_params = dict(rqs_params or {})
+        keys = jax.random.split(key, num_blocks)
+        blocks = []
+        for i in range(num_blocks):
+            if data_dim == 1:
+                n_masked, cond_in, n_out = 0, 0, 1
+            else:
+                half = data_dim // 2
+                if i % 2 == 0:
+                    n_masked, cond_in, n_out = half, half, data_dim - half
+                else:
+                    n_masked, cond_in, n_out = -half, half, data_dim - half
+            conditioner = SplineConditioner.create(
+                keys[i], cond_in, n_out, **rqs_params)
+            blocks.append(CouplingLayer(conditioner, num_masked=n_masked))
+        bns = _make_bns(data_dim, num_blocks - 1) if batch_norm else ()
+        return cls(blocks=tuple(blocks), bn_params=bns,
+                   before_flow_transform=before_flow_transform,
+                   after_flow_transform=after_flow_transform,
+                   data_dim=data_dim)
+
+
+@struct.dataclass
+class MaskedSplineConditioner:
+    """MAF conditioner: three MADE networks (widths / heights / slopes)
+    with shared input order, optional conditional input.
+
+    Reference analog: ``MaskedSplineBijector`` (vaemolsim/flows.py:363-528)
+    — tanh hidden activation applied only to hidden units, spline
+    activations applied manually to the outputs.
+    """
+
+    w_net: MADE
+    h_net: MADE
+    s_net: MADE
+    bin_min: float = struct.field(pytree_node=False, default=-10.0)
+    bin_max: float = struct.field(pytree_node=False, default=10.0)
+    num_bins: int = struct.field(pytree_node=False, default=32)
+
+    @classmethod
+    def create(cls, key: Array, data_dim: int,
+               bin_range: Sequence[float] = (-10.0, 10.0),
+               num_bins: int = 32, hidden_dim: int = 200,
+               conditional: bool = False,
+               conditional_event_shape: Optional[int] = None,
+               input_order="left-to-right",
+               kernel_initializer="truncated_normal"
+               ) -> "MaskedSplineConditioner":
+        k1, k2, k3 = jax.random.split(key, 3)
+        common = dict(hidden_units=[hidden_dim], input_order=input_order,
+                      conditional=conditional,
+                      conditional_event_size=conditional_event_shape,
+                      activation="tanh",
+                      kernel_initializer=kernel_initializer)
+        return cls(
+            w_net=MADE.create(k1, data_dim, num_bins, **common),
+            h_net=MADE.create(k2, data_dim, num_bins, **common),
+            s_net=MADE.create(k3, data_dim, num_bins - 1, **common),
+            bin_min=float(bin_range[0]), bin_max=float(bin_range[1]),
+            num_bins=num_bins)
+
+    @property
+    def conditional(self) -> bool:
+        return self.w_net.conditional
+
+    def __call__(self, x: Array,
+                 conditional_input: Optional[Array] = None
+                 ) -> RationalQuadraticSpline:
+        w = _bin_positions(self.w_net(x, conditional_input), self.bin_min,
+                           self.bin_max, self.num_bins)
+        h = _bin_positions(self.h_net(x, conditional_input), self.bin_min,
+                           self.bin_max, self.num_bins)
+        s = _slopes(self.s_net(x, conditional_input))
+        return RationalQuadraticSpline(w, h, s, range_min=self.bin_min)
+
+
+@struct.dataclass
+class MAFLayer(bj.Bijector):
+    """Masked autoregressive flow layer over an RQS conditioner.
+
+    Reference analog: ``tfp.bijectors.MaskedAutoregressiveFlow``
+    (vaemolsim/flows.py:628-637).  Density (inverse) is one parallel
+    pass; sampling (forward) is the inherent D-step fixed-point iteration,
+    expressed as ``lax.fori_loop`` so it stays one fused XLA program
+    (SURVEY.md §7 hard part 1).
+    """
+
+    conditioner: MaskedSplineConditioner
+
+    def forward_and_log_det(self, x, context=None):
+        D = self.conditioner.w_net.event_size
+
+        def body(_, y):
+            spline = self.conditioner(y, context)
+            return spline.forward(x)
+
+        y = jax.lax.fori_loop(0, D, body, x)
+        spline = self.conditioner(y, context)
+        y, ldj = spline.forward_and_log_det(x)
+        return y, jnp.sum(ldj, axis=-1)
+
+    def inverse_and_log_det(self, y, context=None):
+        spline = self.conditioner(y, context)
+        x, ldj = spline.inverse_and_log_det(y)
+        return x, jnp.sum(ldj, axis=-1)
+
+
+@struct.dataclass
+class RQSSplineMAF(_FlowMixin):
+    """Chain of masked-autoregressive RQS blocks.
+
+    Reference analog: ``RQSSplineMAF`` (vaemolsim/flows.py:531-700):
+    ``num_blocks`` (default 2); input orders — first block right-to-left,
+    last left-to-right, middle blocks a random permutation drawn from
+    ``order_seed`` (flows.py:606-621) unless ``input_order`` is given in
+    ``rqs_params`` (flows.py:626-637); optional BatchNorm between blocks;
+    before/after transforms; ``conditional`` inherited from rqs_params.
+    Conditional context is threaded explicitly to every MAF block (the
+    reference's kwargs_split_fn dict, flows.py:671-690).
+    """
+
+    blocks: Tuple[MAFLayer, ...]
+    bn_params: Tuple[bj.BatchNormBijector, ...]
+    before_flow_transform: Optional[Any] = None
+    after_flow_transform: Optional[Any] = None
+    data_dim: int = struct.field(pytree_node=False, default=1)
+    conditional: bool = struct.field(pytree_node=False, default=False)
+    order_seed: Optional[int] = struct.field(pytree_node=False, default=None)
+
+    @classmethod
+    def create(cls, key: Array, data_dim: int, num_blocks: int = 2,
+               order_seed: Optional[int] = None,
+               rqs_params: Optional[dict] = None, batch_norm: bool = False,
+               before_flow_transform=None, after_flow_transform=None
+               ) -> "RQSSplineMAF":
+        rqs_params = dict(rqs_params or {})
+        explicit_order = rqs_params.pop("input_order", None)
+        conditional = rqs_params.get("conditional", False)
+        rng = np.random.default_rng(order_seed)
+        keys = jax.random.split(key, num_blocks)
+        blocks = []
+        for i in range(num_blocks):
+            if explicit_order is not None:
+                order = explicit_order
+            elif i == 0:
+                order = "right-to-left"
+            elif i == num_blocks - 1:
+                order = "left-to-right"
+            else:
+                order = np.arange(1, data_dim + 1)
+                rng.shuffle(order)
+            cond = MaskedSplineConditioner.create(
+                keys[i], data_dim, input_order=order, **rqs_params)
+            blocks.append(MAFLayer(cond))
+        bns = _make_bns(data_dim, num_blocks - 1) if batch_norm else ()
+        return cls(blocks=tuple(blocks), bn_params=bns,
+                   before_flow_transform=before_flow_transform,
+                   after_flow_transform=after_flow_transform,
+                   data_dim=data_dim, conditional=conditional,
+                   order_seed=order_seed)
