@@ -1,1 +1,15 @@
-"""Placeholder — populated incrementally."""
+"""Distribution-emitting layers (reference L3: vaemolsim/dists.py)."""
+
+from vaemolsim_tpu.dists.layers import (  # noqa: F401
+    FAMILY_REGISTRY,
+    AutoregressiveBlockwise,
+    AutoregressiveBlockwiseDistribution,
+    FlowedDistribution,
+    IndependentBlockwise,
+    IndependentDeterministic,
+    IndependentVonMises,
+    StaticFlowedDistribution,
+    build_family_dist,
+    family_param_count,
+    register_family,
+)

@@ -1,1 +1,10 @@
-"""Placeholder — populated incrementally."""
+"""Trainable model compositions (reference L5: vaemolsim/models.py)."""
+
+from vaemolsim_tpu.models.core import (  # noqa: F401
+    VAE,
+    DualVAEOutput,
+    FlowModel,
+    MappingToDistribution,
+    VAEDualELBO,
+    VAEOutput,
+)

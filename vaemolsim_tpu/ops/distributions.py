@@ -43,6 +43,8 @@ __all__ = [
     "Normal",
     "Uniform",
     "VonMises",
+    "Beta",
+    "Gamma",
     "Deterministic",
     "Independent",
     "Categorical",
@@ -223,6 +225,52 @@ class VonMises(Distribution):
     def sample(self, key: Array, sample_shape: Tuple[int, ...] = ()) -> Array:
         shape = tuple(sample_shape) + self.batch_shape
         return _von_mises_sample(key, self.loc, self.concentration, shape)
+
+
+@struct.dataclass
+class Beta(Distribution):
+    """Scalar Beta distribution on (0, 1)."""
+
+    concentration1: Array
+    concentration0: Array
+
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(jnp.shape(self.concentration1),
+                                    jnp.shape(self.concentration0))
+
+    def log_prob(self, x: Array) -> Array:
+        a, b = self.concentration1, self.concentration0
+        norm = (jax.scipy.special.gammaln(a) + jax.scipy.special.gammaln(b)
+                - jax.scipy.special.gammaln(a + b))
+        return (a - 1.0) * jnp.log(x) + (b - 1.0) * jnp.log1p(-x) - norm
+
+    def sample(self, key: Array, sample_shape: Tuple[int, ...] = ()) -> Array:
+        shape = tuple(sample_shape) + self.batch_shape
+        return jax.random.beta(key, self.concentration1, self.concentration0,
+                               shape)
+
+
+@struct.dataclass
+class Gamma(Distribution):
+    """Scalar Gamma distribution (concentration/rate parametrization)."""
+
+    concentration: Array
+    rate: Array
+
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(jnp.shape(self.concentration),
+                                    jnp.shape(self.rate))
+
+    def log_prob(self, x: Array) -> Array:
+        a, r = self.concentration, self.rate
+        return (a * jnp.log(r) + (a - 1.0) * jnp.log(x) - r * x
+                - jax.scipy.special.gammaln(a))
+
+    def sample(self, key: Array, sample_shape: Tuple[int, ...] = ()) -> Array:
+        shape = tuple(sample_shape) + self.batch_shape
+        return jax.random.gamma(key, self.concentration, shape) / self.rate
 
 
 @struct.dataclass
