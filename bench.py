@@ -1,0 +1,66 @@
+"""Headline benchmark: VAE-proposed MC moves/sec on one chip.
+
+Workload (BASELINE.md / SURVEY.md §6): the MC_Moves_with_VAEs scale —
+10,000 parallel chains of VAE-proposed Metropolis moves (encoder -> flow
+prior -> decoder -> accept/reject), run as one jitted lax.scan that never
+leaves the device.  The reference runs the same logical workload as an
+un-jitted NumPy-driven loop (vaemolsim/mcmc.py:133-159).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "proposals/sec/chip",
+   "vs_baseline": N}
+vs_baseline is measured against the north-star target of 1e6
+VAE-proposed moves/sec (BASELINE.json): vs_baseline = value / 1e6.
+"""
+
+import json
+import time
+
+N_CHAINS = 10_000
+N_STEPS = 100
+WARMUP_STEPS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_flagship
+    from vaemolsim_tpu.mcmc import (MCMCState, make_mcmc_step, run_mcmc,
+                                    vae_proposal_fns)
+
+    vae = _build_flagship(jax.random.PRNGKey(0))
+    enc, pri, dec = vae_proposal_fns(vae)
+
+    def log_target(x):
+        return -0.5 * jnp.sum(x ** 2, axis=-1)
+
+    step = make_mcmc_step(enc, pri, dec, log_target)
+    configs = jax.random.normal(jax.random.PRNGKey(1), (N_CHAINS, 2))
+    state = MCMCState.create(configs, log_target(configs),
+                             jax.random.PRNGKey(2))
+
+    run = jax.jit(lambda s, n: run_mcmc(step, s, n)[0], static_argnums=1)
+
+    # Warmup/compile.
+    warm = run(state, WARMUP_STEPS)
+    jax.block_until_ready(warm.configs)
+
+    t0 = time.perf_counter()
+    final = run(state, N_STEPS)
+    jax.block_until_ready(final.configs)
+    dt = time.perf_counter() - t0
+
+    proposals = N_CHAINS * N_STEPS
+    rate = proposals / dt
+    result = {
+        "metric": "vae_mc_proposals_per_sec_per_chip",
+        "value": round(rate, 1),
+        "unit": "proposals/sec/chip",
+        "vs_baseline": round(rate / 1.0e6, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,168 @@
+"""MCMC engine tests: bookkeeping (reference test_mcmc.py style) plus the
+statistical-correctness coverage the reference lacks (SURVEY.md §4): an
+analytically-solvable Metropolized independence sampler must reproduce
+the target distribution's moments.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vaemolsim_tpu import losses
+from vaemolsim_tpu.dists import IndependentBlockwise
+from vaemolsim_tpu.mcmc import MCMC, MCMCState, make_mcmc_step, run_mcmc
+from vaemolsim_tpu.models import VAE, MappingToDistribution
+from vaemolsim_tpu.ops import distributions as d
+
+
+def _independence_sampler_fns(proposal_loc=0.0, proposal_scale=2.0):
+    """Hand-built 'VAE' whose encoder == prior (both ignore their input)
+    and whose decoder ignores z: the z-terms cancel in the acceptance and
+    the chain is an exact Metropolized independence sampler with proposal
+    N(proposal_loc, proposal_scale) — analytically correct stationary
+    distribution for any target."""
+
+    def encoder_fn(x):
+        zeros = jnp.zeros(x.shape[:-1] + (1,))
+        return d.Independent(d.Normal(zeros, jnp.ones_like(zeros)), 1)
+
+    prior_fn = encoder_fn
+
+    def decoder_fn(z):
+        loc = jnp.full(z.shape[:-1] + (1,), proposal_loc)
+        return d.Independent(d.Normal(loc, proposal_scale *
+                                      jnp.ones_like(loc)), 1)
+
+    return encoder_fn, prior_fn, decoder_fn
+
+
+class TestEngineStatistics:
+
+    def test_independence_sampler_recovers_target(self):
+        # Target: N(1, 0.75); proposal N(0, 2) via the fake VAE.
+        target = d.Independent(d.Normal(jnp.full(1, 1.0),
+                                        jnp.full(1, 0.75)), 1)
+        enc, pri, dec = _independence_sampler_fns()
+        step = make_mcmc_step(enc, pri, dec, target.log_prob)
+        configs = jnp.zeros((512, 1))
+        state = MCMCState.create(configs, target.log_prob(configs),
+                                 jax.random.PRNGKey(0))
+        state, _ = jax.jit(lambda s: run_mcmc(step, s, 400))(state)
+        samples = state.configs[:, 0]
+        np.testing.assert_allclose(float(jnp.mean(samples)), 1.0, atol=0.05)
+        np.testing.assert_allclose(float(jnp.std(samples)), 0.75, atol=0.05)
+        acc = float(state.acceptance_rate)
+        assert 0.05 < acc < 0.95
+
+    def test_energies_track_log_target(self):
+        target = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)
+        enc, pri, dec = _independence_sampler_fns()
+        step = make_mcmc_step(enc, pri, dec, target.log_prob)
+        configs = jnp.linspace(-1, 1, 8)[:, None]
+        state = MCMCState.create(configs, target.log_prob(configs),
+                                 jax.random.PRNGKey(0))
+        state, _ = run_mcmc(step, state, 5)
+        np.testing.assert_allclose(state.energies,
+                                   target.log_prob(state.configs), atol=1e-5)
+
+    def test_trajectory_collection(self):
+        target = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)
+        enc, pri, dec = _independence_sampler_fns()
+        step = make_mcmc_step(enc, pri, dec, target.log_prob)
+        configs = jnp.zeros((16, 1))
+        state = MCMCState.create(configs, target.log_prob(configs),
+                                 jax.random.PRNGKey(0))
+        state, traj = run_mcmc(step, state, 20, collect_every=5)
+        assert traj.shape == (4, 16, 1)
+
+    def test_collect_every_divisibility(self):
+        with pytest.raises(ValueError):
+            run_mcmc(lambda s: s, MCMCState.create(
+                jnp.zeros((2, 1)), jnp.zeros(2), jax.random.PRNGKey(0)),
+                10, collect_every=3)
+
+    def test_rejected_moves_keep_state(self):
+        # An impossible target for proposals: log density -inf off the
+        # current point would reject everything; use a huge energy gap.
+        def log_target(x):
+            return jnp.where(jnp.abs(x[..., 0]) < 1e-6, 0.0, -1e10)
+
+        enc, pri, dec = _independence_sampler_fns()
+        step = make_mcmc_step(enc, pri, dec, log_target)
+        configs = jnp.zeros((32, 1))
+        state = MCMCState.create(configs, log_target(configs),
+                                 jax.random.PRNGKey(0))
+        state, _ = run_mcmc(step, state, 10)
+        np.testing.assert_allclose(state.configs, configs)
+        assert float(state.acceptance_rate) == 0.0
+
+
+class TestMCMCDriver:
+    """Reference-style bookkeeping tests (test_mcmc.py:39-59) with a tiny
+    trained VAE."""
+
+    @pytest.fixture(scope="class")
+    def tiny_vae(self):
+        import optax
+        keys = jax.random.split(jax.random.PRNGKey(0), 2)
+        enc = MappingToDistribution.create(
+            keys[0], IndependentBlockwise.create(1, "normal"),
+            input_shape=2, mapping_kwargs={"hidden_dim": 8})
+        dec = MappingToDistribution.create(
+            keys[1], IndependentBlockwise.create(2, "normal"),
+            input_shape=1, mapping_kwargs={"hidden_dim": 8})
+        prior = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)
+        vae = VAE(encoder=enc, decoder=dec, prior=prior,
+                  regularizer=losses.KLDivergenceEstimate())
+        data = jax.random.normal(jax.random.PRNGKey(1), (256, 2))
+        opt = optax.adam(1e-3)
+        st = opt.init(vae)
+
+        @jax.jit
+        def step(m, s, k):
+            l, g = jax.value_and_grad(
+                lambda mm: mm.elbo_loss(data, k)[0])(m)
+            u, s = opt.update(g, s)
+            return optax.apply_updates(m, u), s
+
+        key = jax.random.PRNGKey(2)
+        for _ in range(20):
+            key, sub = jax.random.split(key)
+            vae, st = step(vae, st, sub)
+        return vae
+
+    def quad_log_target(self, x):
+        # Quadratic test energy as log density (reference
+        # test_mcmc.py:29-32 sign-adjusted).
+        return -0.5 * jnp.sum(x ** 2, axis=-1)
+
+    def test_single_step_bookkeeping(self, tiny_vae):
+        mc = MCMC(tiny_vae, self.quad_log_target, random_seed=3)
+        configs = jax.random.normal(jax.random.PRNGKey(4), (20, 2))
+        new_c, new_e = mc.single_step(configs)
+        assert new_c.shape == (20, 2)
+        assert new_e.shape == (20,)
+        assert mc._num_trials == 20
+        assert 0.0 <= mc.acceptance_rate <= 1.0
+
+    def test_run_accumulates_trials(self, tiny_vae):
+        mc = MCMC(tiny_vae, self.quad_log_target, random_seed=3)
+        configs = jax.random.normal(jax.random.PRNGKey(4), (10, 2))
+        mc.run(configs, n_steps=7)
+        assert mc._num_trials == 70
+        assert 0.0 <= mc.acceptance_rate <= 1.0
+
+    def test_reset(self, tiny_vae):
+        mc = MCMC(tiny_vae, self.quad_log_target, random_seed=3)
+        mc.run(jnp.zeros((4, 2)), n_steps=2)
+        mc.reset(random_seed=5)
+        assert mc._num_trials == 0.0
+
+    def test_energies_passthrough(self, tiny_vae):
+        mc = MCMC(tiny_vae, self.quad_log_target, random_seed=3)
+        configs = jnp.zeros((6, 2))
+        energies = self.quad_log_target(configs)
+        new_c, new_e = mc.run(configs, energies=energies, n_steps=3)
+        np.testing.assert_allclose(new_e, self.quad_log_target(new_c),
+                                   atol=1e-5)

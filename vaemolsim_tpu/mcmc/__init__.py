@@ -1,1 +1,9 @@
-"""Placeholder — populated incrementally."""
+"""VAE-proposal Monte Carlo engine (reference L6: vaemolsim/mcmc.py)."""
+
+from vaemolsim_tpu.mcmc.engine import (  # noqa: F401
+    MCMC,
+    MCMCState,
+    make_mcmc_step,
+    run_mcmc,
+    vae_proposal_fns,
+)

@@ -1,0 +1,204 @@
+"""VAE-proposal Metropolis Monte Carlo, fully on-device.
+
+TPU-first replacement for vaemolsim/mcmc.py (reference L6).  The
+reference's engine crosses the framework/NumPy boundary >= 4x per step and
+makes 6 un-jitted eager model calls (SURVEY.md §3.3).  Here one MC step is
+a single pure function — propose -> decode -> log-prob -> Metropolis — and
+``run`` is one ``lax.scan`` over steps, so the sampling inner loop never
+leaves the chip.  Chains are the batch axis of every distribution call
+(the reference's own batching semantics, mcmc.py:84-90), shardable over a
+device mesh via ``vaemolsim_tpu.parallel``.
+
+Sign convention (preserved from the reference, mcmc.py:116, confirmed by
+the MC notebook passing ``data_dist.log_prob`` as energy_func):
+``energy_func``/``log_target_fn`` returns the LOG TARGET DENSITY
+(-beta*U up to a constant), and
+
+    log_acc = log_pi(x2) + log q(reverse) - log_pi(x1) - log q(forward).
+
+Proposal structure (mcmc.py:99-109):
+    forward: z1 ~ q(.|x1),  z2 ~ p(.|z1-shape),  x2 ~ q(.|z2)
+    reverse: log q(z2|x2) + log p(z1) + log q(x1|z1)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+Array = jax.Array
+
+__all__ = ["MCMCState", "make_mcmc_step", "run_mcmc", "MCMC"]
+
+
+@struct.dataclass
+class MCMCState:
+    """Carry of the scanned MC loop; checkpointable as a pytree
+    (SURVEY.md §5.3: chain state = configs, energies, rng key, stats)."""
+
+    configs: Array  # (n_chains, n_dofs)
+    energies: Array  # (n_chains,) log target density values
+    key: Array
+    num_trials: Array  # () float
+    num_acc: Array  # () float
+
+    @property
+    def acceptance_rate(self) -> Array:
+        return self.num_acc / self.num_trials
+
+    @classmethod
+    def create(cls, configs: Array, energies: Array,
+               key: Array) -> "MCMCState":
+        return cls(configs=jnp.asarray(configs),
+                   energies=jnp.asarray(energies), key=key,
+                   num_trials=jnp.asarray(0.0), num_acc=jnp.asarray(0.0))
+
+
+def make_mcmc_step(encoder_fn: Callable[[Array], Any],
+                   prior_fn: Callable[[Array], Any],
+                   decoder_fn: Callable[[Array], Any],
+                   log_target_fn: Callable[[Array], Array]
+                   ) -> Callable[[MCMCState], MCMCState]:
+    """Build the fused single-step kernel from distribution factories.
+
+    Each ``*_fn`` maps a batched array to a distribution pytree (chains =
+    batch axis).  Use :func:`MCMC.from_vae` / ``vae_proposal_fns`` for the
+    standard VAE wiring.
+    """
+
+    def step(state: MCMCState) -> MCMCState:
+        key, k1, k2, k3, k4 = jax.random.split(state.key, 5)
+        x1, e1 = state.configs, state.energies
+
+        # Forward proposal (reference mcmc.py:99-103).
+        enc1 = encoder_fn(x1)
+        z1, log_z1_given_x1 = enc1.sample_and_log_prob(k1)
+        prior1 = prior_fn(z1)
+        z2, log_z2 = prior1.sample_and_log_prob(k2)
+        dec2 = decoder_fn(z2)
+        x2, log_x2_given_z2 = dec2.sample_and_log_prob(k3)
+        forward_log_p = log_z1_given_x1 + log_z2 + log_x2_given_z2
+
+        # Reverse proposal (reference mcmc.py:106-109).
+        log_z2_given_x2 = encoder_fn(x2).log_prob(z2)
+        log_z1 = prior_fn(z2).log_prob(z1)
+        log_x1_given_z1 = decoder_fn(z1).log_prob(x1)
+        reverse_log_p = log_z2_given_x2 + log_z1 + log_x1_given_z1
+
+        e2 = log_target_fn(x2)
+
+        # Metropolis acceptance (reference mcmc.py:116-121).
+        log_acc = e2 + reverse_log_p - e1 - forward_log_p
+        log_u = jnp.log(jax.random.uniform(
+            k4, log_acc.shape, dtype=log_acc.dtype, minval=1e-38))
+        accept = log_acc >= log_u
+
+        new_configs = jnp.where(accept[..., None], x2, x1)
+        new_energies = jnp.where(accept, e2, e1)
+        return MCMCState(
+            configs=new_configs, energies=new_energies, key=key,
+            num_trials=state.num_trials + accept.size,
+            num_acc=state.num_acc + jnp.sum(accept))
+
+    return step
+
+
+def run_mcmc(step_fn: Callable[[MCMCState], MCMCState], state: MCMCState,
+             n_steps: int, collect_every: int = 0
+             ) -> Tuple[MCMCState, Optional[Array]]:
+    """Scan ``n_steps`` MC steps on device.
+
+    With ``collect_every=k > 0``, also returns the configurations of every
+    k-th step stacked as ``(n_steps//k, n_chains, n_dofs)`` (trajectory
+    collection the reference does by hand in notebooks).
+    """
+    if collect_every and n_steps % collect_every != 0:
+        raise ValueError("n_steps must be a multiple of collect_every")
+
+    if not collect_every:
+        def body(s, _):
+            return step_fn(s), None
+
+        state, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return state, None
+
+    def outer(s, _):
+        def inner(s2, _):
+            return step_fn(s2), None
+
+        s, _ = jax.lax.scan(inner, s, None, length=collect_every)
+        return s, s.configs
+
+    state, traj = jax.lax.scan(outer, state, None,
+                               length=n_steps // collect_every)
+    return state, traj
+
+
+def vae_proposal_fns(vae, train: bool = False):
+    """Standard wiring of a trained ``models.VAE`` into the engine."""
+    from vaemolsim_tpu.ops import distributions as dl
+
+    def encoder_fn(x):
+        return vae.encoder(x, train=train)
+
+    def prior_fn(z):
+        if isinstance(vae.prior, dl.Distribution):
+            return vae.prior
+        return vae._prior_dist(z, train)
+
+    def decoder_fn(z):
+        return vae.decoder(z, train=train)
+
+    return encoder_fn, prior_fn, decoder_fn
+
+
+class MCMC:
+    """Convenience driver mirroring the reference API
+    (vaemolsim/mcmc.py:12-159): ``single_step``, ``run``,
+    ``acceptance_rate``, ``reset`` — but with the compute as one jitted
+    scan.  ``energy_func`` keeps the reference's convention: it must
+    return the LOG target density (see module docstring).
+    """
+
+    def __init__(self, vae, energy_func: Callable[[Array], Array],
+                 random_seed: Optional[int] = None):
+        self.vae = vae
+        self.energy_func = energy_func
+        enc, pri, dec = vae_proposal_fns(vae)
+        self._step = make_mcmc_step(enc, pri, dec, energy_func)
+        self._jit_run = jax.jit(
+            lambda st, n: run_mcmc(self._step, st, n)[0],
+            static_argnums=1)
+        self.reset(random_seed)
+
+    @property
+    def acceptance_rate(self) -> float:
+        return float(self._num_acc / self._num_trials)
+
+    def reset(self, random_seed: Optional[int] = None) -> None:
+        self._num_trials = 0.0
+        self._num_acc = 0.0
+        self._key = jax.random.PRNGKey(
+            0 if random_seed is None else random_seed)
+
+    def _state(self, configs, energies) -> MCMCState:
+        configs = jnp.asarray(configs)
+        if energies is None:
+            energies = self.energy_func(configs)
+        self._key, sub = jax.random.split(self._key)
+        return MCMCState.create(configs, energies, sub)
+
+    def single_step(self, configs, energies=None):
+        state = self._jit_run(self._state(configs, energies), 1)
+        self._num_trials += float(state.num_trials)
+        self._num_acc += float(state.num_acc)
+        return state.configs, state.energies
+
+    def run(self, configs, energies=None, n_steps: int = 1):
+        state = self._jit_run(self._state(configs, energies), n_steps)
+        self._num_trials += float(state.num_trials)
+        self._num_acc += float(state.num_acc)
+        return state.configs, state.energies

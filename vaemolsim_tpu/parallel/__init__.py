@@ -1,1 +1,15 @@
-"""Placeholder — populated incrementally."""
+"""Device-mesh parallelism: chain sharding + replica exchange (new
+first-class capability of the TPU build; SURVEY.md §2.4)."""
+
+from vaemolsim_tpu.parallel.replica import (  # noqa: F401
+    REMCState,
+    make_remc_step,
+    run_remc,
+    temperature_ladder,
+)
+from vaemolsim_tpu.parallel.sharding import (  # noqa: F401
+    chain_sharding,
+    make_mesh,
+    replicate,
+    shard_chain_state,
+)
