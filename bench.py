@@ -18,7 +18,6 @@ import time
 
 N_CHAINS = 10_000
 N_STEPS = 100
-WARMUP_STEPS = 10
 
 
 def main():
@@ -42,8 +41,8 @@ def main():
 
     run = jax.jit(lambda s, n: run_mcmc(step, s, n)[0], static_argnums=1)
 
-    # Warmup/compile.
-    warm = run(state, WARMUP_STEPS)
+    # Warmup/compile with the same static step count as the timed run.
+    warm = run(state, N_STEPS)
     jax.block_until_ready(warm.configs)
 
     t0 = time.perf_counter()
