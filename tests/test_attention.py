@@ -1,0 +1,213 @@
+"""GA attention tests: rotation invariance, permutation equivariance /
+invariance, zero-mask correctness, and the backmapping workload
+(config 3: conditional von Mises + MAF decoder over a local environment).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vaemolsim_tpu.dists import FlowedDistribution, IndependentBlockwise
+from vaemolsim_tpu.flows import RQSSplineMAF
+from vaemolsim_tpu.models import BackmappingOnly, MappingToDistribution
+from vaemolsim_tpu.nn import (AttentionBlock, DistanceSelection,
+                              LocalParticleDescriptors, ParticleEmbedding,
+                              VectorAttention)
+
+
+def random_rotation(key):
+    """Random 3x3 rotation via QR of a Gaussian matrix."""
+    A = jax.random.normal(key, (3, 3))
+    Q, R = jnp.linalg.qr(A)
+    return Q * jnp.sign(jnp.diag(R))
+
+
+@pytest.fixture
+def cloud():
+    key = jax.random.PRNGKey(0)
+    coords = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 3))
+    values = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 5))
+    return coords, values
+
+
+class TestVectorAttention:
+
+    def test_shapes(self, cloud):
+        coords, values = cloud
+        attn = VectorAttention.create(jax.random.PRNGKey(3), 5, 7)
+        out = attn(coords, values)
+        assert out.shape == (2, 6, 7)
+        red = VectorAttention.create(jax.random.PRNGKey(3), 5, 7, reduce=True)
+        assert red(coords, values).shape == (2, 7)
+
+    def test_rotation_invariance(self, cloud):
+        coords, values = cloud
+        attn = VectorAttention.create(jax.random.PRNGKey(3), 5, 7)
+        Q = random_rotation(jax.random.PRNGKey(4))
+        out1 = attn(coords, values)
+        out2 = attn(coords @ Q.T, values)
+        np.testing.assert_allclose(out1, out2, atol=1e-4)
+
+    def test_permutation_equivariance(self, cloud):
+        coords, values = cloud
+        attn = VectorAttention.create(jax.random.PRNGKey(3), 5, 7)
+        perm = jnp.asarray([3, 1, 5, 0, 4, 2])
+        out_perm = attn(coords[:, perm], values[:, perm])
+        np.testing.assert_allclose(out_perm, attn(coords, values)[:, perm],
+                                   atol=1e-4)
+
+    def test_reduce_permutation_invariance(self, cloud):
+        coords, values = cloud
+        attn = VectorAttention.create(jax.random.PRNGKey(3), 5, 7,
+                                      reduce=True)
+        perm = jnp.asarray([3, 1, 5, 0, 4, 2])
+        np.testing.assert_allclose(attn(coords[:, perm], values[:, perm]),
+                                   attn(coords, values), atol=1e-4)
+
+    def test_mask_excludes_particles(self, cloud):
+        coords, values = cloud
+        attn = VectorAttention.create(jax.random.PRNGKey(3), 5, 7,
+                                      reduce=True)
+        mask = jnp.array([[True] * 4 + [False] * 2] * 2)
+        out_masked = attn(coords, values, mask)
+        # Garbage in masked slots must not change the output.
+        coords2 = coords.at[:, 4:].set(1e3)
+        values2 = values.at[:, 4:].set(-1e3)
+        np.testing.assert_allclose(out_masked,
+                                   attn(coords2, values2, mask), atol=1e-3)
+        # And masking must matter.
+        assert not np.allclose(out_masked, attn(coords, values))
+
+
+class TestAttentionBlock:
+
+    def test_residual_shape_and_rotation_invariance(self, cloud):
+        coords, values = cloud
+        block = AttentionBlock.create(jax.random.PRNGKey(5), 5)
+        out = block(coords, values)
+        assert out.shape == values.shape
+        Q = random_rotation(jax.random.PRNGKey(6))
+        np.testing.assert_allclose(block(coords @ Q.T, values), out,
+                                   atol=1e-4)
+
+
+class TestParticleEmbedding:
+
+    def test_embedding_invariances(self):
+        emb = ParticleEmbedding.create(jax.random.PRNGKey(0), info_dim=2,
+                                       embedding_dim=8, num_blocks=2)
+        coords = jax.random.normal(jax.random.PRNGKey(1), (3, 5, 3))
+        info = jax.random.normal(jax.random.PRNGKey(2), (3, 5, 2))
+        out = emb(coords, info)
+        assert out.shape == (3, 8)
+        Q = random_rotation(jax.random.PRNGKey(3))
+        np.testing.assert_allclose(emb(coords @ Q.T, info), out, atol=1e-4)
+        perm = jnp.asarray([4, 2, 0, 3, 1])
+        np.testing.assert_allclose(emb(coords[:, perm], info[:, perm]), out,
+                                   atol=1e-4)
+
+    def test_mask_zero_rows(self):
+        # Zero-coordinate rows are padding (reference Masking semantics).
+        emb = ParticleEmbedding.create(jax.random.PRNGKey(0), info_dim=2,
+                                       embedding_dim=8)
+        coords = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 3))
+        info = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 2))
+        coords_pad = jnp.concatenate([coords, jnp.zeros((1, 3, 3))], axis=1)
+        info_pad = jnp.concatenate([info, 7.0 * jnp.ones((1, 3, 2))], axis=1)
+        np.testing.assert_allclose(emb(coords_pad, info_pad),
+                                   emb(coords, info), atol=1e-4)
+
+
+class TestLocalParticleDescriptors:
+
+    def test_pipeline(self):
+        lpd = LocalParticleDescriptors(
+            select=DistanceSelection.create(cutoff=3.0, max_included=4),
+            embed=ParticleEmbedding.create(jax.random.PRNGKey(0), info_dim=2,
+                                           embedding_dim=6))
+        coords = jax.random.normal(jax.random.PRNGKey(1), (5, 12, 3)) * 2.0
+        info = jax.random.normal(jax.random.PRNGKey(2), (5, 12, 2))
+        ref = jnp.zeros((5, 3))
+        out = lpd(coords, ref, info)
+        assert out.shape == (5, 6)
+        # Translating everything (coords and ref) together is invariant.
+        shift = jnp.array([10.0, -5.0, 3.0])
+        np.testing.assert_allclose(lpd(coords + shift, ref + shift, info),
+                                   out, atol=1e-3)
+
+
+class TestBackmappingOnly:
+    """Config 3: cutoff 3.0, max_included 10, embed 20, 3-DOF von Mises
+    base + conditional MAF decoder (Backmapping notebook cells 4-8)."""
+
+    def _model(self, key):
+        keys = jax.random.split(key, 4)
+        lpd = LocalParticleDescriptors(
+            select=DistanceSelection.create(cutoff=3.0, max_included=10),
+            embed=ParticleEmbedding.create(keys[0], info_dim=2,
+                                           embedding_dim=20))
+        flow = RQSSplineMAF.create(
+            keys[1], 3, num_blocks=2,
+            rqs_params={"num_bins": 8, "hidden_dim": 16,
+                        "bin_range": [-np.pi, np.pi], "conditional": True,
+                        "conditional_event_shape": 20})
+        dec_dist = FlowedDistribution(
+            flow=flow,
+            base_layer=IndependentBlockwise.create(3, "von_mises"))
+        decoder = MappingToDistribution.create(
+            keys[2], dec_dist, input_shape=20,
+            mapping_kwargs={"hidden_dim": 16})
+        return BackmappingOnly(mask_and_embed=lpd, decoder=decoder)
+
+    def _data(self, n=32):
+        k = jax.random.PRNGKey(7)
+        coords = jax.random.normal(jax.random.PRNGKey(8), (n, 15, 3)) * 1.5
+        info = jax.random.normal(jax.random.PRNGKey(9), (n, 15, 2))
+        cg_ref = jax.random.normal(jax.random.PRNGKey(10), (n, 3)) * 0.3
+        torsions = jax.random.uniform(k, (n, 3), minval=-np.pi,
+                                      maxval=np.pi)
+        return cg_ref, coords, info, torsions
+
+    def test_forward_and_sample(self):
+        model = self._model(jax.random.PRNGKey(0))
+        cg_ref, coords, info, torsions = self._data()
+        dist = model(cg_ref, coords, info)
+        lp = dist.log_prob(torsions)
+        assert lp.shape == (32,)
+        assert jnp.isfinite(lp).all()
+        s = model.predict(cg_ref, coords, info, jax.random.PRNGKey(1))
+        assert s.shape == (32, 3)
+        assert jnp.all(jnp.abs(s) <= np.pi + 1e-4)
+
+    def test_trains(self):
+        model = self._model(jax.random.PRNGKey(0))
+        cg_ref, coords, info, torsions = self._data()
+
+        def loss_fn(m):
+            return -jnp.mean(m(cg_ref, coords, info).log_prob(torsions))
+
+        opt = optax.adam(1e-3)
+        st = opt.init(model)
+
+        @jax.jit
+        def step(m, s):
+            l, g = jax.value_and_grad(loss_fn)(m)
+            u, s = opt.update(g, s)
+            return optax.apply_updates(m, u), s, l
+
+        l0 = float(loss_fn(model))
+        for _ in range(20):
+            model, st, l = step(model, st)
+        assert float(l) < l0
+
+    def test_masked_particles(self):
+        model = self._model(jax.random.PRNGKey(0))
+        cg_ref, coords, info, torsions = self._data()
+        mask = jnp.ones(coords.shape[:2], bool).at[:, 10:].set(False)
+        coords_garbage = coords.at[:, 10:].set(0.5)
+        d1 = model(cg_ref, coords, info, mask=mask)
+        d2 = model(cg_ref, coords_garbage, info, mask=mask)
+        np.testing.assert_allclose(d1.log_prob(torsions),
+                                   d2.log_prob(torsions), atol=1e-3)

@@ -1,0 +1,111 @@
+"""Training-loop and checkpoint/resume tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vaemolsim_tpu.dists import IndependentBlockwise
+from vaemolsim_tpu.flows import RQSSplineMAF
+from vaemolsim_tpu.mcmc import MCMCState
+from vaemolsim_tpu.models import VAE, MappingToDistribution
+from vaemolsim_tpu import losses
+from vaemolsim_tpu.ops import distributions as d
+from vaemolsim_tpu.train import (CheckpointManager, fit, restore_checkpoint,
+                                 save_checkpoint)
+from vaemolsim_tpu.utils import StepTimer, benchmark_fn
+
+
+def make_flow():
+    return RQSSplineMAF.create(
+        jax.random.PRNGKey(0), 1, num_blocks=2,
+        rqs_params={"num_bins": 8, "hidden_dim": 16,
+                    "bin_range": [-5.0, 5.0]})
+
+
+class TestFit:
+
+    def test_fit_decreases_loss_and_history(self):
+        flow = make_flow()
+        base = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)
+        data = d.Normal(jnp.float32(1.5), jnp.float32(0.5)).sample(
+            jax.random.PRNGKey(1), (512, 1))
+
+        def loss_fn(f, batch, key):
+            del key
+            nll = -jnp.mean(f(base).log_prob(batch))
+            return nll, {"nll": nll}
+
+        flow, hist = fit(flow, loss_fn, data, key=jax.random.PRNGKey(2),
+                         num_epochs=5, batch_size=128)
+        assert len(hist["loss"]) == 5
+        assert hist["loss"][-1] < hist["loss"][0]
+        assert "nll" in hist and "epoch_time_s" in hist
+
+    def test_fit_scalar_loss_fn(self):
+        flow = make_flow()
+        base = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)
+        data = jnp.ones((64, 1))
+        flow, hist = fit(flow,
+                         lambda f, b, k: -jnp.mean(f(base).log_prob(b)),
+                         data, key=jax.random.PRNGKey(0), num_epochs=2)
+        assert len(hist["loss"]) == 2
+
+
+class TestCheckpoint:
+
+    def test_roundtrip_model(self, tmp_path):
+        flow = make_flow()
+        path = str(tmp_path / "ckpt1")
+        save_checkpoint(path, flow)
+        template = make_flow()
+        restored = restore_checkpoint(path, template)
+        for a, b in zip(jax.tree_util.tree_leaves(flow),
+                        jax.tree_util.tree_leaves(restored)):
+            np.testing.assert_array_equal(a, b)
+
+    def test_mcmc_state_roundtrip(self, tmp_path):
+        state = MCMCState.create(jnp.ones((8, 2)), jnp.zeros(8),
+                                 jax.random.PRNGKey(3))
+        state = state.replace(num_trials=jnp.asarray(40.0),
+                              num_acc=jnp.asarray(13.0))
+        path = str(tmp_path / "mc")
+        save_checkpoint(path, state)
+        template = MCMCState.create(jnp.zeros((8, 2)), jnp.zeros(8),
+                                    jax.random.PRNGKey(0))
+        restored = restore_checkpoint(path, template)
+        np.testing.assert_array_equal(restored.configs, state.configs)
+        assert float(restored.num_acc) == 13.0
+        np.testing.assert_array_equal(restored.key, state.key)
+
+    def test_manager_retention_and_resume(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path / "mgr"), max_to_keep=2)
+        flow = make_flow()
+        for step in range(3):
+            mgr.save(step, flow)
+        assert mgr.latest_step() == 2
+        restored = mgr.restore(make_flow())
+        for a, b in zip(jax.tree_util.tree_leaves(flow),
+                        jax.tree_util.tree_leaves(restored)):
+            np.testing.assert_array_equal(a, b)
+        mgr.close()
+
+
+class TestProfiling:
+
+    def test_step_timer(self):
+        t = StepTimer()
+        x = jnp.ones((128, 128))
+        with t.phase("matmul", block_on=None):
+            y = x @ x
+        with t.phase("matmul", block_on=y):
+            y = x @ x
+        assert len(t.times["matmul"]) == 2
+        assert t.summary()["matmul"] > 0
+
+    def test_benchmark_fn(self):
+        f = jax.jit(lambda x: x * 2.0)
+        dt = benchmark_fn(f, jnp.ones(16), warmup=1, iters=3)
+        assert dt > 0

@@ -1,5 +1,6 @@
 """Trainable model compositions (reference L5: vaemolsim/models.py)."""
 
+from vaemolsim_tpu.models.backmapping import BackmappingOnly  # noqa: F401
 from vaemolsim_tpu.models.core import (  # noqa: F401
     VAE,
     DualVAEOutput,

@@ -1,10 +1,17 @@
 """Neural mappings (reference L1: vaemolsim/mappings.py)."""
 
+from vaemolsim_tpu.nn.attention import (  # noqa: F401
+    AttentionBlock,
+    LocalParticleDescriptors,
+    ParticleEmbedding,
+    VectorAttention,
+)
 from vaemolsim_tpu.nn.core import (  # noqa: F401
     MADE,
+    MLP,
     BatchNorm,
     Dense,
-    MLP,
+    LayerNorm,
 )
 from vaemolsim_tpu.nn.mappings import (  # noqa: F401
     CGCenterOfMass,

@@ -156,6 +156,24 @@ class BatchNorm:
 
 
 @struct.dataclass
+class LayerNorm:
+    """Layer normalization over the last axis."""
+
+    scale: Array
+    offset: Array
+    eps: float = struct.field(pytree_node=False, default=1e-3)
+
+    @classmethod
+    def create(cls, dim: int) -> "LayerNorm":
+        return cls(scale=jnp.ones(dim), offset=jnp.zeros(dim))
+
+    def __call__(self, x: Array) -> Array:
+        m = jnp.mean(x, axis=-1, keepdims=True)
+        v = jnp.var(x, axis=-1, keepdims=True)
+        return (x - m) * jax.lax.rsqrt(v + self.eps) * self.scale + self.offset
+
+
+@struct.dataclass
 class MLP:
     """Dense stack with a shared hidden activation and a linear head."""
 

@@ -143,16 +143,19 @@ class Softplus(Bijector):
 
 @struct.dataclass
 class SoftClip(Bijector):
-    """Smoothly clip to (low, high), matching tfp.bijectors.SoftClip.
+    """Smoothly clip to (low, high), matching tfp.bijectors.SoftClip's
+    essential semantics: approximately the IDENTITY for values well inside
+    the bounds, softplus-rounded at the edges:
 
-    Used by the reference to bound von Mises concentration
-    (vaemolsim/dists.py:66-71): forward maps R -> (low, high) via
-    ``low + (high-low) * sigmoid(x / hinge)`` with
-    ``hinge = hinge_softness * (high - low)``... TFP's exact form is
-    ``-softplus(high - softplus(x - low) - high)·(high-low)/...``; we use the
-    sigmoid formulation which has the same domain/range and comparable
-    softness (hinge_softness defaults to 1).  Only the forward direction is
-    used as a parameter constraint; both directions are provided.
+        y = low + s*softplus((x-low)/s) - s*softplus((x-high)/s)
+
+    with ``s = hinge_softness``.  This is load-bearing for the von Mises
+    concentration bound (reference vaemolsim/dists.py:66-71: SoftClip to
+    [eps, sqrt(float32.max)/2]): an O(1) raw network output must map to an
+    O(1) concentration, with the huge upper bound acting only as an
+    overflow guard.  The inverse uses Newton iteration (the transform is
+    smooth and monotone with derivative in (0, 1)); only the forward
+    direction sits on the training path.
     """
 
     low: float = struct.field(pytree_node=False)
@@ -160,23 +163,27 @@ class SoftClip(Bijector):
     hinge_softness: float = struct.field(pytree_node=False, default=1.0)
 
     def forward_and_log_det(self, x, context=None):
-        width = self.high - self.low
         s = self.hinge_softness
-        z = x / s
-        y = self.low + width * jax.nn.sigmoid(z)
-        ldj = (jnp.log(width) - jnp.log(s)
-               - jax.nn.softplus(-z) - jax.nn.softplus(z))
-        return y, ldj
+        y = (self.low + s * jax.nn.softplus((x - self.low) / s)
+             - s * jax.nn.softplus((x - self.high) / s))
+        # dy/dx = sigmoid((x-low)/s) - sigmoid((x-high)/s), in (0, 1).
+        d = (jax.nn.sigmoid((x - self.low) / s)
+             - jax.nn.sigmoid((x - self.high) / s))
+        return y, jnp.log(jnp.maximum(d, 1e-38))
 
     def inverse_and_log_det(self, y, context=None):
-        width = self.high - self.low
-        u = (y - self.low) / width
-        u = jnp.clip(u, 1e-12, 1.0 - 1e-7)
-        z = jnp.log(u) - jnp.log1p(-u)
-        x = z * self.hinge_softness
-        ldj = (jnp.log(self.hinge_softness) - jnp.log(width)
-               - jnp.log(u) - jnp.log1p(-u))
-        return x, ldj
+        def fwd(x):
+            return self.forward_and_log_det(x)[0]
+
+        # Newton from the identity-region guess x0 = y.
+        x = jnp.clip(y, self.low + 1e-6, self.high - 1e-6)
+        for _ in range(25):
+            s = self.hinge_softness
+            d = (jax.nn.sigmoid((x - self.low) / s)
+                 - jax.nn.sigmoid((x - self.high) / s))
+            x = x - (fwd(x) - y) / jnp.maximum(d, 1e-12)
+        _, fldj = self.forward_and_log_det(x)
+        return x, -fldj
 
 
 @struct.dataclass
