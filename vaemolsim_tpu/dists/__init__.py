@@ -1,5 +1,9 @@
 """Distribution-emitting layers (reference L3: vaemolsim/dists.py)."""
 
+from vaemolsim_tpu.dists.joint import (  # noqa: F401
+    JointBackmapping,
+    JointBackmappingDistribution,
+)
 from vaemolsim_tpu.dists.layers import (  # noqa: F401
     FAMILY_REGISTRY,
     AutoregressiveBlockwise,

@@ -1,0 +1,173 @@
+"""System-level autoregressive backmapping distribution.
+
+The reference sketches — but never finishes — a residue-by-residue
+autoregressive "JointDistribution" for decoding a whole system
+(vaemolsim/dists.py:735-858 and the design notes at models.py:433-468;
+its code references undefined networks and would NameError, SURVEY.md
+§2.1).  This module provides a *working* realization of that capability
+target, designed TPU-first:
+
+* Each residue r owns a fixed-size block of internal coordinates
+  (B, R, D).  Residues are decoded in index order (apply any
+  permutation externally, as the reference intends,
+  models.py:439-441).
+* The per-residue conditioning context is the concatenation of
+  (a) a rotation-invariant embedding of the CG environment around
+  residue r's site (LocalParticleDescriptors over the CG point cloud),
+  and (b) a *causal prefix summary* of the already-decoded residues:
+  per-residue encodings are mixed with a precomputed lower-triangular
+  (strictly causal) averaging matrix — one matmul, so the whole-system
+  **log_prob is a single parallel pass** over (B, R) on the MXU.
+* Sampling is the inherent sequential path: a ``lax.scan`` over
+  residues, refreshing the prefix summary each step.
+
+This mirrors the MADE/MAF design idiom used throughout the framework:
+train-time density is parallel, generation is scanned.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from vaemolsim_tpu.nn.attention import LocalParticleDescriptors
+from vaemolsim_tpu.nn.core import Dense
+from vaemolsim_tpu.ops import distributions as dl
+
+Array = jax.Array
+
+__all__ = ["JointBackmapping", "JointBackmappingDistribution"]
+
+
+def _causal_mean_matrix(R: int) -> Array:
+    """Strictly-lower-triangular averaging: row r averages rows < r."""
+    tri = jnp.tril(jnp.ones((R, R), jnp.float32), k=-1)
+    counts = jnp.maximum(tri.sum(axis=-1, keepdims=True), 1.0)
+    return tri / counts
+
+
+@struct.dataclass
+class JointBackmappingDistribution(dl.Distribution):
+    """Joint distribution over all residues' internal coordinates,
+    autoregressive across residues.  Emitted by :class:`JointBackmapping`.
+    """
+
+    layer: "JointBackmapping"
+    cg_coords: Array  # (B, R, 3)
+    cg_info: Array  # (B, R, I)
+
+    @property
+    def batch_shape(self):
+        return self.cg_coords.shape[:-2]
+
+    @property
+    def event_shape(self):
+        return (self.cg_coords.shape[-2], self.layer.dofs_per_residue)
+
+    def _contexts(self, x: Array) -> Array:
+        """Per-residue conditioning context, causal in x: (B, R, C)."""
+        lay = self.layer
+        B, R, _ = self.cg_coords.shape
+        # CG environment embedding per residue site: fold R into batch
+        # (every residue sees the full CG cloud relative to its own site).
+        coords_flat = jnp.broadcast_to(
+            self.cg_coords[:, None], (B, R, R, 3)).reshape(B * R, R, 3)
+        info_flat = jnp.broadcast_to(
+            self.cg_info[:, None], (B, R) + self.cg_info.shape[-2:]
+        ).reshape(B * R, R, self.cg_info.shape[-1])
+        refs = self.cg_coords.reshape(B * R, 3)
+        env = lay.cg_embed(coords_flat, refs, info_flat)  # (B*R, E)
+        env = env.reshape(B, R, -1)
+
+        # Causal summary of previously-decoded residues.
+        enc = lay.residue_encoder(x)  # (B, R, F)
+        prefix = jnp.einsum("rs,bsf->brf", _causal_mean_matrix(R), enc)
+        return jnp.concatenate([env, prefix], axis=-1)
+
+    def _residue_dist(self, context: Array):
+        """Distribution over one residue block given its context; context
+        may carry extra leading axes (folded into batch)."""
+        lay = self.layer
+        params = lay.mapping(context)
+        if getattr(lay.decoder_dist, "conditional", False):
+            return lay.decoder_dist(params, conditional_input=context)
+        return lay.decoder_dist(params)
+
+    def log_prob(self, x: Array) -> Array:
+        ctx = self._contexts(x)  # (B, R, C)
+        dist = self._residue_dist(ctx)  # batch (B, R), event (D,)
+        return jnp.sum(dist.log_prob(x), axis=-1)
+
+    def sample(self, key: Array, sample_shape: Tuple[int, ...] = ()) -> Array:
+        if sample_shape:
+            keys = jax.random.split(key, int(jnp.prod(
+                jnp.asarray(sample_shape))))
+            flat = [self.sample(k) for k in keys]
+            out = jnp.stack(flat)
+            return out.reshape(tuple(sample_shape) + out.shape[1:])
+
+        B, R, _ = self.cg_coords.shape
+        D = self.layer.dofs_per_residue
+        x0 = jnp.zeros((B, R, D))
+        keys = jax.random.split(key, R)
+
+        def body(x, inp):
+            r, k = inp
+            ctx = self._contexts(x)  # causal: row r sees only rows < r
+            ctx_r = jnp.take(ctx, r, axis=1)  # (B, C)
+            x_r = self._residue_dist(ctx_r).sample(k)  # (B, D)
+            x = jax.lax.dynamic_update_slice_in_dim(
+                x, x_r[:, None, :], r, axis=1)
+            return x, None
+
+        x, _ = jax.lax.scan(body, x0, (jnp.arange(R), keys))
+        return x
+
+
+@struct.dataclass
+class JointBackmapping:
+    """Layer emitting a :class:`JointBackmappingDistribution` from the CG
+    configuration — the finished version of the reference's WIP
+    system-level decoder (vaemolsim/dists.py:755-858)."""
+
+    cg_embed: LocalParticleDescriptors
+    residue_encoder: Dense
+    mapping: Any  # context -> raw params (FCDeepNN or Dense)
+    decoder_dist: Any  # per-residue dist layer
+    dofs_per_residue: int = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, key: Array, dofs_per_residue: int, cg_info_dim: int,
+               decoder_dist: Any,
+               embed_dim: int = 16, prefix_dim: int = 8,
+               cutoff: float = 5.0, max_included: int = 8,
+               mapping_hidden: int = 32) -> "JointBackmapping":
+        from vaemolsim_tpu.nn.attention import ParticleEmbedding
+        from vaemolsim_tpu.nn.mappings import DistanceSelection, FCDeepNN
+
+        keys = jax.random.split(key, 4)
+        cg_embed = LocalParticleDescriptors(
+            select=DistanceSelection.create(cutoff=cutoff,
+                                            max_included=max_included),
+            embed=ParticleEmbedding.create(keys[0], info_dim=cg_info_dim,
+                                           embedding_dim=embed_dim,
+                                           num_blocks=1))
+        residue_encoder = Dense.create(keys[1], dofs_per_residue,
+                                       prefix_dim, "tanh")
+        ctx_dim = embed_dim + prefix_dim
+        p = decoder_dist.params_size()
+        target = p if isinstance(p, int) else tuple(p)
+        mapping = FCDeepNN.create(keys[2], ctx_dim, target,
+                                  hidden_dim=mapping_hidden)
+        return cls(cg_embed=cg_embed, residue_encoder=residue_encoder,
+                   mapping=mapping, decoder_dist=decoder_dist,
+                   dofs_per_residue=dofs_per_residue)
+
+    def __call__(self, cg_coords: Array, cg_info: Array,
+                 train: bool = False) -> JointBackmappingDistribution:
+        del train
+        return JointBackmappingDistribution(layer=self, cg_coords=cg_coords,
+                                            cg_info=cg_info)

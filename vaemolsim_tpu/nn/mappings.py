@@ -259,16 +259,30 @@ class DistanceSelection:
         big = jnp.finfo(d2.dtype).max
         if mask is not None:
             d2 = jnp.where(mask, d2, big)
-        # k nearest among P (static k).
-        k = self.max_included
+        # k nearest among P (static k, clamped when fewer particles than
+        # max_included exist — outputs are zero-padded back to the static
+        # max_included width).
+        P = d2.shape[-1]
+        k = min(self.max_included, P)
         neg_top, idx = jax.lax.top_k(-d2, k)
         sel_d2 = -neg_top
         sel = jnp.take_along_axis(diff, idx[..., None], axis=-2)
         valid = sel_d2 <= (self.cutoff * self.cutoff)
+        if mask is not None:
+            # Exclude selections that were only padding (d2 == big).
+            valid = valid & (sel_d2 < big)
         sel = jnp.where(valid[..., None], sel, 0.0)
         sel_info = None
         if particle_info is not None:
             sel_info = jnp.take_along_axis(particle_info, idx[..., None],
                                            axis=-2)
             sel_info = jnp.where(valid[..., None], sel_info, 0.0)
+        if k < self.max_included:
+            padn = self.max_included - k
+            sel = jnp.pad(sel, [(0, 0)] * (sel.ndim - 2)
+                          + [(0, padn), (0, 0)])
+            valid = jnp.pad(valid, [(0, 0)] * (valid.ndim - 1) + [(0, padn)])
+            if sel_info is not None:
+                sel_info = jnp.pad(sel_info, [(0, 0)] * (sel_info.ndim - 2)
+                                   + [(0, padn), (0, 0)])
         return sel, valid, sel_info
