@@ -92,6 +92,47 @@ class TestVonMises:
         assert out.shape == (16,)
         assert jnp.all(jnp.isfinite(out))
 
+    def test_implicit_reparam_gradient_vs_analytic(self):
+        # E[cos(z - loc)] = I1(k)/I0(k); its k-derivative has the closed
+        # form 0.5*(1 + I2/I0) - (I1/I0)^2 via d I_n/dk = (I_{n-1}+I_{n+1})/2
+        # and I2 = I0 - 2 I1 / k.  The implicit-reparam pathwise gradient
+        # must match it in expectation (Figurnov et al. 2018 validation).
+        from scipy.special import i0, i1, iv
+        kappa0 = 2.5
+        n = 30000
+
+        def mean_cos(kappa):
+            dist = d.VonMises(jnp.float32(0.7), kappa)
+            z = dist.sample(jax.random.PRNGKey(0), (n,))
+            return jnp.mean(jnp.cos(z - 0.7))
+
+        grad = float(jax.grad(mean_cos)(jnp.float32(kappa0)))
+        r1 = i1(kappa0) / i0(kappa0)
+        want = 0.5 * (1.0 + iv(2, kappa0) / i0(kappa0)) - r1 ** 2
+        np.testing.assert_allclose(grad, want, rtol=0.08)
+
+    def test_reparam_gradient_loc_is_one(self):
+        def mean_z(loc):
+            dist = d.VonMises(loc, jnp.float32(4.0))
+            z = dist.sample(jax.random.PRNGKey(1), (2000,))
+            # Unwrapped mean displacement: d/dloc = 1 exactly.
+            return jnp.mean(z)
+
+        g = float(jax.grad(mean_z)(jnp.float32(0.1)))
+        np.testing.assert_allclose(g, 1.0, atol=1e-3)
+
+    def test_reparam_gradient_large_kappa_branch(self):
+        def mean_cos(kappa):
+            dist = d.VonMises(jnp.float32(0.0), kappa)
+            z = dist.sample(jax.random.PRNGKey(2), (20000,))
+            return jnp.mean(jnp.cos(z))
+
+        from scipy.special import i0, i1, iv
+        k0 = 40.0
+        grad = float(jax.grad(mean_cos)(jnp.float32(k0)))
+        want = 0.5 * (1.0 + iv(2, k0) / i0(k0)) - (i1(k0) / i0(k0)) ** 2
+        np.testing.assert_allclose(grad, want, rtol=0.15)
+
     def test_large_concentration_no_overflow(self):
         # Reference SoftClip bound: sqrt(float32.max)/2 (~9.2e18).
         big = jnp.float32(np.sqrt(np.finfo(np.float32).max) / 2.0)

@@ -22,18 +22,22 @@ Design notes
   instead of a Python loop per DOF.  This is the main structural
   performance win for the ELBO hot path.
 * Von Mises sampling is a fixed-shape Best–Fisher rejection loop that is
-  jit/vmap/scan-safe (no data-dependent shapes).  Gradients do not flow
-  through the rejection sampler (stop_gradient on parameters); the
-  log-prob path is fully differentiable.
+  jit/vmap/scan-safe (no data-dependent shapes), with *implicit
+  reparameterization gradients* (Figurnov et al. 2018) attached via
+  custom_jvp — dz/dloc = 1 and dz/dconcentration from the cdf identity —
+  so sampling-based losses (reverse KL, dual ELBO) differentiate through
+  von Mises draws, matching TFP's behavior the reference relies on.
 """
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 Array = jax.Array
@@ -141,16 +145,17 @@ class Uniform(Distribution):
         return self.low + u * (self.high - self.low)
 
 
-def _von_mises_sample(key: Array, loc: Array, concentration: Array,
-                      shape: Tuple[int, ...], max_iters: int = 60) -> Array:
+def _von_mises_sample_raw(key: Array, loc: Array, concentration: Array,
+                          shape: Tuple[int, ...],
+                          max_iters: int = 60) -> Array:
     """Best–Fisher (1979) rejection sampler, fixed-shape and jit-safe.
 
     Uses a wrapped-Cauchy envelope; the while_loop re-draws only until all
     lanes have accepted (capped at ``max_iters`` rounds).  Small
     concentrations (< 1e-5) fall back to a uniform draw on [-pi, pi).
-    Parameters are stop_gradient-ed: sampling is not reparameterized
-    (the reference relies on TFP's implicit reparam only in the reverse-KL
-    path; see losses.py for how that is handled here).
+    Gradients flow via implicit reparameterization in
+    :func:`_von_mises_sample` (this raw function stop-gradients its
+    parameters).
     """
     dtype = jnp.result_type(loc)
     loc = jax.lax.stop_gradient(jnp.broadcast_to(loc, shape).astype(dtype))
@@ -194,6 +199,59 @@ def _von_mises_sample(key: Array, loc: Array, concentration: Array,
     # Shift by loc and wrap to [-pi, pi].
     out = theta + loc
     return out - _TWO_PI * jnp.round(out / _TWO_PI)
+
+
+# ---------------------------------------------------------------------------
+# Implicit reparameterization for the von Mises sampler
+# (Figurnov, Mohamed & Mnih 2018, arXiv:1805.08498 — see PAPERS.md; the
+# reference gets this behavior from TFP's VonMises implementation).
+# ---------------------------------------------------------------------------
+
+_GL_NODES, _GL_WEIGHTS = np.polynomial.legendre.leggauss(64)
+_GL_NODES = _GL_NODES.astype(np.float32)
+_GL_WEIGHTS = _GL_WEIGHTS.astype(np.float32)
+
+
+def _von_mises_dz_dconc(z0: Array, kappa: Array) -> Array:
+    """d sample / d concentration at centered sample z0 in [-pi, pi]:
+    -(dF/dkappa)(z0) / p(z0), with dF/dkappa = int_{-pi}^{z0}
+    p(t) (cos t - I1/I0) dt by fixed Gauss-Legendre quadrature (the
+    integrand is smooth for moderate kappa).  For large kappa the sampler
+    is approximately z0 = eps/sqrt(kappa), giving dz/dkappa =
+    -z0/(2 kappa) (TFP uses the same asymptotic switch).
+    """
+    r = jax.scipy.special.i1e(kappa) / jax.scipy.special.i0e(kappa)
+    half = (z0 + math.pi) / 2.0
+    t = half[..., None] * (_GL_NODES + 1.0) - math.pi  # (..., Q)
+    # Densities with the e^{-kappa} scaling folded into i0e for stability.
+    log_norm = jnp.log(jax.scipy.special.i0e(kappa)) + math.log(_TWO_PI)
+    p_t = jnp.exp(kappa[..., None] * (jnp.cos(t) - 1.0) - log_norm[..., None])
+    dF = jnp.sum(_GL_WEIGHTS * p_t * (jnp.cos(t) - r[..., None]),
+                 axis=-1) * half
+    p_z = jnp.exp(kappa * (jnp.cos(z0) - 1.0) - log_norm)
+    grad_quad = -dF / jnp.maximum(p_z, 1e-30)
+    grad_normal = -z0 / (2.0 * kappa)
+    return jnp.where(kappa > 15.0, grad_normal, grad_quad)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0, 3))
+def _von_mises_sample(key: Array, loc: Array, concentration: Array,
+                      shape: Tuple[int, ...]) -> Array:
+    return _von_mises_sample_raw(key, loc, concentration, shape)
+
+
+@_von_mises_sample.defjvp
+def _von_mises_sample_jvp(key, shape, primals, tangents):
+    loc, concentration = primals
+    dloc, dconc = tangents
+    z = _von_mises_sample_raw(key, loc, concentration, shape)
+    z0 = z - jnp.broadcast_to(loc, shape)
+    z0 = z0 - _TWO_PI * jnp.round(z0 / _TWO_PI)
+    kappa = jnp.broadcast_to(concentration, shape)
+    dz_dk = _von_mises_dz_dconc(z0, jnp.maximum(kappa, 1e-7))
+    tangent = (jnp.broadcast_to(dloc, shape)
+               + jnp.broadcast_to(dconc, shape) * dz_dk)
+    return z, tangent
 
 
 @struct.dataclass
