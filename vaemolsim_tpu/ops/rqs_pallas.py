@@ -18,6 +18,16 @@ Gradients: the public entry points carry a ``jax.custom_vjp`` whose
 backward pass reuses the *XLA* implementation's autodiff (the spline is
 cheap to recompute; this keeps the kernel forward-only and the
 gradients exactly consistent with ops/rqs.py).
+
+Measured on TPU v5e (30k elements x 32 bins, 100-step scan): this kernel
+runs ~272us/iter vs ~125us/iter for the one-hot XLA path in ops/rqs.py —
+after the XLA path's gathers were replaced with one-hot VPU reductions,
+XLA's fusion wins (the kernel cannot fuse with the producing MADE matmuls
+and pays tile/pad overheads).  The XLA path therefore stays the default
+(``ops.rqs.set_implementation``); this kernel is kept as a correct,
+tested backend and as the substrate for a future fully-fused MAF-block
+kernel (MADE matmuls + activations + spline in one VMEM pass), which is
+the fusion XLA cannot do across the conditioner boundary.
 """
 
 from __future__ import annotations
@@ -47,8 +57,17 @@ def _rqs_kernel(x_ref, w_ref, h_ref, s_ref, y_ref, ldj_ref, *,
     s = s_ref[:]  # (T, K-1)
     T, K = w.shape
 
-    cw = jnp.cumsum(w, axis=-1)  # knot offsets, (T, K); knot k+1 at cw[k]
-    ch = jnp.cumsum(h, axis=-1)
+    # Knot offsets via an inclusive-prefix-sum matmul (cumsum has no
+    # Pallas TPU lowering; a (K, K) triangular matmul rides the MXU).
+    lk = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    tril = (lk <= lj).astype(w.dtype)  # [k, j] = 1 if k <= j
+    # HIGHEST precision: the default MXU f32 path rounds through bf16,
+    # which shifts knot positions enough to flip bin assignments.
+    cw = jnp.dot(w, tril, preferred_element_type=w.dtype,
+                 precision=jax.lax.Precision.HIGHEST)  # (T, K)
+    ch = jnp.dot(h, tril, preferred_element_type=h.dtype,
+                 precision=jax.lax.Precision.HIGHEST)
     total_in = (ch if inverse else cw)[:, -1:]  # (T, 1)
 
     t = x - range_min  # offset coordinate
