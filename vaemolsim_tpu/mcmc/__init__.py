@@ -1,5 +1,10 @@
 """VAE-proposal Monte Carlo engine (reference L6: vaemolsim/mcmc.py)."""
 
+from vaemolsim_tpu.mcmc.diagnostics import (  # noqa: F401
+    autocorrelation,
+    effective_sample_size,
+    potential_scale_reduction,
+)
 from vaemolsim_tpu.mcmc.engine import (  # noqa: F401
     MCMC,
     MCMCState,

@@ -1,0 +1,65 @@
+"""MC chain diagnostics: autocorrelation, effective sample size, and
+potential-scale-reduction (R-hat) over batched chains.
+
+The reference only tracks an acceptance counter (vaemolsim/mcmc.py:48-50);
+production sampling needs convergence diagnostics, so the TPU build adds
+them as vectorized, jittable functions over ``(n_samples, n_chains, ...)``
+trajectories (the output of ``run_mcmc(..., collect_every=k)``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+__all__ = ["autocorrelation", "effective_sample_size", "potential_scale_reduction"]
+
+
+def autocorrelation(x: Array, max_lag: int = 100) -> Array:
+    """Normalized autocorrelation over axis 0 (FFT-based).
+
+    x: (T, ...) -> (max_lag + 1, ...), rho[0] = 1.
+    """
+    T = x.shape[0]
+    x = x - jnp.mean(x, axis=0, keepdims=True)
+    n_fft = 1 << (2 * T - 1).bit_length()
+    f = jnp.fft.rfft(x, n=n_fft, axis=0)
+    acov = jnp.fft.irfft(f * jnp.conj(f), n=n_fft, axis=0)[: max_lag + 1]
+    return acov / jnp.maximum(acov[:1], 1e-30)
+
+
+def effective_sample_size(x: Array, max_lag: int = 100) -> Array:
+    """ESS per chain via Geyer initial-positive-sequence truncation.
+
+    x: (T, ...) samples; returns (...) effective sample sizes.
+    """
+    T = x.shape[0]
+    rho = autocorrelation(x, max_lag=min(max_lag, T - 1))
+    # Sum consecutive-lag pairs; truncate at the first non-positive pair.
+    L = rho.shape[0]
+    pair_count = (L - 1) // 2
+    pairs = rho[1:1 + 2 * pair_count]
+    pair_sums = pairs[0::2] + pairs[1::2]  # (pair_count, ...)
+    positive = pair_sums > 0.0
+    keep = jnp.cumprod(positive.astype(rho.dtype), axis=0)
+    tau = 1.0 + 2.0 * jnp.sum(pair_sums * keep, axis=0)
+    return T / jnp.maximum(tau, 1.0 / T)
+
+
+def potential_scale_reduction(x: Array) -> Array:
+    """Gelman–Rubin split R-hat.
+
+    x: (T, n_chains, ...) -> (...); values near 1 indicate convergence.
+    """
+    T = x.shape[0] - (x.shape[0] % 2)
+    half = T // 2
+    # Split each chain in two.
+    splits = jnp.concatenate([x[:half], x[half:T]], axis=1)  # (half, 2C, ...)
+    chain_means = jnp.mean(splits, axis=0)
+    chain_vars = jnp.var(splits, axis=0, ddof=1)
+    W = jnp.mean(chain_vars, axis=0)
+    B = half * jnp.var(chain_means, axis=0, ddof=1)
+    var_hat = (half - 1) / half * W + B / half
+    return jnp.sqrt(var_hat / jnp.maximum(W, 1e-30))
