@@ -10,5 +10,6 @@ from vaemolsim_tpu.mcmc.engine import (  # noqa: F401
     MCMCState,
     make_mcmc_step,
     run_mcmc,
+    run_mcmc_checkpointed,
     vae_proposal_fns,
 )

@@ -137,6 +137,26 @@ def run_mcmc(step_fn: Callable[[MCMCState], MCMCState], state: MCMCState,
     return state, traj
 
 
+def run_mcmc_checkpointed(step_fn, state: MCMCState, n_steps: int,
+                          checkpoint_every: int, manager) -> MCMCState:
+    """Run in segments, checkpointing the full chain state (configs,
+    energies, PRNG key, acceptance stats) every ``checkpoint_every``
+    steps — the fault-tolerance capability of SURVEY.md §5.3.  Resume by
+    restoring the latest state from ``manager``
+    (train.CheckpointManager) and calling again with the remaining steps.
+    """
+    done = 0
+    run = jax.jit(lambda s, n: run_mcmc(step_fn, s, n)[0],
+                  static_argnums=1)
+    while done < n_steps:
+        seg = min(checkpoint_every, n_steps - done)
+        state = run(state, seg)
+        done += seg
+        jax.block_until_ready(state.configs)
+        manager.save(done, state)
+    return state
+
+
 def vae_proposal_fns(vae, train: bool = False):
     """Standard wiring of a trained ``models.VAE`` into the engine."""
     from vaemolsim_tpu.ops import distributions as dl
