@@ -27,7 +27,7 @@ train-time density is parallel, generation is scanned.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,10 +11,10 @@ TPU-native layout).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
-import jax.numpy as jnp
+
 from flax import struct
 
 from vaemolsim_tpu.nn.attention import LocalParticleDescriptors

@@ -19,11 +19,11 @@ from typing import Any, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 from flax import struct
 
 from vaemolsim_tpu import losses as loss_lib
-from vaemolsim_tpu.dists.layers import FlowedDistribution, StaticFlowedDistribution
+from vaemolsim_tpu.dists.layers import StaticFlowedDistribution
 from vaemolsim_tpu.nn.mappings import FCDeepNN
 from vaemolsim_tpu.ops import distributions as dl
 

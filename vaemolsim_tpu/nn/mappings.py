@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from vaemolsim_tpu.nn.core import BatchNorm, Dense, resolve_activation
+from vaemolsim_tpu.nn.core import BatchNorm, Dense
 
 Array = jax.Array
 
