@@ -91,16 +91,27 @@ class SplineConditioner:
             bin_max=float(bin_range[1]), num_bins=num_bins)
 
     def __call__(self, x: Array) -> RationalQuadraticSpline:
+        from vaemolsim_tpu.ops.fused_mlp import fused_dense_stack
         if x.shape[-1] == 0:
             x = jnp.ones(x.shape[:-1] + (1,), x.dtype)
-        h = self.trunk(x)
-        shp = h.shape[:-1] + (self.data_dim, self.num_bins)
-        w = _bin_positions(self.w_head(h).reshape(shp), self.bin_min,
-                           self.bin_max, self.num_bins)
-        hh = _bin_positions(self.h_head(h).reshape(shp), self.bin_min,
-                            self.bin_max, self.num_bins)
-        s = _slopes(self.s_head(h).reshape(
-            h.shape[:-1] + (self.data_dim, self.num_bins - 1)))
+        # Trunk + all three heads as one fused two-layer stack (heads are
+        # independent linear maps of the same hidden state, so their
+        # kernels concatenate along the output axis).
+        head_k = jnp.concatenate([self.w_head.kernel, self.h_head.kernel,
+                                  self.s_head.kernel], axis=-1)
+        head_b = jnp.concatenate([self.w_head.bias, self.h_head.bias,
+                                  self.s_head.bias], axis=-1)
+        out = fused_dense_stack(x, [self.trunk.kernel, head_k],
+                                [self.trunk.bias, head_b],
+                                [self.trunk.activation, None])
+        D, K = self.data_dim, self.num_bins
+        raw_w = out[..., :D * K]
+        raw_h = out[..., D * K:2 * D * K]
+        raw_s = out[..., 2 * D * K:]
+        shp = out.shape[:-1] + (D, K)
+        w = _bin_positions(raw_w.reshape(shp), self.bin_min, self.bin_max, K)
+        hh = _bin_positions(raw_h.reshape(shp), self.bin_min, self.bin_max, K)
+        s = _slopes(raw_s.reshape(out.shape[:-1] + (D, K - 1)))
         return RationalQuadraticSpline(w, hh, s, range_min=self.bin_min)
 
 

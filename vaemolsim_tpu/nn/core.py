@@ -336,13 +336,11 @@ class MADE:
             raise ValueError(
                 "This MADE network is conditional; conditional_input is "
                 "required (mirrors reference flows.py conditional contract).")
-        act = resolve_activation(self.activation)
-        h = x
+        from vaemolsim_tpu.ops.fused_mlp import fused_dense_stack
         n = len(self.kernels)
-        for i in range(n):
-            h = h @ (self.kernels[i] * self.masks[i]) + self.biases[i]
-            if self.conditional:
-                h = h + conditional_input @ self.cond_kernels[i]
-            if i < n - 1:
-                h = act(h)
+        masked = [self.kernels[i] * self.masks[i] for i in range(n)]
+        acts = [self.activation] * (n - 1) + [None]
+        h = fused_dense_stack(x, masked, self.biases, acts,
+                              cond=conditional_input,
+                              cond_kernels=self.cond_kernels)
         return h.reshape(h.shape[:-1] + (self.event_size, self.params_per_dim))

@@ -109,15 +109,23 @@ class FCDeepNN:
         batch = x.shape[: x.ndim - self.event_ndims]
         flat = x.reshape(batch + (-1,))
         h = self._expand_periodic(flat)
+        if not self.batch_norm:
+            # Whole trunk + head as one fused stack (VMEM-resident
+            # intermediates on TPU; plain XLA elsewhere).
+            from vaemolsim_tpu.ops.fused_mlp import fused_dense_stack
+            kernels = [l.kernel for l in self.layers] + [self.head.kernel]
+            biases = [l.bias for l in self.layers] + [self.head.bias]
+            acts = [l.activation for l in self.layers] + [None]
+            out = fused_dense_stack(h, kernels, biases, acts)
+            return out.reshape(batch + self.target_shape), ()
         new_bns = []
         for i, layer in enumerate(self.layers):
             h = layer(h)
-            if self.batch_norm:
-                if update:
-                    h, nb = self.bns[i].call_and_update(h, train)
-                    new_bns.append(nb)
-                else:
-                    h = self.bns[i](h, train)
+            if update:
+                h, nb = self.bns[i].call_and_update(h, train)
+                new_bns.append(nb)
+            else:
+                h = self.bns[i](h, train)
         out = self.head(h).reshape(batch + self.target_shape)
         return out, tuple(new_bns)
 
