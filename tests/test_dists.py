@@ -44,6 +44,24 @@ class TestParamTransforms:
         assert float(conc[0, 0]) <= np.sqrt(np.finfo(np.float32).max) / 2.0
         assert np.isfinite(float(layer(raw).log_prob(jnp.zeros((1, 1)))[0]))
 
+    def test_von_mises_mixture_family(self):
+        from vaemolsim_tpu.dists import register_von_mises_mixture
+        fam = register_von_mises_mixture(3)
+        layer = IndependentBlockwise.create(2, [fam, "normal"])
+        assert layer.params_size() == 4 * 3 + 2
+        raw = jax.random.normal(jax.random.PRNGKey(0), (6, 14))
+        dist = layer(raw)
+        x = dist.sample(jax.random.PRNGKey(1))
+        assert x.shape == (6, 2)
+        assert jnp.all(jnp.abs(x[:, 0]) <= math.pi)
+        assert jnp.isfinite(dist.log_prob(x)).all()
+        # Mixture normalizes over [-pi, pi].
+        grid = jnp.linspace(-math.pi, math.pi, 4001)
+        from vaemolsim_tpu.dists import build_family_dist
+        single = build_family_dist(fam, raw[:1, None, :12])
+        p = jnp.exp(single.log_prob(grid[:, None, None]))[:, 0, 0]
+        np.testing.assert_allclose(jnp.trapezoid(p, grid), 1.0, rtol=1e-3)
+
     def test_register_family_extension(self):
         register_family("unit_uniform", 0,
                         lambda r: d.Uniform(low=jnp.zeros(r.shape[:-1]),

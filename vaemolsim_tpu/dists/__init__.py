@@ -16,4 +16,5 @@ from vaemolsim_tpu.dists.layers import (  # noqa: F401
     build_family_dist,
     family_param_count,
     register_family,
+    register_von_mises_mixture,
 )

@@ -39,6 +39,7 @@ __all__ = [
     "register_family",
     "family_param_count",
     "build_family_dist",
+    "register_von_mises_mixture",
     "IndependentBlockwise",
     "AutoregressiveBlockwise",
     "AutoregressiveBlockwiseDistribution",
@@ -64,6 +65,34 @@ def _von_mises_from_raw(raw: Array) -> dl.VonMises:
     loc = jnp.arctan2(raw[..., 0], raw[..., 1])
     conc = _vm_softclip.forward(raw[..., 2])
     return dl.VonMises(loc=loc, concentration=conc)
+
+
+def _von_mises_mixture_from_raw(n_components: int):
+    """Per-DOF von Mises mixture (BASELINE config 3: periodic von-Mises
+    mixture heads).  Raw layout per component: (sin, cos, raw_conc) then
+    n mixing logits => 4*n params per DOF."""
+
+    def build(raw: Array) -> dl.MixtureSameFamily:
+        n = n_components
+        comp = raw[..., : 3 * n].reshape(raw.shape[:-1] + (n, 3))
+        loc = jnp.arctan2(comp[..., 0], comp[..., 1])
+        conc = _vm_softclip.forward(comp[..., 2])
+        logits = raw[..., 3 * n:]
+        return dl.MixtureSameFamily(
+            mixing_logits=logits,
+            components=dl.VonMises(loc=loc, concentration=conc))
+
+    return build
+
+
+def register_von_mises_mixture(n_components: int) -> str:
+    """Register (idempotently) and return the family name for a von Mises
+    mixture with ``n_components`` components per DOF."""
+    name = f"von_mises_mixture_{n_components}"
+    if name not in FAMILY_REGISTRY:
+        register_family(name, 4 * n_components,
+                        _von_mises_mixture_from_raw(n_components))
+    return name
 
 
 # Family name -> (param_count, raw (..., n, p) -> scalar dist batch (..., n)).
