@@ -72,12 +72,19 @@ def make_mcmc_step(encoder_fn: Callable[[Array], Any],
     def step(state: MCMCState) -> MCMCState:
         key, k1, k2, k3, k4 = jax.random.split(state.key, 5)
         x1, e1 = state.configs, state.energies
+        n_chains = x1.shape[0]
 
         # Forward proposal (reference mcmc.py:99-103).
         enc1 = encoder_fn(x1)
         z1, log_z1_given_x1 = enc1.sample_and_log_prob(k1)
         prior1 = prior_fn(z1)
-        z2, log_z2 = prior1.sample_and_log_prob(k2)
+        # A static/fixed prior has no chain axis of its own: draw one
+        # latent PER CHAIN (a shared draw would silently correlate every
+        # chain's move and bias the sampler).
+        if tuple(prior1.batch_shape) == ():
+            z2, log_z2 = prior1.sample_and_log_prob(k2, (n_chains,))
+        else:
+            z2, log_z2 = prior1.sample_and_log_prob(k2)
         dec2 = decoder_fn(z2)
         x2, log_x2_given_z2 = dec2.sample_and_log_prob(k3)
         forward_log_p = log_z1_given_x1 + log_z2 + log_x2_given_z2

@@ -107,7 +107,13 @@ def make_remc_step(encoder_fn: Callable[[Array], Any],
 
         enc1 = encoder_fn(x1)
         z1, log_z1_given_x1 = enc1.sample_and_log_prob(k1)
-        z2, log_z2 = prior_fn(z1).sample_and_log_prob(k2)
+        prior1 = prior_fn(z1)
+        # Per-(replica, chain) latent draws even for a static prior (see
+        # mcmc/engine.py: a shared draw biases the sampler).
+        if tuple(prior1.batch_shape) == ():
+            z2, log_z2 = prior1.sample_and_log_prob(k2, z1.shape[:-1])
+        else:
+            z2, log_z2 = prior1.sample_and_log_prob(k2)
         x2, log_x2_given_z2 = decoder_fn(z2).sample_and_log_prob(k3)
         forward_log_p = log_z1_given_x1 + log_z2 + log_x2_given_z2
 
