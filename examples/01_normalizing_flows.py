@@ -3,10 +3,13 @@
 Mirrors the reference workflow `examples/Using_Normalizing_Flows.ipynb`
 (100k samples, RQS-RealNVP, SURVEY.md §6 row 2) on the TPU-native stack.
 
-Run:  PYTHONPATH=. python examples/01_normalizing_flows.py [--full]
+Run:  python examples/01_normalizing_flows.py [--full]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -4,10 +4,13 @@ variant trained with a prior-only regularizer.
 Mirrors `examples/Training_VAEs_and_Decoders.ipynb` (10k samples, 2-D
 data -> 1-D latent; SURVEY.md §3.5) on the TPU-native stack.
 
-Run:  PYTHONPATH=. python examples/02_train_vae.py [--full]
+Run:  python examples/02_train_vae.py [--full]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -7,10 +7,13 @@ Mirrors `examples/MC_Moves_with_VAEs.ipynb` (10,000 parallel chains x
 energy-function convention inherited from the reference: it returns the
 LOG target density (-beta*U), see vaemolsim_tpu/mcmc/engine.py.
 
-Run:  PYTHONPATH=. python examples/03_mc_moves.py [--full]
+Run:  python examples/03_mc_moves.py [--full]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax

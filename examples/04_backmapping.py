@@ -8,10 +8,13 @@ geometry standing in for the notebook's MD trajectory (the real data
 pipeline needs openmm/mdtraj, which the reference also only pulls in via
 an optional conda env).
 
-Run:  PYTHONPATH=. python examples/04_backmapping.py [--full]
+Run:  python examples/04_backmapping.py [--full]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -8,10 +8,13 @@ replica recovers the full target.  The replica and chain axes are
 sharded over the mesh (single-chip here -> one-device mesh; the same
 code sharded over a pod rides ICI collectives).
 
-Run:  PYTHONPATH=. python examples/05_replica_exchange.py [--full]
+Run:  python examples/05_replica_exchange.py [--full]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax
