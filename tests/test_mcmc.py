@@ -167,6 +167,24 @@ class TestFullPipelineStatistics:
         frac = float(jnp.mean(chains > 0))
         assert 0.3 < frac < 0.7
 
+        # Same check with bfloat16 proposal nets (the bench's fast mode):
+        # MH remains exact because fwd/rev densities share the bf16 nets.
+        from vaemolsim_tpu.nn.core import set_compute_dtype
+        try:
+            set_compute_dtype(jnp.bfloat16)
+            state_bf = MCMCState.create(configs, log_target(configs),
+                                        jax.random.PRNGKey(7))
+            mcstep_bf = make_mcmc_step(enc_fn, pri_fn, dec_fn, log_target)
+            state_bf, _ = jax.jit(
+                lambda s: run_mcmc(mcstep_bf, s, 300))(state_bf)
+        finally:
+            set_compute_dtype(None)
+        chains_bf = state_bf.configs[:, 0]
+        np.testing.assert_allclose(float(jnp.mean(chains_bf)), 0.0,
+                                   atol=0.25)
+        np.testing.assert_allclose(float(jnp.std(chains_bf)), 1.616,
+                                   atol=0.25)
+
 
 class TestMCMCDriver:
     """Reference-style bookkeeping tests (test_mcmc.py:39-59) with a tiny

@@ -43,6 +43,29 @@ _ACTIVATIONS = {
 }
 
 
+_COMPUTE_DTYPE = None  # None = params' native dtype (float32)
+
+
+def set_compute_dtype(dtype) -> None:
+    """Set the matmul compute dtype for Dense/MADE stacks (e.g.
+    ``jnp.bfloat16`` on TPU: halves activation HBM traffic and uses
+    native MXU bf16).  Outputs are cast back to the input dtype, so
+    downstream distribution arithmetic stays float32.  ``None`` restores
+    full precision.
+
+    Note for MC proposals: running the proposal networks in bf16 leaves
+    Metropolis-Hastings *exact* — the proposal distribution is whatever
+    function the nets compute, and forward/reverse densities use the same
+    function — it only changes which (equally valid) proposal is used.
+    """
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = dtype
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE
+
+
 def resolve_activation(name) -> Callable[[Array], Array]:
     if callable(name):
         return name
@@ -96,7 +119,12 @@ class Dense:
                    activation=activation)
 
     def __call__(self, x: Array) -> Array:
-        y = x @ self.kernel + self.bias
+        cd = compute_dtype()
+        if cd is not None:
+            y = (x.astype(cd) @ self.kernel.astype(cd)).astype(x.dtype)
+            y = y + self.bias
+        else:
+            y = x @ self.kernel + self.bias
         return resolve_activation(self.activation)(y)
 
     @property

@@ -74,14 +74,29 @@ def dense_stack_xla(x: Array, kernels: Sequence[Array],
                     biases: Sequence[Array], activations: Sequence[Optional[str]],
                     cond: Optional[Array] = None,
                     cond_kernels: Optional[Sequence[Array]] = None) -> Array:
-    """Reference implementation (and gradient path)."""
-    h = x
+    """Reference implementation (and gradient path).
+
+    Honors ``nn.core.set_compute_dtype``: with e.g. bfloat16, the entire
+    stack (weights AND hidden activations) runs in that dtype and only
+    the final output is cast back — halving the dominant activation HBM
+    traffic on TPU.
+    """
+    from vaemolsim_tpu.nn.core import compute_dtype
+    cd = compute_dtype()
+    out_dtype = x.dtype
+    h = x if cd is None else x.astype(cd)
+    if cond is not None and cd is not None:
+        cond = cond.astype(cd)
+
+    def cast(w):
+        return w if cd is None else w.astype(cd)
+
     for i, (W, b) in enumerate(zip(kernels, biases)):
-        h = h @ W + b
+        h = h @ cast(W) + cast(b)
         if cond is not None and cond_kernels is not None:
-            h = h + cond @ cond_kernels[i]
+            h = h + cond @ cast(cond_kernels[i])
         h = _apply_act(h, activations[i])
-    return h
+    return h if cd is None else h.astype(out_dtype)
 
 
 def _stack_kernel(*refs, n_layers: int, activations, has_cond: bool):
