@@ -1,0 +1,4 @@
+"""Data pipeline: native trajectory IO (SURVEY.md §2.2 — the reference
+reads MD data through optional external tooling; this is first-party)."""
+
+from vaemolsim_tpu.data.dcd import DCDReader, write_dcd  # noqa: F401
