@@ -32,7 +32,6 @@ from vaemolsim_tpu.data import DCDReader, write_dcd
 from vaemolsim_tpu.dists import FlowedDistribution, IndependentBlockwise
 from vaemolsim_tpu.flows import RQSSplineMAF
 from vaemolsim_tpu.models import FlowModel
-from vaemolsim_tpu.ops import distributions as d
 from vaemolsim_tpu.train import fit
 
 FULL = "--full" in sys.argv
