@@ -38,11 +38,12 @@ def _probe_tpu_alive(timeout_s: int = 240) -> bool:
 
 def main():
     import os
+    import sys
     if not _probe_tpu_alive():
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
-        print('{"note": "TPU tunnel unresponsive; benching on CPU"}',
+        print("TPU tunnel unresponsive; benching on CPU", file=sys.stderr,
               flush=True)
     import jax
     import jax.numpy as jnp
