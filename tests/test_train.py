@@ -109,3 +109,40 @@ class TestProfiling:
         f = jax.jit(lambda x: x * 2.0)
         dt = benchmark_fn(f, jnp.ones(16), warmup=1, iters=3)
         assert dt > 0
+
+
+class TestSanitizers:
+
+    def test_checked_passes_clean_fn(self):
+        from vaemolsim_tpu.utils import checked
+        f = checked(lambda x: jnp.log(x) + 1.0)
+        out = f(jnp.array([1.0, 2.0]))
+        assert jnp.all(jnp.isfinite(out))
+
+    def test_checked_catches_nan(self):
+        from jax.experimental import checkify
+        from vaemolsim_tpu.utils import checked
+        f = checked(lambda x: jnp.log(x))  # log(-1) -> NaN
+        with pytest.raises(checkify.JaxRuntimeError):
+            f(jnp.array([-1.0]))
+
+    def test_checked_mcmc_step(self):
+        # The full MC step passes the NaN/Inf sanitizer.
+        from vaemolsim_tpu.mcmc import MCMCState, make_mcmc_step
+        from vaemolsim_tpu.ops import distributions as d
+        from vaemolsim_tpu.utils import checked
+
+        def enc(x):
+            z = jnp.zeros(x.shape[:-1] + (1,))
+            return d.Independent(d.Normal(z, jnp.ones_like(z)), 1)
+
+        def dec(z):
+            l = jnp.zeros(z.shape[:-1] + (2,))
+            return d.Independent(d.Normal(l, jnp.ones_like(l)), 1)
+
+        target = lambda x: -0.5 * jnp.sum(x ** 2, -1)
+        step = make_mcmc_step(enc, enc, dec, target)
+        st = MCMCState.create(jnp.zeros((8, 2)), target(jnp.zeros((8, 2))),
+                              jax.random.PRNGKey(0))
+        out = checked(step)(st)
+        assert jnp.all(jnp.isfinite(out.energies))
