@@ -202,6 +202,28 @@ class TestVAE:
         s = vae.sample(jax.random.PRNGKey(1), batch_shape=(17,))
         assert s.shape == (17, 2)
 
+    def test_iwae_bound_tighter_than_elbo(self):
+        vae = make_vae(jax.random.PRNGKey(0))
+        data = toy_data(256)
+        key = jax.random.PRNGKey(5)
+        neg_elbo = float(jnp.mean(jax.vmap(
+            lambda k: vae.elbo_loss(data, k, train=False)[0])(
+            jax.random.split(key, 16))))
+        neg_iwae = float(vae.iwae_loss(data, key, n_samples=16,
+                                       train=False))
+        # IWAE bound is tighter: -IWAE >= -ELBO, i.e. loss is <=.
+        assert neg_iwae <= neg_elbo + 0.05
+
+    def test_iwae_trains(self):
+        vae = make_vae(jax.random.PRNGKey(0))
+        data = toy_data(128)
+
+        def loss_fn(m, batch):
+            return m.iwae_loss(batch, jax.random.PRNGKey(3), n_samples=4)
+
+        vae, l0, l1 = fit(vae, loss_fn, data, steps=20)
+        assert np.isfinite(l1) and l1 < l0
+
     def test_output_struct(self):
         vae = make_vae(jax.random.PRNGKey(0))
         out = vae(toy_data(8), jax.random.PRNGKey(1))

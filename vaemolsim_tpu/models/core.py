@@ -185,6 +185,28 @@ class VAE:
                        "kl_div": out.kl_div,
                        "regularizer_loss": out.regularizer_loss}
 
+    def iwae_loss(self, inputs: Array, key: Array, n_samples: int = 8,
+                  train: bool = True) -> Array:
+        """Importance-weighted (IWAE) negative bound with ``n_samples``
+        posterior draws — a tighter likelihood bound than the single-
+        sample ELBO (extension beyond the reference; Burda et al. 2016).
+        Requires a reparameterized encoder and prior/decoder log-probs
+        (all satisfied by the framework's distributions)."""
+        k_enc = jax.random.split(key, n_samples)
+
+        def one_sample(k):
+            encode_dist = self.encoder(inputs, train=train)
+            z = encode_dist.sample(k)
+            prior_dist = self._prior_dist(z, train)
+            decode_dist = self.decoder(z, train=train)
+            return (decode_dist.log_prob(inputs) + prior_dist.log_prob(z)
+                    - encode_dist.log_prob(z))
+
+        log_w = jax.vmap(one_sample)(k_enc)  # (K, batch)
+        bound = (jax.scipy.special.logsumexp(log_w, axis=0)
+                 - jnp.log(float(n_samples)))
+        return -jnp.mean(bound)
+
     def sample(self, key: Array, batch_shape: Tuple[int, ...] = (),
                train: bool = False) -> Array:
         """Generate by sampling the prior then the decoder (reference
