@@ -76,3 +76,11 @@ class TestCheckpointedRun:
                                         checkpoint_every=2, manager=mgr)
         np.testing.assert_allclose(resumed.configs, final.configs, atol=1e-6)
         mgr.close()
+
+
+def test_distance_selection_config_builds():
+    sel = cfg.DistanceSelectionConfig(cutoff=2.5, max_included=4,
+                                      box_lengths=[10.0, 10.0, 10.0]).build()
+    coords = jnp.array([[[9.5, 0, 0], [1.0, 0, 0]]])
+    out, mask, _ = sel(coords, jnp.zeros((1, 3)))
+    np.testing.assert_allclose(out[0, 0], [-0.5, 0, 0], atol=1e-6)

@@ -126,3 +126,20 @@ class TestReplicaExchange:
         final = jax.jit(lambda s: run_remc(step, s, 40))(state)
         assert jnp.all(jnp.isfinite(final.energies))
         assert float(final.num_swap_trials) > 0
+
+
+class TestShardingUtils:
+
+    def test_replicate_params(self):
+        from vaemolsim_tpu.parallel import make_mesh, replicate
+        mesh = make_mesh()
+        tree = {"w": jnp.ones((4, 4)), "b": jnp.zeros(4)}
+        rep = jax.tree_util.tree_map(lambda x: x, replicate(tree, mesh))
+        for leaf in jax.tree_util.tree_leaves(rep):
+            assert leaf.sharding.is_fully_replicated
+
+    def test_chain_sharding_2d(self):
+        from vaemolsim_tpu.parallel import chain_sharding, make_mesh
+        mesh = make_mesh({"replica": 4, "chain": -1})
+        s = chain_sharding(mesh, ndim=3, chain_axis=1, mesh_axis="chain")
+        assert s.spec == P(None, "chain", None)

@@ -146,3 +146,15 @@ class TestSanitizers:
                               jax.random.PRNGKey(0))
         out = checked(step)(st)
         assert jnp.all(jnp.isfinite(out.energies))
+
+
+class TestTraceSmoke:
+
+    def test_profiler_trace_writes(self, tmp_path):
+        from vaemolsim_tpu.utils import trace
+        logdir = str(tmp_path / "prof")
+        with trace(logdir):
+            x = jnp.ones((64, 64))
+            jax.block_until_ready(x @ x)
+        import os
+        assert any(os.scandir(logdir))
