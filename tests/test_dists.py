@@ -143,6 +143,37 @@ class TestAutoregressiveBlockwise:
         assert lp.shape == (6,)
         assert jnp.isfinite(lp).all()
 
+    def test_samples_respect_own_conditionals(self):
+        # The returned joint must satisfy the model's own autoregressive
+        # conditionals (regression for the fresh-key-per-pass bug where
+        # DOF j was conditioned on STALE parent draws).  Implant weights
+        # so the child DOF's loc depends strongly on its parent:
+        # loc(child) = 5 * tanh(2 * parent).
+        layer = AutoregressiveBlockwise.create(
+            jax.random.PRNGKey(3), 2, "normal",
+            auto_net_params={"hidden_units": [1]})
+        made = layer.made
+        deg = np.asarray(made.input_order_static)
+        parent = int(np.argmin(deg))
+        child = int(np.argmax(deg))
+        k0 = jnp.zeros_like(made.kernels[0]).at[parent, 0].set(2.0)
+        # Output layout: (D * params_per_dim); child's loc column:
+        loc_col = child * made.params_per_dim + 0
+        k1 = jnp.zeros_like(made.kernels[1]).at[0, loc_col].set(5.0)
+        made = made.replace(kernels=(k0, k1),
+                            biases=(jnp.zeros_like(made.biases[0]),
+                                    jnp.zeros_like(made.biases[1])))
+        layer = layer.replace(made=made)
+
+        raw = jnp.zeros((4000, 2, 2))
+        dist = layer(raw)
+        s = dist.sample(jax.random.PRNGKey(5))
+        target = 5.0 * jnp.tanh(2.0 * s[:, parent])
+        corr = float(jnp.corrcoef(s[:, child], target)[0, 1])
+        assert corr > 0.9, f"child does not track its conditional: {corr}"
+        # And the joint's own log-prob of its samples stays sane.
+        assert float(jnp.mean(dist.log_prob(s))) > -6.0
+
     def test_autoregressive_shift_matters(self):
         layer = self._layer()
         raw = jnp.zeros((1, 3, 3))

@@ -42,10 +42,19 @@ class RQSParams:
     conditional: bool = False
     conditional_event_shape: Optional[int] = None
 
-    def asdict(self) -> Dict[str, Any]:
+    def asdict(self, coupling: bool = False) -> Dict[str, Any]:
+        """kwargs for the conditioner factories.  ``coupling=True`` targets
+        SplineConditioner (RealNVP), which has no conditional machinery
+        (the reference's RealNVP is never conditional, flows.py:274)."""
         d = dataclasses.asdict(self)
         d["bin_range"] = list(self.bin_range)
-        if not self.conditional:
+        if coupling:
+            if self.conditional:
+                raise ValueError("RealNVP coupling flows are never "
+                                 "conditional (reference flows.py:274)")
+            d.pop("conditional")
+            d.pop("conditional_event_shape")
+        elif not self.conditional:
             d.pop("conditional_event_shape")
         return d
 
@@ -61,9 +70,10 @@ class RealNVPConfig:
 
     def build(self, key: jax.Array):
         from vaemolsim_tpu.flows import RQSSplineRealNVP
-        return RQSSplineRealNVP.create(key, self.data_dim, self.num_blocks,
-                                       rqs_params=self.rqs.asdict(),
-                                       batch_norm=self.batch_norm)
+        return RQSSplineRealNVP.create(
+            key, self.data_dim, self.num_blocks,
+            rqs_params=self.rqs.asdict(coupling=True),
+            batch_norm=self.batch_norm)
 
 
 @dataclass

@@ -27,7 +27,7 @@ train-time density is parallel, generation is scanned.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,12 +67,15 @@ class JointBackmappingDistribution(dl.Distribution):
     def event_shape(self):
         return (self.cg_coords.shape[-2], self.layer.dofs_per_residue)
 
-    def _contexts(self, x: Array) -> Array:
-        """Per-residue conditioning context, causal in x: (B, R, C)."""
+    def _env_contexts(self) -> Array:
+        """x-independent CG-environment embedding per residue: (B, R, E).
+        (Computed once per density/sampling call — it is the dominant
+        O(R * max_included^2) attention cost and does not depend on the
+        decoded coordinates.)"""
         lay = self.layer
         B, R, _ = self.cg_coords.shape
-        # CG environment embedding per residue site: fold R into batch
-        # (every residue sees the full CG cloud relative to its own site).
+        # Fold R into batch: every residue sees the full CG cloud
+        # relative to its own site.
         coords_flat = jnp.broadcast_to(
             self.cg_coords[:, None], (B, R, R, 3)).reshape(B * R, R, 3)
         info_flat = jnp.broadcast_to(
@@ -80,12 +83,19 @@ class JointBackmappingDistribution(dl.Distribution):
         ).reshape(B * R, R, self.cg_info.shape[-1])
         refs = self.cg_coords.reshape(B * R, 3)
         env = lay.cg_embed(coords_flat, refs, info_flat)  # (B*R, E)
-        env = env.reshape(B, R, -1)
+        return env.reshape(B, R, -1)
 
-        # Causal summary of previously-decoded residues.
-        enc = lay.residue_encoder(x)  # (B, R, F)
-        prefix = jnp.einsum("rs,bsf->brf", _causal_mean_matrix(R), enc)
-        return jnp.concatenate([env, prefix], axis=-1)
+    def _prefix(self, x: Array) -> Array:
+        """Causal summary of previously-decoded residues: (B, R, F)."""
+        R = x.shape[-2]
+        enc = self.layer.residue_encoder(x)
+        return jnp.einsum("rs,bsf->brf", _causal_mean_matrix(R), enc)
+
+    def _contexts(self, x: Array, env: Optional[Array] = None) -> Array:
+        """Per-residue conditioning context, causal in x: (B, R, C)."""
+        if env is None:
+            env = self._env_contexts()
+        return jnp.concatenate([env, self._prefix(x)], axis=-1)
 
     def _residue_dist(self, context: Array):
         """Distribution over one residue block given its context; context
@@ -113,10 +123,11 @@ class JointBackmappingDistribution(dl.Distribution):
         D = self.layer.dofs_per_residue
         x0 = jnp.zeros((B, R, D))
         keys = jax.random.split(key, R)
+        env = self._env_contexts()  # hoisted: x-independent
 
         def body(x, inp):
             r, k = inp
-            ctx = self._contexts(x)  # causal: row r sees only rows < r
+            ctx = self._contexts(x, env)  # causal: row r sees rows < r
             ctx_r = jnp.take(ctx, r, axis=1)  # (B, C)
             x_r = self._residue_dist(ctx_r).sample(k)  # (B, D)
             x = jax.lax.dynamic_update_slice_in_dim(

@@ -259,12 +259,18 @@ class AutoregressiveBlockwiseDistribution(dl.Distribution):
         D = self.blockwise.num_dofs
         shape = tuple(sample_shape) + self.batch_shape + (D,)
         x0 = jnp.ones(shape, self.raw.dtype)
-        keys = jax.random.split(key, D)
 
-        def body(x, k):
-            return self._dist_at(x).sample(k), None
+        # The SAME key is reused for every refinement pass (as in
+        # tfp.distributions.Autoregressive): with fixed noise the loop is
+        # a fixed-point iteration — after k passes all DOFs of
+        # autoregressive depth <= k are final, so D passes converge and
+        # each DOF is drawn from its own conditional given the *returned*
+        # values of its parents.  Fresh per-step keys would leave DOF j
+        # conditioned on stale parent draws.
+        def body(x, _):
+            return self._dist_at(x).sample(key), None
 
-        x, _ = jax.lax.scan(body, x0, keys)
+        x, _ = jax.lax.scan(body, x0, None, length=D)
         return x
 
 

@@ -188,6 +188,11 @@ class _FlowMixin:
             raise ValueError(
                 "This flow is conditional; pass conditional_input= "
                 "(reference contract, vaemolsim/flows.py test coverage).")
+        if not self.conditional and conditional_input is not None:
+            raise ValueError(
+                "conditional_input passed to a non-conditional flow; "
+                "set conditional=True in rqs_params (silently ignoring "
+                "the context would train an unconditioned model).")
         chain = self.as_bijector(train)
         if isinstance(inputs, dist_lib.Distribution):
             return dist_lib.TransformedDistribution(

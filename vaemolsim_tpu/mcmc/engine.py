@@ -203,6 +203,8 @@ class MCMC:
 
     @property
     def acceptance_rate(self) -> float:
+        if self._num_trials == 0:
+            return float("nan")  # matches MCMCState's 0/0 semantics
         return float(self._num_acc / self._num_trials)
 
     def reset(self, random_seed: Optional[int] = None) -> None:

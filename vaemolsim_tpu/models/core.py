@@ -193,9 +193,11 @@ class VAE:
         Requires a reparameterized encoder and prior/decoder log-probs
         (all satisfied by the framework's distributions)."""
         k_enc = jax.random.split(key, n_samples)
+        # The encoder depends only on the inputs: run it once and vmap
+        # only the sampling/decoding over the importance draws.
+        encode_dist = self.encoder(inputs, train=train)
 
         def one_sample(k):
-            encode_dist = self.encoder(inputs, train=train)
             z = encode_dist.sample(k)
             prior_dist = self._prior_dist(z, train)
             decode_dist = self.decoder(z, train=train)

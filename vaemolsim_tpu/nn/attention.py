@@ -149,6 +149,11 @@ class VectorAttention:
             flat = scores.reshape(scores.shape[:-2] + (N * N,))
             alpha = jax.nn.softmax(flat, axis=-1).reshape(scores.shape)
             out = jnp.einsum("...ij,...ijf->...f", alpha, vals)
+            if mask is not None:
+                # A fully-masked cloud would softmax uniform weights over
+                # padding rows; emit a consistent zero embedding instead.
+                any_valid = jnp.any(mask, axis=-1)
+                out = jnp.where(any_valid[..., None], out, 0.0)
             return out
         alpha = jax.nn.softmax(scores, axis=-1)  # over j
         if mask is not None:

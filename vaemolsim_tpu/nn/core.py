@@ -364,6 +364,11 @@ class MADE:
             raise ValueError(
                 "This MADE network is conditional; conditional_input is "
                 "required (mirrors reference flows.py conditional contract).")
+        if not self.conditional and conditional_input is not None:
+            raise ValueError(
+                "conditional_input passed to a non-conditional MADE; "
+                "build it with conditional=True (silently ignoring the "
+                "context would train an unconditioned model).")
         from vaemolsim_tpu.ops.fused_mlp import fused_dense_stack
         n = len(self.kernels)
         masked = [self.kernels[i] * self.masks[i] for i in range(n)]

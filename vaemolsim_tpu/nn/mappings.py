@@ -260,7 +260,8 @@ class DistanceSelection:
         box = box_lengths if box_lengths is not None else self.box_lengths
         if box is not None:
             box = jnp.asarray(box)
-            if box.ndim == diff.ndim - 2:
+            # (3,) or (B, 3) -> broadcast over the particle axis.
+            if box.ndim < diff.ndim:
                 box = box[..., None, :]
             diff = diff - box * jnp.round(diff / box)
         d2 = jnp.sum(diff * diff, axis=-1)
