@@ -84,3 +84,20 @@ def test_distance_selection_config_builds():
     coords = jnp.array([[[9.5, 0, 0], [1.0, 0, 0]]])
     out, mask, _ = sel(coords, jnp.zeros((1, 3)))
     np.testing.assert_allclose(out[0, 0], [-0.5, 0, 0], atol=1e-6)
+
+
+def test_realnvp_config_builds():
+    c = cfg.RealNVPConfig(data_dim=2, num_blocks=2,
+                          rqs=cfg.RQSParams(num_bins=8, hidden_dim=16))
+    flow = c.build(jax.random.PRNGKey(0))
+    x = jnp.ones((3, 2))
+    y = flow(x)
+    assert y.shape == (3, 2)
+
+
+def test_realnvp_config_rejects_conditional():
+    c = cfg.RealNVPConfig(rqs=cfg.RQSParams(conditional=True,
+                                            conditional_event_shape=4))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        c.build(jax.random.PRNGKey(0))
