@@ -20,9 +20,12 @@ __all__ = ["autocorrelation", "effective_sample_size", "potential_scale_reductio
 def autocorrelation(x: Array, max_lag: int = 100) -> Array:
     """Normalized autocorrelation over axis 0 (FFT-based).
 
-    x: (T, ...) -> (max_lag + 1, ...), rho[0] = 1.
+    x: (T, ...) -> (min(max_lag, T-1) + 1, ...), rho[0] = 1.  (Lags
+    beyond T-1 do not exist; requesting them returns the valid prefix
+    rather than zero-padding artifacts.)
     """
     T = x.shape[0]
+    max_lag = min(max_lag, T - 1)
     x = x - jnp.mean(x, axis=0, keepdims=True)
     n_fft = 1 << (2 * T - 1).bit_length()
     f = jnp.fft.rfft(x, n=n_fft, axis=0)
@@ -62,4 +65,10 @@ def potential_scale_reduction(x: Array) -> Array:
     W = jnp.mean(chain_vars, axis=0)
     B = half * jnp.var(chain_means, axis=0, ddof=1)
     var_hat = (half - 1) / half * W + B / half
-    return jnp.sqrt(var_hat / jnp.maximum(W, 1e-30))
+    rhat = jnp.sqrt(var_hat / jnp.maximum(W, 1e-30))
+    # Stuck chains (zero within-chain variance) must not read as
+    # "converged": identical constants -> NaN (no information),
+    # distinct constants -> +inf (definitely not mixed).
+    degenerate = W <= 1e-30
+    return jnp.where(degenerate,
+                     jnp.where(B <= 1e-30, jnp.nan, jnp.inf), rhat)

@@ -31,7 +31,7 @@ from flax import struct
 
 Array = jax.Array
 
-__all__ = ["MCMCState", "make_mcmc_step", "run_mcmc", "MCMC"]
+__all__ = ["MCMCState", "mh_propose", "make_mcmc_step", "run_mcmc", "MCMC"]
 
 
 @struct.dataclass
@@ -57,6 +57,51 @@ class MCMCState:
                    num_trials=jnp.asarray(0.0), num_acc=jnp.asarray(0.0))
 
 
+def mh_propose(encoder_fn: Callable[[Array], Any],
+               prior_fn: Callable[[Array], Any],
+               decoder_fn: Callable[[Array], Any],
+               log_target_fn: Callable[[Array], Array],
+               x1: Array, l1: Array, key: Array,
+               beta=1.0) -> Tuple[Array, Array, Array]:
+    """One VAE-proposed Metropolis-Hastings trial, shared by the plain
+    engine (beta=1) and the tempered replica-exchange kernel.
+
+    Returns ``(x2, l2, accept)`` where ``l2`` is the *untempered* log
+    target density at the proposal and ``accept`` the per-chain decision
+    with the tempered criterion
+    ``log_acc = beta*(l2 - l1) + reverse - forward``
+    (reference sign convention, vaemolsim/mcmc.py:116).
+    """
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    # Forward proposal (reference mcmc.py:99-103).
+    enc1 = encoder_fn(x1)
+    z1, log_z1_given_x1 = enc1.sample_and_log_prob(k1)
+    prior1 = prior_fn(z1)
+    # A static/fixed prior has no chain axis of its own: draw one latent
+    # PER CHAIN (a shared draw would silently correlate every chain's
+    # move and bias the sampler).
+    if tuple(prior1.batch_shape) == ():
+        z2, log_z2 = prior1.sample_and_log_prob(k2, z1.shape[:-1])
+    else:
+        z2, log_z2 = prior1.sample_and_log_prob(k2)
+    dec2 = decoder_fn(z2)
+    x2, log_x2_given_z2 = dec2.sample_and_log_prob(k3)
+    forward_log_p = log_z1_given_x1 + log_z2 + log_x2_given_z2
+
+    # Reverse proposal (reference mcmc.py:106-109).
+    log_z2_given_x2 = encoder_fn(x2).log_prob(z2)
+    log_z1 = prior_fn(z2).log_prob(z1)
+    log_x1_given_z1 = decoder_fn(z1).log_prob(x1)
+    reverse_log_p = log_z2_given_x2 + log_z1 + log_x1_given_z1
+
+    l2 = log_target_fn(x2)
+    log_acc = beta * (l2 - l1) + reverse_log_p - forward_log_p
+    log_u = jnp.log(jax.random.uniform(
+        k4, log_acc.shape, dtype=log_acc.dtype, minval=1e-38))
+    return x2, l2, log_acc >= log_u
+
+
 def make_mcmc_step(encoder_fn: Callable[[Array], Any],
                    prior_fn: Callable[[Array], Any],
                    decoder_fn: Callable[[Array], Any],
@@ -65,48 +110,17 @@ def make_mcmc_step(encoder_fn: Callable[[Array], Any],
     """Build the fused single-step kernel from distribution factories.
 
     Each ``*_fn`` maps a batched array to a distribution pytree (chains =
-    batch axis).  Use :func:`MCMC.from_vae` / ``vae_proposal_fns`` for the
-    standard VAE wiring.
+    batch axis).  Use ``vae_proposal_fns`` for the standard VAE wiring.
     """
 
     def step(state: MCMCState) -> MCMCState:
-        key, k1, k2, k3, k4 = jax.random.split(state.key, 5)
+        key, sub = jax.random.split(state.key)
         x1, e1 = state.configs, state.energies
-        n_chains = x1.shape[0]
-
-        # Forward proposal (reference mcmc.py:99-103).
-        enc1 = encoder_fn(x1)
-        z1, log_z1_given_x1 = enc1.sample_and_log_prob(k1)
-        prior1 = prior_fn(z1)
-        # A static/fixed prior has no chain axis of its own: draw one
-        # latent PER CHAIN (a shared draw would silently correlate every
-        # chain's move and bias the sampler).
-        if tuple(prior1.batch_shape) == ():
-            z2, log_z2 = prior1.sample_and_log_prob(k2, (n_chains,))
-        else:
-            z2, log_z2 = prior1.sample_and_log_prob(k2)
-        dec2 = decoder_fn(z2)
-        x2, log_x2_given_z2 = dec2.sample_and_log_prob(k3)
-        forward_log_p = log_z1_given_x1 + log_z2 + log_x2_given_z2
-
-        # Reverse proposal (reference mcmc.py:106-109).
-        log_z2_given_x2 = encoder_fn(x2).log_prob(z2)
-        log_z1 = prior_fn(z2).log_prob(z1)
-        log_x1_given_z1 = decoder_fn(z1).log_prob(x1)
-        reverse_log_p = log_z2_given_x2 + log_z1 + log_x1_given_z1
-
-        e2 = log_target_fn(x2)
-
-        # Metropolis acceptance (reference mcmc.py:116-121).
-        log_acc = e2 + reverse_log_p - e1 - forward_log_p
-        log_u = jnp.log(jax.random.uniform(
-            k4, log_acc.shape, dtype=log_acc.dtype, minval=1e-38))
-        accept = log_acc >= log_u
-
-        new_configs = jnp.where(accept[..., None], x2, x1)
-        new_energies = jnp.where(accept, e2, e1)
+        x2, e2, accept = mh_propose(encoder_fn, prior_fn, decoder_fn,
+                                    log_target_fn, x1, e1, sub)
         return MCMCState(
-            configs=new_configs, energies=new_energies, key=key,
+            configs=jnp.where(accept[..., None], x2, x1),
+            energies=jnp.where(accept, e2, e1), key=key,
             num_trials=state.num_trials + accept.size,
             num_acc=state.num_acc + jnp.sum(accept))
 
@@ -166,14 +180,12 @@ def run_mcmc_checkpointed(step_fn, state: MCMCState, n_steps: int,
 
 def vae_proposal_fns(vae, train: bool = False):
     """Standard wiring of a trained ``models.VAE`` into the engine."""
-    from vaemolsim_tpu.ops import distributions as dl
 
     def encoder_fn(x):
         return vae.encoder(x, train=train)
 
     def prior_fn(z):
-        if isinstance(vae.prior, dl.Distribution):
-            return vae.prior
+        # VAE._prior_dist already dispatches raw distributions vs layers.
         return vae._prior_dist(z, train)
 
     def decoder_fn(z):

@@ -102,32 +102,13 @@ def make_remc_step(encoder_fn: Callable[[Array], Any],
     """
 
     def mc_phase(state: REMCState) -> REMCState:
-        key, k1, k2, k3, k4 = jax.random.split(state.key, 5)
+        key, sub = jax.random.split(state.key)
         x1, l1 = state.configs, state.energies  # (R, C, D), (R, C)
-
-        enc1 = encoder_fn(x1)
-        z1, log_z1_given_x1 = enc1.sample_and_log_prob(k1)
-        prior1 = prior_fn(z1)
-        # Per-(replica, chain) latent draws even for a static prior (see
-        # mcmc/engine.py: a shared draw biases the sampler).
-        if tuple(prior1.batch_shape) == ():
-            z2, log_z2 = prior1.sample_and_log_prob(k2, z1.shape[:-1])
-        else:
-            z2, log_z2 = prior1.sample_and_log_prob(k2)
-        x2, log_x2_given_z2 = decoder_fn(z2).sample_and_log_prob(k3)
-        forward_log_p = log_z1_given_x1 + log_z2 + log_x2_given_z2
-
-        log_z2_given_x2 = encoder_fn(x2).log_prob(z2)
-        log_z1 = prior_fn(z2).log_prob(z1)
-        log_x1_given_z1 = decoder_fn(z1).log_prob(x1)
-        reverse_log_p = log_z2_given_x2 + log_z1 + log_x1_given_z1
-
-        l2 = log_target_fn(x2)
-        beta = state.betas[:, None]
-        log_acc = beta * (l2 - l1) + reverse_log_p - forward_log_p
-        log_u = jnp.log(jax.random.uniform(k4, log_acc.shape,
-                                           minval=1e-38))
-        accept = log_acc >= log_u
+        # Shared VAE-MH kernel (mcmc/engine.py), tempered per replica.
+        from vaemolsim_tpu.mcmc.engine import mh_propose
+        x2, l2, accept = mh_propose(encoder_fn, prior_fn, decoder_fn,
+                                    log_target_fn, x1, l1, sub,
+                                    beta=state.betas[:, None])
         return state.replace(
             configs=jnp.where(accept[..., None], x2, x1),
             energies=jnp.where(accept, l2, l1),
