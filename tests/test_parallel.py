@@ -106,6 +106,28 @@ class TestReplicaExchange:
         hot_std = float(jnp.std(final.configs[-1, :, 0]))
         assert hot_std > cold_std
 
+    def test_each_replica_targets_tempered_density(self):
+        # With a Gaussian target N(mu, s), replica r's stationary
+        # distribution is pi^beta = N(mu, s/sqrt(beta_r)) exactly; check
+        # the measured per-replica std against the analytic value.
+        target = d.Independent(d.Normal(jnp.full(1, 1.0),
+                                        jnp.full(1, 0.75)), 1)
+        enc, pri, dec = independence_fns(scale=3.0)
+        betas = temperature_ladder(3, beta_min=0.25)
+        step = make_remc_step(enc, pri, dec, target.log_prob,
+                              exchange_every=1_000_000)  # no swaps
+        configs = jnp.ones((3, 2048, 1))
+        state = REMCState.create(configs, target.log_prob, betas,
+                                 jax.random.PRNGKey(11))
+        final = jax.jit(lambda s: run_remc(step, s, 400))(state)
+        for r in range(3):
+            want = 0.75 / float(jnp.sqrt(betas[r]))
+            got = float(jnp.std(final.configs[r, :, 0]))
+            np.testing.assert_allclose(got, want, rtol=0.12,
+                                       err_msg=f"replica {r}")
+            np.testing.assert_allclose(
+                float(jnp.mean(final.configs[r, :, 0])), 1.0, atol=0.1)
+
     def test_energies_stay_consistent(self):
         target, step, state = self._setup()
         final = run_remc(step, state, 21)
