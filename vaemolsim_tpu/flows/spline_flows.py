@@ -317,14 +317,61 @@ class MaskedSplineConditioner:
     def conditional(self) -> bool:
         return self.w_net.conditional
 
+    def _merged_raw(self, x: Array,
+                    conditional_input: Optional[Array]) -> Tuple[Array, ...]:
+        """Evaluate the three MADEs as ONE block-diagonal masked net.
+
+        Exactly equivalent (the merged first layer stacks the three
+        hidden blocks side by side; the second layer is block-diagonal,
+        so no cross-talk), but 2 matmuls per conditioner eval instead of
+        6 — the weight assembly depends only on parameters, so XLA
+        hoists it out of the MCMC/scan loop (measured win on the
+        latency-bound 10k-chain workload).  Exactness is pinned by the
+        golden MAF log-prob tests.
+        """
+        nets = (self.w_net, self.h_net, self.s_net)
+        if any(len(n.kernels) != 2 for n in nets):
+            # Merged path assumes the standard single-hidden-layer MADEs
+            # (MaskedSplineConditioner.create always builds these); fall
+            # back to three separate evaluations otherwise.
+            return (self.w_net(x, conditional_input),
+                    self.h_net(x, conditional_input),
+                    self.s_net(x, conditional_input))
+        if self.w_net.conditional and conditional_input is None:
+            raise ValueError(
+                "This conditioner is conditional; conditional_input is "
+                "required (reference flows.py contract).")
+        if not self.w_net.conditional and conditional_input is not None:
+            raise ValueError(
+                "conditional_input passed to a non-conditional "
+                "conditioner; build with conditional=True.")
+        k1 = jnp.concatenate(
+            [n.kernels[0] * n.masks[0] for n in nets], axis=1)
+        b1 = jnp.concatenate([n.biases[0] for n in nets])
+        k2 = jax.scipy.linalg.block_diag(
+            *[n.kernels[1] * n.masks[1] for n in nets])
+        b2 = jnp.concatenate([n.biases[1] for n in nets])
+        h = jnp.tanh(x @ k1 + b1
+                     + (conditional_input @ jnp.concatenate(
+                         [n.cond_kernels[0] for n in nets], axis=1)
+                        if self.w_net.conditional else 0.0))
+        out = (h @ k2 + b2
+               + (conditional_input @ jnp.concatenate(
+                   [n.cond_kernels[1] for n in nets], axis=1)
+                  if self.w_net.conditional else 0.0))
+        D, K = self.w_net.event_size, self.num_bins
+        raw_w = out[..., : D * K].reshape(out.shape[:-1] + (D, K))
+        raw_h = out[..., D * K: 2 * D * K].reshape(out.shape[:-1] + (D, K))
+        raw_s = out[..., 2 * D * K:].reshape(out.shape[:-1] + (D, K - 1))
+        return raw_w, raw_h, raw_s
+
     def __call__(self, x: Array,
                  conditional_input: Optional[Array] = None
                  ) -> RationalQuadraticSpline:
-        w = _bin_positions(self.w_net(x, conditional_input), self.bin_min,
-                           self.bin_max, self.num_bins)
-        h = _bin_positions(self.h_net(x, conditional_input), self.bin_min,
-                           self.bin_max, self.num_bins)
-        s = _slopes(self.s_net(x, conditional_input))
+        raw_w, raw_h, raw_s = self._merged_raw(x, conditional_input)
+        w = _bin_positions(raw_w, self.bin_min, self.bin_max, self.num_bins)
+        h = _bin_positions(raw_h, self.bin_min, self.bin_max, self.num_bins)
+        s = _slopes(raw_s)
         return RationalQuadraticSpline(w, h, s, range_min=self.bin_min)
 
 
