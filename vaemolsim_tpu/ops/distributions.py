@@ -188,7 +188,15 @@ def _von_mises_sample_raw(key: Array, loc: Array, concentration: Array,
 
     key, sub = jax.random.split(key)
     init = (jnp.asarray(0), sub, jnp.zeros(shape, dtype), jnp.zeros(shape, bool))
-    _, _, theta, _ = jax.lax.while_loop(cond, body, init)
+    _, _, theta, done = jax.lax.while_loop(cond, body, init)
+
+    # Lanes (astronomically unlikely; acceptance >= ~0.66/round) that
+    # exhausted max_iters fall back to the large-kappa wrapped-normal
+    # approximation instead of returning the initial zero.
+    key, sub = jax.random.split(key)
+    approx = jax.random.normal(sub, shape, dtype) * jax.lax.rsqrt(safe_kappa)
+    approx = approx - _TWO_PI * jnp.round(approx / _TWO_PI)
+    theta = jnp.where(done, theta, approx)
 
     # Uniform fallback for tiny concentration.
     key, sub = jax.random.split(key)
