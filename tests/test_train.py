@@ -98,10 +98,10 @@ class TestProfiling:
     def test_step_timer(self):
         t = StepTimer()
         x = jnp.ones((128, 128))
-        with t.phase("matmul", block_on=None):
-            y = x @ x
-        with t.phase("matmul", block_on=y):
-            y = x @ x
+        with t.phase("matmul") as ph:
+            ph.result = x @ x
+        with t.phase("matmul") as ph:
+            ph.result = x @ x
         assert len(t.times["matmul"]) == 2
         assert t.summary()["matmul"] > 0
 
@@ -158,3 +158,64 @@ class TestTraceSmoke:
             jax.block_until_ready(x @ x)
         import os
         assert any(os.scandir(logdir))
+
+
+class TestReviewRegressions:
+
+    def test_fit_with_adamw(self):
+        # optimizer.update must receive params (adamw requires them).
+        import optax
+        from tests.test_train import make_flow as _mk  # self-import ok
+        flow = make_flow()
+        from vaemolsim_tpu.ops import distributions as d
+        base = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)
+        data = jnp.ones((64, 1))
+        flow, hist = fit(flow,
+                         lambda f, b, k: -jnp.mean(f(base).log_prob(b)),
+                         data, key=jax.random.PRNGKey(0), num_epochs=2,
+                         optimizer=optax.adamw(1e-3))
+        assert len(hist["loss"]) == 2
+
+    def test_fit_reserved_metric_keys(self):
+        # A 'loss' metric (as VAE.elbo_loss returns) must not double up
+        # the per-epoch history.
+        flow = make_flow()
+        from vaemolsim_tpu.ops import distributions as d
+        base = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)
+        data = jnp.ones((64, 1))
+
+        def loss_fn(f, b, k):
+            nll = -jnp.mean(f(base).log_prob(b))
+            return nll, {"loss": nll, "nll": nll}
+
+        flow, hist = fit(flow, loss_fn, data, key=jax.random.PRNGKey(0),
+                         num_epochs=3)
+        assert len(hist["loss"]) == 3
+        assert len(hist["nll"]) == 3
+
+    def test_config_from_dict_roundtrip_builds(self):
+        from vaemolsim_tpu import config as cfg
+        c = cfg.MAFConfig(data_dim=2, rqs=cfg.RQSParams(num_bins=8,
+                                                        hidden_dim=16))
+        c2 = cfg.from_dict(cfg.MAFConfig, cfg.to_dict(c))
+        flow = c2.build(jax.random.PRNGKey(0))
+        assert flow.data_dim == 2
+
+    def test_benchmark_fn_warmup_zero(self):
+        from vaemolsim_tpu.utils import benchmark_fn
+        f = jax.jit(lambda x: x + 1)
+        assert benchmark_fn(f, jnp.ones(4), warmup=0, iters=2) > 0
+
+    def test_assert_finite_noop_under_jit(self):
+        from vaemolsim_tpu.utils import assert_finite
+
+        @jax.jit
+        def f(x):
+            assert_finite(x, "x")
+            return x * 2
+
+        out = f(jnp.ones(3))
+        np.testing.assert_allclose(out, 2.0)
+        # Eager path still catches non-finite values.
+        with pytest.raises(AssertionError):
+            assert_finite(jnp.array([jnp.nan]), "bad")

@@ -27,8 +27,21 @@ def to_dict(cfg) -> Dict[str, Any]:
 
 
 def from_dict(cls, d: Dict[str, Any]):
-    names = {f.name for f in dataclasses.fields(cls)}
-    return cls(**{k: v for k, v in d.items() if k in names})
+    """Reconstruct a config (recursively rebuilding nested dataclass
+    fields such as ``rqs``) from a plain dict."""
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        ftype = f.type if not isinstance(f.type, str) else None
+        # Resolve string annotations against this module's globals.
+        if ftype is None:
+            ftype = globals().get(f.type, None)
+        if (dataclasses.is_dataclass(ftype) and isinstance(v, dict)):
+            v = from_dict(ftype, v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
 
 
 @dataclass

@@ -43,8 +43,15 @@ def _native_lib():
         "dcd_reader.cc")
     if not os.path.exists(src):
         return None
-    cache = os.path.join(tempfile.gettempdir(), "vaemolsim_tpu_native")
-    os.makedirs(cache, exist_ok=True)
+    # Per-user cache (a shared /tmp path would let another local user
+    # plant a malicious .so that we would dlopen).
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    cache = os.path.join(base, "vaemolsim_tpu")
+    try:
+        os.makedirs(cache, mode=0o700, exist_ok=True)
+    except OSError:
+        cache = tempfile.mkdtemp(prefix="vaemolsim_tpu_")
     so = os.path.join(cache, "libdcd.so")
     try:
         if (not os.path.exists(so)
@@ -74,10 +81,14 @@ class _NumpyDCD:
 
     def __init__(self, path: str):
         self._raw = np.fromfile(path, dtype=np.uint8)
-        len0 = self._raw[:4].view(np.uint32)[0]
-        self._bo = "<" if len0 == 84 else ">"
-        if len0 != 84 and int.from_bytes(self._raw[:4].tobytes(),
-                                         "big") != 84:
+        head = self._raw[:4].tobytes()
+        # Explicit-order probe (a native-order view would misdetect on
+        # big-endian hosts).
+        if int.from_bytes(head, "little") == 84:
+            self._bo = "<"
+        elif int.from_bytes(head, "big") == 84:
+            self._bo = ">"
+        else:
             raise ValueError(f"{path}: not a DCD file")
         hdr = self._raw[4:88]
         if hdr[:4].tobytes() != b"CORD":

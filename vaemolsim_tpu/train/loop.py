@@ -35,7 +35,9 @@ def make_train_step(loss_fn: Callable, optimizer) -> Callable:
 
         (loss, metrics), grads = jax.value_and_grad(
             wrapped, has_aux=True)(model)
-        updates, opt_state = optimizer.update(grads, opt_state)
+        # Pass params: required by optax transforms that use them
+        # (adamw / add_decayed_weights / lion), harmless otherwise.
+        updates, opt_state = optimizer.update(grads, opt_state, model)
         model = optax.apply_updates(model, updates)
         return model, opt_state, loss, metrics
 
@@ -77,13 +79,19 @@ def fit(model: Any, loss_fn: Callable, data: Array, *,
             key, k_step = jax.random.split(key)
             model, opt_state, loss, metrics = step(model, opt_state, batch,
                                                    k_step)
-            epoch_loss.append(float(loss))
+            # Keep device scalars; one host sync per epoch below (per-step
+            # float() would serialize JAX's async dispatch).
+            epoch_loss.append(loss)
             for name, v in metrics.items():
-                epoch_metrics.setdefault(name, []).append(float(v))
-        history["loss"].append(float(np.mean(epoch_loss)))
+                if name in ("loss", "epoch_time_s"):
+                    continue  # reserved history keys (e.g. elbo_loss's
+                    # own "loss" metric duplicates the total)
+                epoch_metrics.setdefault(name, []).append(v)
+        history["loss"].append(float(np.mean(jax.device_get(epoch_loss))))
         history["epoch_time_s"].append(time.perf_counter() - t0)
         for name, vals in epoch_metrics.items():
-            history.setdefault(name, []).append(float(np.mean(vals)))
+            history.setdefault(name, []).append(
+                float(np.mean(jax.device_get(vals))))
         if verbose:
             print(f"epoch {epoch}: loss {history['loss'][-1]:.4f} "
                   f"({history['epoch_time_s'][-1]:.2f}s)")

@@ -47,9 +47,20 @@ def checked(fn: Callable, *, jit: bool = True) -> Callable:
 
 
 def assert_finite(x, name: str = "value") -> None:
-    """Eager/traced finiteness guard (no-op inside jit unless checkify'd)."""
-    chex.assert_tree_all_finite(x)
+    """Finiteness guard for eager code; a true no-op under tracing (use
+    :func:`checked` to get in-jit value checks)."""
+    leaves = jax.tree_util.tree_leaves(x)
+    if any(isinstance(leaf, jax.core.Tracer) for leaf in leaves):
+        return
+    try:
+        chex.assert_tree_all_finite(x)
+    except AssertionError as e:
+        raise AssertionError(f"{name}: {e}") from None
 
 
 def assert_shape(x, shape, name: str = "value") -> None:
-    chex.assert_shape(x, shape)
+    """Static shape guard (works eagerly and under tracing)."""
+    try:
+        chex.assert_shape(x, shape)
+    except AssertionError as e:
+        raise AssertionError(f"{name}: {e}") from None

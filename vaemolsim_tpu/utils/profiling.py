@@ -28,24 +28,37 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
-class StepTimer:
-    """Named phase timer: ``with timer.phase("mc_step"): ...``.
+class _PhaseHandle:
+    """Set ``handle.result = <output>`` inside the phase so the timer can
+    fence on the work the body actually produced."""
 
-    Fences device work on phase exit so async dispatch does not hide
-    compute inside later phases.
+    result = None
+
+
+class StepTimer:
+    """Named phase timer with async-dispatch fencing::
+
+        with timer.phase("mc_step") as ph:
+            state = step(state)
+            ph.result = state      # fenced with block_until_ready on exit
+
+    Without setting ``ph.result`` the recorded time is dispatch-only
+    (JAX is asynchronous) — set it whenever the body launches device
+    work.
     """
 
     def __init__(self):
         self.times: Dict[str, List[float]] = {}
 
     @contextlib.contextmanager
-    def phase(self, name: str, block_on=None):
+    def phase(self, name: str):
+        handle = _PhaseHandle()
         t0 = time.perf_counter()
         try:
-            yield
+            yield handle
         finally:
-            if block_on is not None:
-                jax.block_until_ready(block_on)
+            if handle.result is not None:
+                jax.block_until_ready(handle.result)
             self.times.setdefault(name, []).append(
                 time.perf_counter() - t0)
 
@@ -58,7 +71,7 @@ class StepTimer:
 
 def benchmark_fn(fn, *args, warmup: int = 1, iters: int = 10) -> float:
     """Mean wall time per call of a jitted fn, with warmup + fencing."""
-    for _ in range(warmup):
+    for _ in range(max(warmup, 1)):
         out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
