@@ -77,6 +77,10 @@ class Distribution:
     def sample(self, key, sample_shape=()):  # pragma: no cover - abstract
         raise NotImplementedError
 
+    def mean(self):  # pragma: no cover - optional per family
+        raise NotImplementedError(
+            f"{type(self).__name__} does not define a closed-form mean")
+
     def log_prob(self, x):  # pragma: no cover - abstract
         raise NotImplementedError
 
@@ -113,6 +117,9 @@ class Normal(Distribution):
         eps = jax.random.normal(key, shape, dtype=jnp.result_type(self.loc))
         return self.loc + self.scale * eps
 
+    def mean(self) -> Array:
+        return jnp.broadcast_to(self.loc, self.batch_shape)
+
     def entropy(self) -> Array:
         return 0.5 * (1.0 + math.log(_TWO_PI)) + jnp.log(self.scale)
 
@@ -143,6 +150,10 @@ class Uniform(Distribution):
         shape = tuple(sample_shape) + self.batch_shape
         u = jax.random.uniform(key, shape, dtype=jnp.result_type(self.low))
         return self.low + u * (self.high - self.low)
+
+    def mean(self) -> Array:
+        return jnp.broadcast_to(0.5 * (self.low + self.high),
+                                self.batch_shape)
 
 
 def _von_mises_sample_raw(key: Array, loc: Array, concentration: Array,
@@ -292,6 +303,10 @@ class VonMises(Distribution):
         shape = tuple(sample_shape) + self.batch_shape
         return _von_mises_sample(key, self.loc, self.concentration, shape)
 
+    def mean(self) -> Array:
+        # Circular mean is the location parameter.
+        return jnp.broadcast_to(self.loc, self.batch_shape)
+
 
 @struct.dataclass
 class Beta(Distribution):
@@ -316,6 +331,12 @@ class Beta(Distribution):
         return jax.random.beta(key, self.concentration1, self.concentration0,
                                shape)
 
+    def mean(self) -> Array:
+        return jnp.broadcast_to(
+            self.concentration1 / (self.concentration1
+                                   + self.concentration0),
+            self.batch_shape)
+
 
 @struct.dataclass
 class Gamma(Distribution):
@@ -337,6 +358,10 @@ class Gamma(Distribution):
     def sample(self, key: Array, sample_shape: Tuple[int, ...] = ()) -> Array:
         shape = tuple(sample_shape) + self.batch_shape
         return jax.random.gamma(key, self.concentration, shape) / self.rate
+
+    def mean(self) -> Array:
+        return jnp.broadcast_to(self.concentration / self.rate,
+                                self.batch_shape)
 
 
 @struct.dataclass
@@ -363,6 +388,9 @@ class Deterministic(Distribution):
     def sample(self, key: Array, sample_shape: Tuple[int, ...] = ()) -> Array:
         del key
         return jnp.broadcast_to(self.loc, tuple(sample_shape) + self.batch_shape)
+
+    def mean(self) -> Array:
+        return jnp.broadcast_to(self.loc, self.batch_shape)
 
 
 @struct.dataclass
@@ -392,6 +420,9 @@ class Independent(Distribution):
 
     def sample(self, key: Array, sample_shape: Tuple[int, ...] = ()) -> Array:
         return self.base.sample(key, sample_shape)
+
+    def mean(self) -> Array:
+        return self.base.mean()
 
     def entropy(self) -> Array:
         return _reduce_last(self.base.entropy(), self.reinterpreted_batch_ndims)

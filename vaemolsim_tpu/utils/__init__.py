@@ -4,6 +4,7 @@ numerical sanitizers (§5.2)."""
 from vaemolsim_tpu.utils.profiling import (  # noqa: F401
     StepTimer,
     benchmark_fn,
+    count_params,
     trace,
 )
 from vaemolsim_tpu.utils.debug import (  # noqa: F401

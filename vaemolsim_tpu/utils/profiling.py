@@ -79,3 +79,12 @@ def benchmark_fn(fn, *args, warmup: int = 1, iters: int = 10) -> float:
         out = fn(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
+
+
+def count_params(tree) -> int:
+    """Total number of array elements in a model pytree — the summary
+    line the reference gets from Keras ``model.summary()``."""
+    import numpy as _np
+    return int(sum(_np.prod(leaf.shape)
+                   for leaf in jax.tree_util.tree_leaves(tree)
+                   if hasattr(leaf, "shape")))
