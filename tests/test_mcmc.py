@@ -254,3 +254,57 @@ class TestMCMCDriver:
         new_c, new_e = mc.run(configs, energies=energies, n_steps=3)
         np.testing.assert_allclose(new_e, self.quad_log_target(new_c),
                                    atol=1e-5)
+
+
+class TestMoveComposition:
+    """Mixed/cycled move kernels must preserve the target (new capability
+    beyond the reference's pure-VAE moves)."""
+
+    def _target(self):
+        return d.Independent(d.Normal(jnp.full(1, 1.0),
+                                      jnp.full(1, 0.75)), 1)
+
+    def test_random_walk_recovers_target(self):
+        from vaemolsim_tpu.mcmc import make_random_walk_step
+        target = self._target()
+        step = make_random_walk_step(target.log_prob, scale=0.8)
+        st = MCMCState.create(jnp.zeros((512, 1)),
+                              target.log_prob(jnp.zeros((512, 1))),
+                              jax.random.PRNGKey(0))
+        st, _ = jax.jit(lambda s: run_mcmc(step, s, 500))(st)
+        np.testing.assert_allclose(float(jnp.mean(st.configs)), 1.0,
+                                   atol=0.08)
+        np.testing.assert_allclose(float(jnp.std(st.configs)), 0.75,
+                                   atol=0.08)
+
+    def test_mixture_recovers_target(self):
+        from vaemolsim_tpu.mcmc import make_random_walk_step, mix_moves
+        target = self._target()
+        enc, pri, dec = _independence_sampler_fns()
+        vae_step = make_mcmc_step(enc, pri, dec, target.log_prob)
+        rw_step = make_random_walk_step(target.log_prob, scale=0.5)
+        step = mix_moves([vae_step, rw_step], [0.5, 0.5])
+        st = MCMCState.create(jnp.zeros((512, 1)),
+                              target.log_prob(jnp.zeros((512, 1))),
+                              jax.random.PRNGKey(1))
+        st, _ = jax.jit(lambda s: run_mcmc(step, s, 400))(st)
+        np.testing.assert_allclose(float(jnp.mean(st.configs)), 1.0,
+                                   atol=0.08)
+        np.testing.assert_allclose(float(jnp.std(st.configs)), 0.75,
+                                   atol=0.08)
+
+    def test_cycle_counts_both_trials(self):
+        from vaemolsim_tpu.mcmc import cycle_moves, make_random_walk_step
+        target = self._target()
+        rw = make_random_walk_step(target.log_prob, scale=0.5)
+        step = cycle_moves([rw, rw])
+        st = MCMCState.create(jnp.zeros((16, 1)),
+                              target.log_prob(jnp.zeros((16, 1))),
+                              jax.random.PRNGKey(2))
+        st, _ = run_mcmc(step, st, 3)
+        assert float(st.num_trials) == 16 * 3 * 2
+
+    def test_mix_validation(self):
+        from vaemolsim_tpu.mcmc import mix_moves
+        with pytest.raises(ValueError):
+            mix_moves([lambda s: s], [0.5, 0.5])

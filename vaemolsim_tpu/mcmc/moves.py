@@ -1,0 +1,87 @@
+"""Composable MC move sets: mix VAE proposals with local moves.
+
+Production MC rarely runs a single move type: large nonlocal VAE jumps
+(vaemolsim_tpu.mcmc.engine) mix best when alternated with cheap local
+random-walk moves that relax within a basin (the reference only offers
+pure VAE moves; this extends the capability).  All moves share the
+``step(MCMCState) -> MCMCState`` contract, so mixtures drop into
+``run_mcmc`` / checkpointing / sharding unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vaemolsim_tpu.mcmc.engine import MCMCState
+
+Array = jax.Array
+
+__all__ = ["make_random_walk_step", "mix_moves", "cycle_moves"]
+
+
+def make_random_walk_step(log_target_fn: Callable[[Array], Array],
+                          scale: float = 0.1
+                          ) -> Callable[[MCMCState], MCMCState]:
+    """Symmetric Gaussian random-walk Metropolis move (local relaxation).
+
+    ``log_target_fn`` uses the same convention as the engine (log target
+    density); the proposal is symmetric so only the target ratio enters.
+    """
+
+    def step(state: MCMCState) -> MCMCState:
+        key, k1, k2 = jax.random.split(state.key, 3)
+        x1, e1 = state.configs, state.energies
+        x2 = x1 + scale * jax.random.normal(k1, x1.shape, x1.dtype)
+        e2 = log_target_fn(x2)
+        log_u = jnp.log(jax.random.uniform(k2, e1.shape, dtype=e1.dtype,
+                                           minval=1e-38))
+        accept = (e2 - e1) >= log_u
+        return MCMCState(
+            configs=jnp.where(accept[..., None], x2, x1),
+            energies=jnp.where(accept, e2, e1), key=key,
+            num_trials=state.num_trials + accept.size,
+            num_acc=state.num_acc + jnp.sum(accept))
+
+    return step
+
+
+def mix_moves(steps: Sequence[Callable[[MCMCState], MCMCState]],
+              probs: Sequence[float]
+              ) -> Callable[[MCMCState], MCMCState]:
+    """Random mixture of move kernels: each step, one move type is chosen
+    with the given probabilities (a valid MCMC kernel — a probabilistic
+    mixture of detailed-balance kernels preserves the target).
+
+    Uses ``lax.switch``, so only the chosen branch's FLOPs... are
+    *scheduled*; all branches compile once.
+    """
+    if len(steps) != len(probs):
+        raise ValueError("one probability per move")
+    p = jnp.asarray(probs, jnp.float32)
+    p = p / jnp.sum(p)
+    logits = jnp.log(p)
+
+    def step(state: MCMCState) -> MCMCState:
+        key, k_choice = jax.random.split(state.key)
+        state = state.replace(key=key)
+        idx = jax.random.categorical(k_choice, logits)
+        return jax.lax.switch(idx, list(steps), state)
+
+    return step
+
+
+def cycle_moves(steps: Sequence[Callable[[MCMCState], MCMCState]]
+                ) -> Callable[[MCMCState], MCMCState]:
+    """Deterministic cycle of move kernels applied in sequence each step
+    (a composition of detailed-balance kernels also preserves the
+    target; e.g. one VAE jump followed by k local relaxations)."""
+
+    def step(state: MCMCState) -> MCMCState:
+        for s in steps:
+            state = s(state)
+        return state
+
+    return step
