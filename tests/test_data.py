@@ -79,3 +79,30 @@ class TestDCD:
             f.write(b"\x00" * 100)
         with pytest.raises(ValueError):
             DCDReader(bad, force_numpy=True)
+
+
+class TestXYZ:
+
+    def test_roundtrip(self, tmp_path):
+        from vaemolsim_tpu.data import read_xyz, write_xyz
+        rng = np.random.default_rng(1)
+        coords = rng.normal(size=(4, 6, 3)).astype(np.float32)
+        elems = ["C", "H", "H", "O", "N", "S"]
+        p = str(tmp_path / "t.xyz")
+        write_xyz(p, coords, elems)
+        got, gel = read_xyz(p)
+        np.testing.assert_allclose(got, coords, atol=1e-5)
+        assert gel == elems
+
+    def test_bad_frame_count_raises(self, tmp_path):
+        from vaemolsim_tpu.data import read_xyz
+        p = str(tmp_path / "bad.xyz")
+        with open(p, "w") as f:
+            f.write("2\nc\nC 0 0 0\nH 1 0 0\n3\nc\nC 0 0 0\n")
+        with pytest.raises(ValueError):
+            read_xyz(p)
+
+    def test_element_count_validation(self, tmp_path):
+        from vaemolsim_tpu.data import write_xyz
+        with pytest.raises(ValueError):
+            write_xyz(str(tmp_path / "x.xyz"), np.zeros((1, 3, 3)), ["C"])

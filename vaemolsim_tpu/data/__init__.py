@@ -2,3 +2,4 @@
 reads MD data through optional external tooling; this is first-party)."""
 
 from vaemolsim_tpu.data.dcd import DCDReader, write_dcd  # noqa: F401
+from vaemolsim_tpu.data.xyz import read_xyz, write_xyz  # noqa: F401
