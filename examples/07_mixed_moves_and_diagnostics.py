@@ -1,0 +1,99 @@
+"""Production-style sampling: train a VAE, mix its nonlocal proposals
+with local random-walk moves, and monitor convergence diagnostics.
+
+Demonstrates the capabilities beyond the reference: composable move
+kernels (mcmc.mix_moves), per-chain effective sample size, R-hat, and
+the bfloat16 proposal-net mode (MH stays exact).
+
+Run:  python examples/07_mixed_moves_and_diagnostics.py [--full]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from vaemolsim_tpu import losses
+from vaemolsim_tpu.dists import IndependentBlockwise, StaticFlowedDistribution
+from vaemolsim_tpu.flows import RQSSplineMAF
+from vaemolsim_tpu.mcmc import (MCMCState, effective_sample_size,
+                                make_mcmc_step, make_random_walk_step,
+                                mix_moves, potential_scale_reduction,
+                                run_mcmc, vae_proposal_fns)
+from vaemolsim_tpu.models import VAE, MappingToDistribution
+from vaemolsim_tpu.nn.core import set_compute_dtype
+from vaemolsim_tpu.ops import distributions as d
+from vaemolsim_tpu.train import fit
+
+FULL = "--full" in sys.argv
+N_CHAINS = 10_000 if FULL else 2_000
+STEPS = 100
+TRAIN_N = 8_192 if FULL else 4_096
+EPOCHS = 20 if FULL else 8
+
+
+def main():
+    set_compute_dtype(jnp.bfloat16)  # exact MH with bf16 proposal nets
+
+    target = d.MixtureSameFamily(
+        jnp.zeros(2), d.Normal(jnp.array([-2.0, 2.0]), 0.6 * jnp.ones(2)))
+
+    def log_target(x):
+        return target.log_prob(x[..., 0]) + target.log_prob(x[..., 1])
+
+    data = jnp.stack([target.sample(jax.random.PRNGKey(0), (TRAIN_N,)),
+                      target.sample(jax.random.PRNGKey(1), (TRAIN_N,))], -1)
+    keys = jax.random.split(jax.random.PRNGKey(2), 3)
+    vae = VAE(
+        encoder=MappingToDistribution.create(
+            keys[0], IndependentBlockwise.create(1, "normal"),
+            input_shape=2, mapping_kwargs={"hidden_dim": 50}),
+        decoder=MappingToDistribution.create(
+            keys[1], IndependentBlockwise.create(2, "normal"),
+            input_shape=1, mapping_kwargs={"hidden_dim": 50}),
+        prior=StaticFlowedDistribution(
+            flow=RQSSplineMAF.create(
+                keys[2], 1, num_blocks=2,
+                rqs_params={"num_bins": 32, "hidden_dim": 50,
+                            "bin_range": [-5.0, 5.0]}),
+            base=d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)),
+        regularizer=losses.KLDivergenceEstimate())
+    vae, hist = fit(vae, lambda m, b, k: m.elbo_loss(b, k), data,
+                    key=jax.random.PRNGKey(3), num_epochs=EPOCHS,
+                    batch_size=1024)
+    print(f"trained VAE, -ELBO {hist['loss'][-1]:.3f}")
+
+    # 70% nonlocal VAE jumps, 30% local random-walk relaxation.
+    ef, pf, df = vae_proposal_fns(vae)
+    step = mix_moves([make_mcmc_step(ef, pf, df, log_target),
+                      make_random_walk_step(log_target, scale=0.3)],
+                     [0.7, 0.3])
+
+    configs0 = jnp.tile(data, (N_CHAINS // TRAIN_N + 1, 1))[:N_CHAINS]
+    state = MCMCState.create(configs0, log_target(configs0),
+                             jax.random.PRNGKey(4))
+    run = jax.jit(lambda s: run_mcmc(step, s, STEPS, collect_every=1))
+    out, traj = run(state)
+    jax.block_until_ready(out.configs)
+    t0 = time.perf_counter()
+    out, traj = run(state)
+    jax.block_until_ready(out.configs)
+    dt = time.perf_counter() - t0
+
+    ess = effective_sample_size(traj[:, :, 0])
+    rhat = potential_scale_reduction(traj[:, :, 0])
+    print(f"{N_CHAINS} chains x {STEPS} mixed moves in {dt:.3f}s "
+          f"({N_CHAINS * STEPS / dt / 1e6:.1f}M proposals/s), "
+          f"acceptance {float(out.acceptance_rate):.3f}")
+    print(f"mode balance {float(jnp.mean(out.configs[:, 0] > 0)):.3f} "
+          f"(target 0.5); mean per-chain ESS {float(jnp.mean(ess)):.1f}; "
+          f"R-hat {float(rhat):.4f}")
+
+
+if __name__ == "__main__":
+    main()
