@@ -149,11 +149,28 @@ class CouplingLayer(bj.Bijector):
         return self._join(cond_part, x, flipped), jnp.sum(ldj, axis=-1)
 
 
+_SCALAR_BIJECTORS = (bj.Identity, bj.Shift, bj.Scale, bj.Sigmoid,
+                     bj.Tanh, bj.Softplus, bj.SoftClip, bj.Chain,
+                     bj.Inverse)
+
+
+def _ensure_event_transform(t):
+    """Auto-wrap known scalar-acting bijectors in Block(.., 1) so their
+    log-dets reduce over the event axis — a raw make_domain_transform
+    (the reference accepted these directly) would otherwise broadcast a
+    per-DOF log-det into the flow's reduced log-prob silently."""
+    if isinstance(t, _SCALAR_BIJECTORS):
+        return bj.Block(t, 1)
+    return t
+
+
 def _assemble_chain(blocks, bn_params, before, after, train: bool):
     """Forward-order list: before, block0, BN, block1, ..., after
     (reference vaemolsim/flows.py:286-323 builds the same order and chains
     reversed).  Returns a Chain (whose forward applies last-entry first)."""
     seq = []
+    before = None if before is None else _ensure_event_transform(before)
+    after = None if after is None else _ensure_event_transform(after)
     if before is not None:
         seq.append(before)
     for i, blk in enumerate(blocks):
@@ -216,7 +233,7 @@ class _FlowMixin:
             if isinstance(inner, bj.BatchNormBijector):
                 bn_i -= 1
                 y, _, m, v = inner.inverse_and_log_det_and_moments(y)
-                mom = 0.99
+                mom = inner.momentum
                 old = new_bns[bn_i]
                 new_bns[bn_i] = old.replace(
                     mean=mom * old.mean + (1 - mom) * m,
@@ -261,9 +278,13 @@ class RQSSplineRealNVP(_FlowMixin):
             else:
                 half = data_dim // 2
                 if i % 2 == 0:
+                    # Mask (condition on) the first floor(d/2) DOFs.
                     n_masked, cond_in, n_out = half, half, data_dim - half
                 else:
-                    n_masked, cond_in, n_out = -half, half, data_dim - half
+                    # Mask the last ceil(d/2) DOFs (reference
+                    # flows.py:291-306 semantics for odd data_dim).
+                    n_masked = -(data_dim - half)
+                    cond_in, n_out = data_dim - half, half
             conditioner = SplineConditioner.create(
                 keys[i], cond_in, n_out, **rqs_params)
             blocks.append(CouplingLayer(conditioner, num_masked=n_masked))
@@ -395,7 +416,10 @@ class MAFLayer(bj.Bijector):
             spline = self.conditioner(y, context)
             return spline.forward(x)
 
-        y = jax.lax.fori_loop(0, D, body, x)
+        # D total conditioner applications suffice (after k passes all
+        # DOFs of autoregressive depth <= k are final): loop D-1 times
+        # and let the final log-det evaluation be the D-th.
+        y = jax.lax.fori_loop(0, D - 1, body, x)
         spline = self.conditioner(y, context)
         y, ldj = spline.forward_and_log_det(x)
         return y, jnp.sum(ldj, axis=-1)

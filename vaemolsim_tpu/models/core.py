@@ -33,6 +33,14 @@ __all__ = ["MappingToDistribution", "FlowModel", "VAE", "VAEOutput",
            "VAEDualELBO", "DualVAEOutput"]
 
 
+def _resolve_prior_dist(prior, shape_sample, train):
+    """A prior may be a raw distribution or a dist layer; layers are
+    called with the sample (shape/BN only, reference models.py:313)."""
+    if isinstance(prior, dl.Distribution):
+        return prior
+    return _call_dist_layer(prior, shape_sample, None, train)
+
+
 def _call_dist_layer(layer, raw, conditional_input, train):
     """Uniform call into a dist layer, forwarding conditional input only
     when the layer is conditional (reference models.py:225-229)."""
@@ -155,9 +163,7 @@ class VAE:
     regularizer: Any = struct.field(default_factory=loss_lib.KLDivergenceEstimate)
 
     def _prior_dist(self, shape_sample: Array, train: bool):
-        if isinstance(self.prior, dl.Distribution):
-            return self.prior
-        return _call_dist_layer(self.prior, shape_sample, None, train)
+        return _resolve_prior_dist(self.prior, shape_sample, train)
 
     def __call__(self, inputs: Array, key: Array,
                  train: bool = False) -> VAEOutput:
@@ -253,9 +259,7 @@ class VAEDualELBO:
         default_factory=loss_lib.ReverseKLDivergenceEstimate)
 
     def _prior_dist(self, shape_sample: Array, train: bool):
-        if isinstance(self.prior, dl.Distribution):
-            return self.prior
-        return _call_dist_layer(self.prior, shape_sample, None, train)
+        return _resolve_prior_dist(self.prior, shape_sample, train)
 
     def __call__(self, inputs: Array, key: Array,
                  train: bool = False) -> DualVAEOutput:

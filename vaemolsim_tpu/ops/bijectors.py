@@ -264,6 +264,15 @@ class BatchNormBijector(Bijector):
     beta: Array
     eps: float = struct.field(pytree_node=False, default=1e-5)
     use_batch_stats: bool = struct.field(pytree_node=False, default=False)
+    momentum: float = struct.field(pytree_node=False, default=0.99)
+
+    def _running(self):
+        # Running statistics are NEVER trainable (matching TF's
+        # BatchNormalization): without stop_gradient, sampling-path
+        # losses would push gradients into mean/var and the optimizer
+        # would fight the EMA updates.
+        return (jax.lax.stop_gradient(self.mean),
+                jax.lax.stop_gradient(self.var))
 
     def _moments(self, y: Array):
         if self.use_batch_stats:
@@ -271,13 +280,14 @@ class BatchNormBijector(Bijector):
             m = jnp.mean(y, axis=axes)
             v = jnp.var(y, axis=axes)
             return m, v
-        return self.mean, self.var
+        return self._running()
 
     def forward_and_log_det(self, x, context=None):
         # x is the normalized variable; un-normalize with running stats.
-        sigma = jnp.sqrt(self.var + self.eps)
-        y = (x - self.beta) * jnp.exp(-self.log_gamma) * sigma + self.mean
-        ldj = jnp.broadcast_to(0.5 * jnp.log(self.var + self.eps)
+        mean, var = self._running()
+        sigma = jnp.sqrt(var + self.eps)
+        y = (x - self.beta) * jnp.exp(-self.log_gamma) * sigma + mean
+        ldj = jnp.broadcast_to(0.5 * jnp.log(var + self.eps)
                                - self.log_gamma, jnp.shape(x))
         return y, ldj
 
@@ -296,7 +306,7 @@ class BatchNormBijector(Bijector):
 
 def make_domain_transform(domains: Sequence[Tuple[float, float]],
                           target: Tuple[float, float] = (-1.0, 1.0),
-                          from_target: bool = False) -> Chain:
+                          from_target: bool = False):
     """Affine map taking each per-DOF interval ``domains[i] = (min_i, max_i)``
     to the common ``target`` interval (or back if ``from_target``).
 
@@ -314,5 +324,5 @@ def make_domain_transform(domains: Sequence[Tuple[float, float]],
         Shift(-lo),
     ))
     if from_target:
-        return Chain((Inverse(chain),))
+        return Inverse(chain)
     return chain

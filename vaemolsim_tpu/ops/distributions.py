@@ -530,6 +530,16 @@ class Blockwise(Distribution):
         idx = jnp.asarray(self.dof_indices[f])
         return jnp.take(x, idx, axis=-1)
 
+    @property
+    def _inverse_perm(self):
+        """Static inverse permutation mapping family-concatenated column
+        order back to original DOF order."""
+        perm = [i for ix in self.dof_indices for i in ix]
+        inv = [0] * len(perm)
+        for pos, dof in enumerate(perm):
+            inv[dof] = pos
+        return tuple(inv)
+
     def log_prob(self, x: Array) -> Array:
         total = 0.0
         for f, fam in enumerate(self.families):
@@ -541,22 +551,14 @@ class Blockwise(Distribution):
         parts = [fam.log_prob(self._gather_cols(x, f))
                  for f, fam in enumerate(self.families)]
         cat = jnp.concatenate(parts, axis=-1)
-        perm = [i for ix in self.dof_indices for i in ix]
-        inv = [0] * len(perm)
-        for pos, dof in enumerate(perm):
-            inv[dof] = pos
-        return jnp.take(cat, jnp.asarray(inv), axis=-1)
+        return jnp.take(cat, jnp.asarray(self._inverse_perm), axis=-1)
 
     def sample(self, key: Array, sample_shape: Tuple[int, ...] = ()) -> Array:
         keys = jax.random.split(key, len(self.families))
         parts = [fam.sample(k, sample_shape)
                  for fam, k in zip(self.families, keys)]
         cat = jnp.concatenate(parts, axis=-1)
-        perm = [i for ix in self.dof_indices for i in ix]
-        inv = [0] * len(perm)
-        for pos, dof in enumerate(perm):
-            inv[dof] = pos
-        return jnp.take(cat, jnp.asarray(inv), axis=-1)
+        return jnp.take(cat, jnp.asarray(self._inverse_perm), axis=-1)
 
 
 # ---------------------------------------------------------------------------

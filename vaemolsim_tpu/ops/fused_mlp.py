@@ -81,6 +81,10 @@ def dense_stack_xla(x: Array, kernels: Sequence[Array],
     the final output is cast back — halving the dominant activation HBM
     traffic on TPU.
     """
+    if (cond is None) != (cond_kernels is None):
+        raise ValueError(
+            "cond and cond_kernels must be provided together (a dropped "
+            "conditional input would silently train unconditioned)")
     from vaemolsim_tpu.nn.core import compute_dtype
     cd = compute_dtype()
     out_dtype = x.dtype
