@@ -1,16 +1,24 @@
-"""Headline benchmark: VAE-proposed MC moves/sec on one chip.
+"""Headline benchmarks: MC proposals/sec + VAE ELBO train steps/sec.
 
-Workload (BASELINE.md / SURVEY.md §6): the MC_Moves_with_VAEs scale —
-10,000 parallel chains of VAE-proposed Metropolis moves (encoder -> flow
-prior -> decoder -> accept/reject), run as one jitted lax.scan that never
-leaves the device.  The reference runs the same logical workload as an
-un-jitted NumPy-driven loop (vaemolsim/mcmc.py:133-159).
+Workloads (BASELINE.md / SURVEY.md §6):
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "proposals/sec/chip",
-   "vs_baseline": N}
-vs_baseline is measured against the north-star target of 1e6
-VAE-proposed moves/sec (BASELINE.json): vs_baseline = value / 1e6.
+1. PRIMARY — the MC_Moves_with_VAEs scale: 10,000 parallel chains of
+   VAE-proposed Metropolis moves (encoder -> flow prior -> decoder ->
+   accept/reject), run as one jitted lax.scan that never leaves the
+   device.  The reference runs the same logical workload as an un-jitted
+   NumPy-driven loop (vaemolsim/mcmc.py:133-159).
+2. VAE ELBO training (the second BASELINE.md "metric to report"):
+   jitted scan of full ELBO train steps (grad + adam update) on the
+   flagship VAE at the reference's 10k-sample batch scale.
+3. Flow training wall-clock: the Using_Normalizing_Flows workload —
+   100k samples, 1-D RQS-RealNVP (4 blocks x 32 bins), 10 epochs — via
+   the scanned-epoch fit path.
+
+Prints ONE JSON line.  Primary keys keep the driver contract
+({"metric", "value", "unit", "vs_baseline"}; vs_baseline = value / 1e6,
+the north-star target); "median"/"reps" carry run-to-run spread (the
+TPU tunnel has high variance — best-of-N reflects the chip) and
+"extra_metrics" carries workloads 2-3.
 """
 
 import json
@@ -18,6 +26,11 @@ import time
 
 N_CHAINS = 10_000
 N_STEPS = 100
+ELBO_BATCH = 10_000
+ELBO_SCAN_STEPS = 50
+FLOW_SAMPLES = 100_000
+FLOW_EPOCHS = 10
+FLOW_BATCH = 4096
 
 
 def _probe_tpu_alive(timeout_s: int = 240) -> bool:
@@ -36,6 +49,120 @@ def _probe_tpu_alive(timeout_s: int = 240) -> bool:
         return False
 
 
+def _time_reps(fn, n_reps: int = 3):
+    """(best_seconds, median_seconds, all_seconds) over n_reps calls."""
+    import statistics
+    times = []
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times), statistics.median(times), times
+
+
+def bench_mc(jax, jnp):
+    from __graft_entry__ import _build_flagship
+    from vaemolsim_tpu.mcmc import (MCMCState, make_mcmc_step, run_mcmc,
+                                    vae_proposal_fns)
+
+    vae = _build_flagship(jax.random.PRNGKey(0))
+    enc, pri, dec = vae_proposal_fns(vae)
+
+    def log_target(x):
+        return -0.5 * jnp.sum(x ** 2, axis=-1)
+
+    step = make_mcmc_step(enc, pri, dec, log_target)
+    configs = jax.random.normal(jax.random.PRNGKey(1), (N_CHAINS, 2))
+    state = MCMCState.create(configs, log_target(configs),
+                             jax.random.PRNGKey(2))
+    run = jax.jit(lambda s, n: run_mcmc(step, s, n)[0], static_argnums=1)
+
+    # Warmup/compile with the same static step count as the timed run.
+    jax.block_until_ready(run(state, N_STEPS).configs)
+
+    def rep():
+        jax.block_until_ready(run(state, N_STEPS).configs)
+
+    best, median, times = _time_reps(rep)
+    proposals = N_CHAINS * N_STEPS
+    return proposals / best, proposals / median, times
+
+
+def bench_elbo_train(jax, jnp):
+    """VAE ELBO train steps/sec: one jitted lax.scan of full train steps
+    (value_and_grad through encoder/flow-prior/decoder + adam update) at
+    the reference's 10k-sample VAE scale (models.py:289-322 analog,
+    vaemolsim_tpu/models/core.py elbo_loss)."""
+    import optax
+
+    from __graft_entry__ import _build_flagship
+
+    vae = _build_flagship(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(vae)
+    x = jax.random.normal(jax.random.PRNGKey(1), (ELBO_BATCH, 2))
+
+    def one_step(carry, _):
+        model, ostate, key = carry
+        key, sub = jax.random.split(key)
+        loss, grads = jax.value_and_grad(
+            lambda m: m.elbo_loss(x, sub, train=True)[0])(model)
+        updates, ostate = opt.update(grads, ostate, model)
+        return (optax.apply_updates(model, updates), ostate, key), loss
+
+    @jax.jit
+    def run(model, ostate, key):
+        (model, ostate, _), losses = jax.lax.scan(
+            one_step, (model, ostate, key), None, length=ELBO_SCAN_STEPS)
+        return model, ostate, losses
+
+    out = run(vae, opt_state, jax.random.PRNGKey(2))
+    jax.block_until_ready(out[2])
+    assert bool(jnp.all(jnp.isfinite(out[2]))), "non-finite ELBO losses"
+
+    def rep():
+        jax.block_until_ready(run(vae, opt_state, jax.random.PRNGKey(2))[2])
+
+    best, median, times = _time_reps(rep)
+    return ELBO_SCAN_STEPS / best, ELBO_SCAN_STEPS / median, times
+
+
+def bench_flow_train(jax, jnp):
+    """Wall-clock for the 100k-sample flow-training workload
+    (Using_Normalizing_Flows.ipynb cells 4/10/24): 10 scanned epochs."""
+    from vaemolsim_tpu.dists import StaticFlowedDistribution
+    from vaemolsim_tpu.flows import RQSSplineRealNVP
+    from vaemolsim_tpu.ops import distributions as d
+    from vaemolsim_tpu.train import fit
+
+    flow = StaticFlowedDistribution(
+        flow=RQSSplineRealNVP.create(
+            jax.random.PRNGKey(0), 1, num_blocks=4,
+            rqs_params={"num_bins": 32, "hidden_dim": 100,
+                        "bin_range": [-5.0, 5.0]}),
+        base=d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1))
+    # 4-mode 1-D mixture (the notebook's target family).
+    key = jax.random.PRNGKey(1)
+    comp = jax.random.randint(key, (FLOW_SAMPLES,), 0, 4)
+    centers = jnp.asarray([-3.0, -1.0, 1.0, 3.0])
+    data = (centers[comp] + 0.25 * jax.random.normal(
+        jax.random.PRNGKey(2), (FLOW_SAMPLES,)))[:, None]
+
+    def loss_fn(f, batch, k):
+        del k
+        return -jnp.mean(f().log_prob(batch))
+
+    # One fit call; the first epoch absorbs the compile (fit's scanned
+    # epoch is a fresh jit closure per call), so the steady-state
+    # wall-clock is mean(epoch 2..N) * FLOW_EPOCHS.
+    import statistics
+    _, hist = fit(flow, loss_fn, data, key=jax.random.PRNGKey(3),
+                  num_epochs=FLOW_EPOCHS + 1, batch_size=FLOW_BATCH,
+                  scan_epochs=True)
+    assert hist["loss"][-1] < hist["loss"][0]
+    return statistics.mean(hist["epoch_time_s"][1:]) * FLOW_EPOCHS
+
+
 def main():
     import os
     import sys
@@ -48,9 +175,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _build_flagship
-    from vaemolsim_tpu.mcmc import (MCMCState, make_mcmc_step, run_mcmc,
-                                    vae_proposal_fns)
     from vaemolsim_tpu.nn.core import set_compute_dtype
 
     # Proposal networks in bfloat16 (native MXU dtype): MH stays exact —
@@ -60,40 +184,40 @@ def main():
     # tests/test_mcmc.py::TestFullPipelineStatistics.
     set_compute_dtype(jnp.bfloat16)
 
-    vae = _build_flagship(jax.random.PRNGKey(0))
-    enc, pri, dec = vae_proposal_fns(vae)
-
-    def log_target(x):
-        return -0.5 * jnp.sum(x ** 2, axis=-1)
-
-    step = make_mcmc_step(enc, pri, dec, log_target)
-    configs = jax.random.normal(jax.random.PRNGKey(1), (N_CHAINS, 2))
-    state = MCMCState.create(configs, log_target(configs),
-                             jax.random.PRNGKey(2))
-
-    run = jax.jit(lambda s, n: run_mcmc(step, s, n)[0], static_argnums=1)
-
-    # Warmup/compile with the same static step count as the timed run.
-    warm = run(state, N_STEPS)
-    jax.block_until_ready(warm.configs)
-
-    # Best of 3: the environment's TPU tunnel occasionally stalls a run
-    # by orders of magnitude; the fastest repetition reflects the chip.
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        final = run(state, N_STEPS)
-        jax.block_until_ready(final.configs)
-        best_dt = min(best_dt, time.perf_counter() - t0)
-
-    proposals = N_CHAINS * N_STEPS
-    rate = proposals / best_dt
+    best_rate, median_rate, times = bench_mc(jax, jnp)
     result = {
         "metric": "vae_mc_proposals_per_sec_per_chip",
-        "value": round(rate, 1),
+        "value": round(best_rate, 1),
         "unit": "proposals/sec/chip",
-        "vs_baseline": round(rate / 1.0e6, 4),
+        "vs_baseline": round(best_rate / 1.0e6, 4),
+        "median": round(median_rate, 1),
+        "reps_s": [round(t, 4) for t in times],
     }
+
+    extras = []
+    try:
+        best_sps, median_sps, etimes = bench_elbo_train(jax, jnp)
+        extras.append({
+            "metric": "vae_elbo_train_steps_per_sec",
+            "value": round(best_sps, 2),
+            "unit": f"steps/sec (batch {ELBO_BATCH})",
+            "median": round(median_sps, 2),
+            "reps_s": [round(t, 4) for t in etimes],
+        })
+    except Exception as e:  # keep the primary metric alive
+        extras.append({"metric": "vae_elbo_train_steps_per_sec",
+                       "error": repr(e)})
+    try:
+        dt = bench_flow_train(jax, jnp)
+        extras.append({
+            "metric": "flow_train_100k_10epoch_wallclock",
+            "value": round(dt, 3),
+            "unit": "seconds",
+        })
+    except Exception as e:
+        extras.append({"metric": "flow_train_100k_10epoch_wallclock",
+                       "error": repr(e)})
+    result["extra_metrics"] = extras
     print(json.dumps(result))
 
 

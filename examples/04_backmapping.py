@@ -68,15 +68,17 @@ def main():
 
     cg, coords, info, tors = synthetic_frames(jax.random.PRNGKey(1),
                                               N_FRAMES)
-    packed = jnp.arange(N_FRAMES, dtype=jnp.float32)[:, None]  # indices
 
+    # fit() slices pytree batches along the sample axis — the model's
+    # multi-input call signature is used directly (reference trains
+    # BackmappingOnly on a 3-input list, vaemolsim/models.py:510-542).
     def loss_fn(m, batch, k):
         del k
-        idx = batch[:, 0].astype(jnp.int32)
-        return -jnp.mean(m(cg[idx], coords[idx], info[idx]).log_prob(
-            tors[idx]))
+        b_cg, b_coords, b_info, b_tors = batch
+        return -jnp.mean(m(b_cg, b_coords, b_info).log_prob(b_tors))
 
-    model, hist = fit(model, loss_fn, packed, key=jax.random.PRNGKey(2),
+    model, hist = fit(model, loss_fn, (cg, coords, info, tors),
+                      key=jax.random.PRNGKey(2),
                       num_epochs=EPOCHS, batch_size=128, verbose=True)
     print(f"backmapping NLL {hist['loss'][0]:.3f} -> {hist['loss'][-1]:.3f}")
     samples = model.predict(cg[:200], coords[:200], info[:200],

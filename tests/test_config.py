@@ -46,6 +46,154 @@ class TestConfigs:
         assert out.shape == (2, 6)
 
 
+class TestModelConfigs:
+    """VERDICT item 5: typed configs for dist layers, losses, models, and
+    a one-JSON experiment (reference get_config analog,
+    vaemolsim/models.py:141-148)."""
+
+    def test_dist_layer_config_kinds(self):
+        for kind, needs_key in [("independent_blockwise", False),
+                                ("autoregressive_blockwise", True),
+                                ("independent_von_mises", False),
+                                ("independent_deterministic", False)]:
+            c = cfg.DistLayerConfig(kind=kind, num_dofs=3,
+                                    auto_net_params={"hidden_units": [8]})
+            layer = c.build(jax.random.PRNGKey(0) if needs_key else None)
+            assert layer is not None
+
+    def test_regularizer_config_kinds(self):
+        from vaemolsim_tpu import losses
+        assert isinstance(cfg.RegularizerConfig(kind="none").build(),
+                          losses.NonRegularizer)
+        r = cfg.RegularizerConfig(kind="kl", weight=0.5).build()
+        assert isinstance(r, losses.KLDivergenceEstimate)
+        assert r.weight == 0.5
+        assert isinstance(cfg.RegularizerConfig(kind="reverse_kl").build(),
+                          losses.ReverseKLDivergenceEstimate)
+
+    def test_flagship_experiment_roundtrip_and_train(self, tmp_path):
+        """JSON -> build -> one train step -> checkpoint -> restore; the
+        restored model must reproduce the original's loss exactly."""
+        from vaemolsim_tpu.train import (make_train_step, restore_checkpoint,
+                                         save_checkpoint)
+        import optax
+
+        exp = cfg.flagship_experiment_config()
+        # Shrink for test speed but keep the full structure.
+        exp.model.encoder.mapping_kwargs = {"hidden_dim": 16}
+        exp.model.decoder.mapping_kwargs = {"hidden_dim": 16}
+        exp.model.prior.flow.rqs.hidden_dim = 16
+        exp.model.prior.flow.rqs.num_bins = 8
+
+        path = str(tmp_path / "exp.json")
+        cfg.save_json(exp, path)
+        exp2 = cfg.load_json(path)
+        assert isinstance(exp2, cfg.ExperimentConfig)
+        assert exp2.model.prior.flow.rqs.num_bins == 8
+
+        model = exp2.build()
+        x = jax.random.normal(jax.random.PRNGKey(1), (32, 2))
+
+        def loss_fn(m, batch, key):
+            return m.elbo_loss(batch, key, train=False)[0]
+
+        step = make_train_step(loss_fn, exp2.optimizer.build())
+        opt_state = exp2.optimizer.build().init(model)
+        model, _, loss, _ = step(model, opt_state, x,
+                                 jax.random.PRNGKey(2))
+        assert jnp.isfinite(loss)
+
+        ckpt = str(tmp_path / "weights")
+        save_checkpoint(ckpt, model)
+        template = cfg.load_json(path).build()  # config-only rebuild
+        restored = restore_checkpoint(ckpt, template)
+        l1 = loss_fn(model, x, jax.random.PRNGKey(3))
+        l2 = loss_fn(restored, x, jax.random.PRNGKey(3))
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2))
+
+    def test_fresh_process_restore(self, tmp_path):
+        """The 'checkpoint = config + weights + seeds' contract holds
+        across processes (SURVEY.md §5.4)."""
+        import subprocess
+        import sys
+        import os
+
+        exp = cfg.flagship_experiment_config()
+        exp.model.encoder.mapping_kwargs = {"hidden_dim": 8}
+        exp.model.decoder.mapping_kwargs = {"hidden_dim": 8}
+        exp.model.prior.flow.rqs.hidden_dim = 8
+        exp.model.prior.flow.rqs.num_bins = 4
+        path = str(tmp_path / "exp.json")
+        cfg.save_json(exp, path)
+        model = exp.build()
+        ref = float(model.elbo_loss(jnp.ones((4, 2)),
+                                    jax.random.PRNGKey(7))[0])
+
+        code = (
+            "import os\n"
+            "os.environ['JAX_PLATFORMS']='cpu'\n"
+            "import jax, jax.numpy as jnp\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "from vaemolsim_tpu import config as cfg\n"
+            f"exp = cfg.load_json({path!r})\n"
+            "m = exp.build()\n"
+            "print(float(m.elbo_loss(jnp.ones((4, 2)), "
+            "jax.random.PRNGKey(7))[0]))\n")
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr
+        np.testing.assert_allclose(float(out.stdout.strip().split()[-1]),
+                                   ref, rtol=1e-5)
+
+    def test_backmapping_config_builds_example04_model(self):
+        """BackmappingConfig rebuilds the example-04 architecture
+        (Molecular_Backmapping workload, SURVEY.md §3.4)."""
+        c = cfg.BackmappingConfig(
+            selection=cfg.DistanceSelectionConfig(cutoff=3.0,
+                                                  max_included=10),
+            embedding=cfg.ParticleEmbeddingConfig(info_dim=2,
+                                                  embedding_dim=20,
+                                                  num_blocks=1),
+            decoder=cfg.MappingToDistConfig(
+                input_shape=20,
+                dist=cfg.FlowedDistConfig(
+                    flow=cfg.MAFConfig(
+                        data_dim=3, num_blocks=2,
+                        rqs=cfg.RQSParams(
+                            num_bins=8, hidden_dim=16,
+                            bin_range=(-np.pi, np.pi),
+                            conditional=True,
+                            conditional_event_shape=20)),
+                    base=cfg.DistLayerConfig(
+                        kind="independent_blockwise", num_dofs=3,
+                        families="von_mises")),
+                mapping_kwargs={"hidden_dim": 16}))
+        c2 = cfg.from_dict(None, cfg.to_tagged_dict(c))
+        model = c2.build(jax.random.PRNGKey(0))
+        dist = model(jnp.zeros((2, 3)), jnp.ones((2, 8, 3)),
+                     jnp.ones((2, 8, 2)))
+        lp = dist.log_prob(jnp.zeros((2, 3)))
+        assert lp.shape == (2,) and bool(jnp.all(jnp.isfinite(lp)))
+
+    def test_dual_elbo_config(self):
+        c = cfg.VAEConfig(
+            encoder=cfg.MappingToDistConfig(
+                input_shape=2,
+                dist=cfg.DistLayerConfig(num_dofs=1),
+                mapping_kwargs={"hidden_dim": 8}),
+            decoder=cfg.MappingToDistConfig(
+                input_shape=1,
+                dist=cfg.DistLayerConfig(num_dofs=2),
+                mapping_kwargs={"hidden_dim": 8}),
+            latent_dim=1, dual_elbo=True)
+        from vaemolsim_tpu.models import VAEDualELBO
+        model = c.build(jax.random.PRNGKey(0))
+        assert isinstance(model, VAEDualELBO)
+
+
 class TestCheckpointedRun:
 
     def test_segments_and_resume(self, tmp_path):

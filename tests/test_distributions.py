@@ -133,6 +133,81 @@ class TestVonMises:
         want = 0.5 * (1.0 + iv(2, k0) / i0(k0)) - (i1(k0) / i0(k0)) ** 2
         np.testing.assert_allclose(grad, want, rtol=0.15)
 
+    # 30-digit mpmath ground truth for dz/dkappa = -(dF/dkappa)/p at
+    # centered sample z0 (generation script in the git history of this
+    # test; VERDICT round-1 item 9 — pin the gradient-regime seam).
+    _VM_GRAD_Z0 = [-2.8, -1.5, -0.6, -0.1, 0.02, 0.3, 1.0, 2.0, 3.1]
+    _VM_GRAD_GOLDEN = {
+        0.5: [0.4098349579, 0.9411096477, 0.4451267265, 0.0757095388,
+              -0.0151496844, -0.2261386494, -0.7089480561, -0.9694288557,
+              -0.0516519717],
+        2.0: [0.5310405597, 0.572042211, 0.1890034653, 0.0302573722,
+              -0.0060447854, -0.0916126708, -0.3384719519, -0.8132485797,
+              -0.0705216006],
+        10.0: [0.4549051238, 0.0985396975, 0.0318917198, 0.00514469,
+               -0.0010280408, -0.0155473811, -0.0566777809, -0.1763088977,
+               -0.0805698214],
+        15.0: [0.3859763007, 0.0643012184, 0.0210294573, 0.0033960324,
+               -0.0006786326, -0.0102605367, -0.0372825009, -0.1115046631,
+               -0.081058575],
+        20.0: [0.3287175454, 0.0477712011, 0.0156910677, 0.0025351482,
+               -0.0005066074, -0.0076587292, -0.0277885486, -0.0818383038,
+               -0.0811793366],
+        50.0: [0.1469685057, 0.0188120009, 0.0062213705, 0.0010059547,
+               -0.0002010275, -0.003038488, -0.0109987898, -0.0317147913,
+               -0.0804102638],
+        100.0: [0.0654814068, 0.0093602044, 0.0031019283, 0.000501684,
+                -0.0001002559, -0.0015152568, -0.0054809798, -0.0157113887,
+                -0.0783426895],
+        1000.0: [0.0058494337, 0.0009320322, 0.0003094211, 5.00543e-05,
+                 -1.00028e-05, -0.0001511739, -0.00054648, -0.0015587452,
+                 -0.0483743747],
+    }
+
+    def test_implicit_gradient_matches_mpmath_goldens(self):
+        """The quadrature branch of _von_mises_dz_dconc is accurate to
+        <=2e-4 relative for kappa in [0.5, 100] and <=2e-3 at kappa=1000,
+        for ALL z0 — including the far tails where the pre-round-2
+        two-sided form diverged."""
+        from vaemolsim_tpu.ops.distributions import _von_mises_dz_dconc
+        z0 = jnp.asarray(self._VM_GRAD_Z0, jnp.float32)
+        for kappa, want in self._VM_GRAD_GOLDEN.items():
+            got = _von_mises_dz_dconc(z0, jnp.full_like(z0, kappa))
+            rtol = 2e-4 if kappa < 1000 else 2e-3
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=rtol, atol=1e-7,
+                err_msg=f"kappa={kappa}")
+
+    def test_implicit_gradient_seam_continuity(self):
+        """No jump at the quadrature->asymptotic switch (kappa=1000):
+        the branches agree within 0.5% at typical sample magnitudes
+        (|z0| <= 4/sqrt(kappa)).  The old kappa=15 seam had O(20%) tail
+        jumps (VERDICT round-1 weakness 5)."""
+        from vaemolsim_tpu.ops.distributions import _von_mises_dz_dconc
+        z0 = jnp.linspace(-4.0 / np.sqrt(1000.0), 4.0 / np.sqrt(1000.0),
+                          21).astype(jnp.float32)
+        below = _von_mises_dz_dconc(z0, jnp.full_like(z0, 999.0))
+        above = _von_mises_dz_dconc(z0, jnp.full_like(z0, 1001.0))
+        np.testing.assert_allclose(np.asarray(below), np.asarray(above),
+                                   rtol=7e-3, atol=1e-8)
+
+    @pytest.mark.parametrize("kappa0", [10.0, 15.0, 20.0])
+    def test_reverse_kl_style_gradient_across_old_seam(self, kappa0):
+        """Pathwise gradient of E[cos z] matches the analytic Bessel
+        derivative at kappa around the OLD seam (10-20) — the regime
+        VERDICT flagged for dual-ELBO/reverse-KL training."""
+        from scipy.special import i0, i1, iv
+
+        def mean_cos(kappa):
+            dist = d.VonMises(jnp.float32(0.0), kappa)
+            z = dist.sample(jax.random.PRNGKey(5), (40000,))
+            return jnp.mean(jnp.cos(z))
+
+        grad = float(jax.grad(mean_cos)(jnp.float32(kappa0)))
+        want = (0.5 * (1.0 + iv(2, kappa0) / i0(kappa0))
+                - (i1(kappa0) / i0(kappa0)) ** 2)
+        np.testing.assert_allclose(grad, want, rtol=0.1)
+
     def test_large_concentration_no_overflow(self):
         # Reference SoftClip bound: sqrt(float32.max)/2 (~9.2e18).
         big = jnp.float32(np.sqrt(np.finfo(np.float32).max) / 2.0)

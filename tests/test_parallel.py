@@ -150,6 +150,43 @@ class TestReplicaExchange:
         assert float(final.num_swap_trials) > 0
 
 
+class TestHybridMesh:
+    """SURVEY.md §2.4: ICI within a slice, DCN across slices.  On the
+    virtual CPU mesh the slice structure is emulated (no slice_index on
+    CPU devices); the logical layout — DCN axes outermost — is what the
+    multi-slice compile path consumes."""
+
+    def test_hybrid_mesh_axes(self):
+        from vaemolsim_tpu.parallel import make_hybrid_mesh
+        mesh = make_hybrid_mesh({"replica": 2}, {"chain": -1})
+        assert mesh.axis_names == ("replica", "chain")
+        assert mesh.devices.shape == (2, 4)
+
+    def test_hybrid_mesh_bad_sizes_raise(self):
+        from vaemolsim_tpu.parallel import make_hybrid_mesh
+        with pytest.raises(ValueError, match="does not use all"):
+            make_hybrid_mesh({"replica": 3}, {"chain": 2})
+
+    def test_remc_on_hybrid_mesh(self):
+        """Replica-exchange ladder with the replica axis across the
+        (emulated) DCN dimension and chains over ICI — the config-5
+        multi-slice layout compiles and runs SPMD."""
+        from vaemolsim_tpu.parallel import make_hybrid_mesh
+        target, step, state = TestReplicaExchange._setup(
+            TestReplicaExchange(), R=2, C=32)
+        mesh = make_hybrid_mesh({"replica": 2}, {"chain": -1})
+        spec3 = NamedSharding(mesh, P("replica", "chain", None))
+        spec2 = NamedSharding(mesh, P("replica", "chain"))
+        state = state.replace(
+            configs=jax.device_put(state.configs, spec3),
+            energies=jax.device_put(state.energies, spec2),
+            betas=jax.device_put(state.betas,
+                                 NamedSharding(mesh, P("replica"))))
+        final = jax.jit(lambda s: run_remc(step, s, 20))(state)
+        assert jnp.all(jnp.isfinite(final.energies))
+        assert float(final.num_swap_trials) > 0
+
+
 class TestShardingUtils:
 
     def test_replicate_params(self):

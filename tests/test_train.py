@@ -44,6 +44,72 @@ class TestFit:
         assert hist["loss"][-1] < hist["loss"][0]
         assert "nll" in hist and "epoch_time_s" in hist
 
+    def test_fit_pytree_batches(self):
+        """Multi-input models train on tuple data sliced along the sample
+        axis (reference trains BackmappingOnly on a 3-input list,
+        vaemolsim/models.py:510-542, tests/test_models.py:265-308)."""
+        flow = make_flow()
+        base = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)
+        x = jnp.linspace(-1, 1, 96)[:, None]
+        w = jnp.ones((96,))
+        seen = []
+
+        def loss_fn(f, batch, key):
+            del key
+            bx, bw = batch["x"], batch["w"]
+            seen.append((bx.shape, bw.shape))
+            return -jnp.mean(bw * f(base).log_prob(bx))
+
+        flow, hist = fit(flow, loss_fn, {"x": x, "w": w},
+                         key=jax.random.PRNGKey(0), num_epochs=2,
+                         batch_size=32)
+        assert len(hist["loss"]) == 2
+        assert seen[0] == ((32, 1), (32,))
+
+    def test_fit_pytree_mismatched_leading_axis_raises(self):
+        flow = make_flow()
+        with pytest.raises(ValueError, match="leading"):
+            fit(flow, lambda f, b, k: 0.0,
+                (jnp.ones((8, 1)), jnp.ones((7,))),
+                key=jax.random.PRNGKey(0))
+
+    def test_fit_scan_epochs_matches_host_loop(self):
+        """scan_epochs=True compiles the epoch to one lax.scan and gives
+        the same training trajectory as the host-driven loop (same PRNG
+        stream, same batch order)."""
+        base = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)
+        data = d.Normal(jnp.float32(1.5), jnp.float32(0.5)).sample(
+            jax.random.PRNGKey(1), (256, 1))
+
+        def loss_fn(f, batch, key):
+            del key
+            nll = -jnp.mean(f(base).log_prob(batch))
+            return nll, {"nll": nll}
+
+        out = {}
+        for scan in (False, True):
+            flow, hist = fit(make_flow(), loss_fn, data,
+                             key=jax.random.PRNGKey(2), num_epochs=3,
+                             batch_size=64, shuffle=False,
+                             scan_epochs=scan)
+            out[scan] = (flow, hist)
+        np.testing.assert_allclose(out[True][1]["loss"],
+                                   out[False][1]["loss"], rtol=1e-5)
+        assert "nll" in out[True][1]
+        for a, b in zip(jax.tree_util.tree_leaves(out[True][0]),
+                        jax.tree_util.tree_leaves(out[False][0])):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    def test_fit_scan_epochs_shuffled_trains(self):
+        base = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)
+        data = d.Normal(jnp.float32(1.0), jnp.float32(0.5)).sample(
+            jax.random.PRNGKey(1), (256, 1))
+        flow, hist = fit(make_flow(),
+                         lambda f, b, k: -jnp.mean(f(base).log_prob(b)),
+                         data, key=jax.random.PRNGKey(2), num_epochs=5,
+                         batch_size=64, scan_epochs=True)
+        assert hist["loss"][-1] < hist["loss"][0]
+
     def test_fit_scalar_loss_fn(self):
         flow = make_flow()
         base = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)

@@ -38,4 +38,4 @@ from vaemolsim_tpu import coords  # noqa: F401
 from vaemolsim_tpu import data  # noqa: F401
 from vaemolsim_tpu import utils  # noqa: F401
 
-__version__ = "0.1.0"
+from vaemolsim_tpu._version import __version__  # noqa: F401

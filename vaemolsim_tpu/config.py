@@ -12,6 +12,7 @@ with a PRNG key.
 from __future__ import annotations
 
 import dataclasses
+import typing
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple, Union
 
@@ -19,29 +20,95 @@ import jax
 
 __all__ = ["RQSParams", "RealNVPConfig", "MAFConfig", "MappingConfig",
            "DistanceSelectionConfig", "ParticleEmbeddingConfig",
-           "MCMCConfig", "from_dict", "to_dict"]
+           "MCMCConfig", "DistLayerConfig", "FlowedDistConfig",
+           "RegularizerConfig", "MappingToDistConfig", "FlowModelConfig",
+           "VAEConfig", "BackmappingConfig", "OptimizerConfig",
+           "ExperimentConfig", "from_dict", "to_dict", "to_tagged_dict",
+           "save_json", "load_json"]
 
 
 def to_dict(cfg) -> Dict[str, Any]:
     return dataclasses.asdict(cfg)
 
 
+_TAG = "__config__"
+
+
+def to_tagged_dict(cfg) -> Any:
+    """Recursive dict form with a ``__config__`` class tag at every
+    dataclass level, so nesting under Union annotations (e.g. a
+    FlowedDistConfig's MAF-vs-RealNVP flow) reconstructs unambiguously.
+    JSON-safe: tuples become lists."""
+    if dataclasses.is_dataclass(cfg) and not isinstance(cfg, type):
+        out: Dict[str, Any] = {_TAG: type(cfg).__name__}
+        for f in dataclasses.fields(cfg):
+            out[f.name] = to_tagged_dict(getattr(cfg, f.name))
+        return out
+    if isinstance(cfg, (list, tuple)):
+        return [to_tagged_dict(v) for v in cfg]
+    if isinstance(cfg, dict):
+        return {k: to_tagged_dict(v) for k, v in cfg.items()}
+    return cfg
+
+
+def _dataclass_in_annotation(ann):
+    """The dataclass type named by an annotation, looking through
+    Optional[...] / Union[...] wrappers; None if there isn't one."""
+    if dataclasses.is_dataclass(ann):
+        return ann
+    for arg in typing.get_args(ann):
+        if dataclasses.is_dataclass(arg):
+            return arg
+    return None
+
+
 def from_dict(cls, d: Dict[str, Any]):
     """Reconstruct a config (recursively rebuilding nested dataclass
-    fields such as ``rqs``) from a plain dict."""
+    fields such as ``rqs``, including under ``Optional``/``Union``
+    annotations) from a plain dict.
+
+    A ``__config__`` tag (written by :func:`to_tagged_dict`) takes
+    precedence over the annotation — required when the annotation is a
+    Union of several config classes.  ``cls`` may be None if ``d`` is
+    tagged.
+    """
+    if _TAG in d:
+        cls = _CONFIG_REGISTRY[d[_TAG]]
+    if cls is None:
+        raise ValueError("from_dict needs a target class or a "
+                         f"'{_TAG}'-tagged dict")
+    hints = typing.get_type_hints(cls)
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in d:
             continue
         v = d[f.name]
-        ftype = f.type if not isinstance(f.type, str) else None
-        # Resolve string annotations against this module's globals.
-        if ftype is None:
-            ftype = globals().get(f.type, None)
-        if (dataclasses.is_dataclass(ftype) and isinstance(v, dict)):
-            v = from_dict(ftype, v)
+        if isinstance(v, dict) and _TAG in v:
+            v = from_dict(None, v)
+        else:
+            nested = _dataclass_in_annotation(hints.get(f.name))
+            if nested is not None and isinstance(v, dict):
+                v = from_dict(nested, v)
         kwargs[f.name] = v
     return cls(**kwargs)
+
+
+def save_json(cfg, path: str) -> None:
+    """Write a config (any of this module's dataclasses) as tagged JSON —
+    together with orbax weights + PRNG seeds this realizes "checkpoint =
+    config + weights + seeds" (SURVEY.md §5.4)."""
+    import json
+
+    with open(path, "w") as fh:
+        json.dump(to_tagged_dict(cfg), fh, indent=2)
+
+
+def load_json(path: str):
+    """Load a tagged-JSON config written by :func:`save_json`."""
+    import json
+
+    with open(path) as fh:
+        return from_dict(None, json.load(fh))
 
 
 @dataclass
@@ -169,3 +236,289 @@ class MCMCConfig:
     random_seed: int = 0
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0
+
+
+# ---------------------------------------------------------------------------
+# Distribution-layer, loss, model, and experiment configs — completing the
+# "checkpoint = config + weights + seeds" story (SURVEY.md §5.4/§5.6; the
+# reference's per-layer get_config, vaemolsim/models.py:141-148).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DistLayerConfig:
+    """A distribution-emitting layer (reference vaemolsim/dists.py L3).
+
+    ``kind``: "independent_blockwise" | "autoregressive_blockwise" |
+    "independent_von_mises" | "independent_deterministic".
+    """
+
+    kind: str = "independent_blockwise"
+    num_dofs: int = 1
+    families: Union[str, List[str]] = "normal"
+    conditional: bool = False
+    conditional_event_shape: Optional[int] = None
+    auto_net_params: Optional[Dict[str, Any]] = None
+
+    def build(self, key: Optional[jax.Array] = None):
+        from vaemolsim_tpu import dists
+
+        if self.kind == "independent_blockwise":
+            return dists.IndependentBlockwise.create(self.num_dofs,
+                                                     self.families)
+        if self.kind == "autoregressive_blockwise":
+            if key is None:
+                raise ValueError("autoregressive_blockwise needs a key")
+            return dists.AutoregressiveBlockwise.create(
+                key, self.num_dofs, self.families,
+                conditional=self.conditional,
+                conditional_event_shape=self.conditional_event_shape,
+                auto_net_params=self.auto_net_params)
+        if self.kind == "independent_von_mises":
+            return dists.IndependentVonMises.create(self.num_dofs)
+        if self.kind == "independent_deterministic":
+            return dists.IndependentDeterministic.create(self.num_dofs)
+        raise ValueError(f"Unknown dist layer kind {self.kind!r}")
+
+
+@dataclass
+class FlowedDistConfig:
+    """Flow over a base distribution layer, or — with ``base=None`` — a
+    StaticFlowedDistribution over a standard normal of dimension
+    ``static_base_dim`` (the flagship prior shape)."""
+
+    flow: Union[MAFConfig, RealNVPConfig] = field(default_factory=MAFConfig)
+    base: Optional[DistLayerConfig] = None
+    static_base_dim: Optional[int] = None
+
+    def build(self, key: jax.Array):
+        import jax.numpy as jnp
+
+        from vaemolsim_tpu import dists
+        from vaemolsim_tpu.ops import distributions as d
+
+        k_flow, k_base = jax.random.split(key)
+        flow = self.flow.build(k_flow)
+        if self.base is None:
+            dim = self.static_base_dim or self.flow.data_dim
+            return dists.StaticFlowedDistribution(
+                flow=flow,
+                base=d.Independent(d.Normal(jnp.zeros(dim), jnp.ones(dim)),
+                                   1))
+        return dists.FlowedDistribution(flow=flow,
+                                        base_layer=self.base.build(k_base))
+
+
+@dataclass
+class RegularizerConfig:
+    """VAE information regularizer (reference vaemolsim/losses.py:128-330).
+
+    ``kind``: "none" | "kl" | "log_prob" | "reverse_kl".
+    """
+
+    kind: str = "kl"
+    weight: float = 1.0
+    sample_dist: Optional[str] = None  # default per kind
+
+    def build(self):
+        from vaemolsim_tpu import losses
+
+        classes = {"none": losses.NonRegularizer,
+                   "kl": losses.KLDivergenceEstimate,
+                   "log_prob": losses.LogProbRegularizer,
+                   "reverse_kl": losses.ReverseKLDivergenceEstimate}
+        try:
+            cls = classes[self.kind]
+        except KeyError:
+            raise ValueError(f"Unknown regularizer kind {self.kind!r}; "
+                             f"one of {sorted(classes)}")
+        kw: Dict[str, Any] = {"weight": self.weight}
+        if self.sample_dist is not None:
+            kw["sample_dist"] = self.sample_dist
+        return cls(**kw)
+
+
+@dataclass
+class MappingToDistConfig:
+    """MappingToDistribution: auto-sized FCDeepNN trunk + dist layer
+    (reference vaemolsim/models.py:153-237)."""
+
+    input_shape: Union[int, List[int]] = 1
+    dist: Union[DistLayerConfig, FlowedDistConfig] = field(
+        default_factory=DistLayerConfig)
+    mapping_kwargs: Optional[Dict[str, Any]] = None
+    name: str = "map_to_dist"
+
+    def build(self, key: jax.Array):
+        from vaemolsim_tpu.models import MappingToDistribution
+
+        k_dist, k_map = jax.random.split(key)
+        dist = self.dist.build(k_dist) if isinstance(
+            self.dist, FlowedDistConfig) else self.dist.build(key=k_dist)
+        return MappingToDistribution.create(
+            k_map, dist, input_shape=_shape(self.input_shape),
+            mapping_kwargs=self.mapping_kwargs, name=self.name)
+
+
+@dataclass
+class FlowModelConfig:
+    """FlowModel: optional mapping + flowed distribution (reference
+    vaemolsim/models.py:16-148)."""
+
+    flowed_dist: FlowedDistConfig = field(default_factory=FlowedDistConfig)
+    input_shape: Optional[Union[int, List[int]]] = None
+    mapping_kwargs: Optional[Dict[str, Any]] = None
+
+    def build(self, key: jax.Array):
+        from vaemolsim_tpu.models import FlowModel
+
+        k_dist, k_map = jax.random.split(key)
+        return FlowModel.create(k_map, self.flowed_dist.build(k_dist),
+                                input_shape=_shape(self.input_shape),
+                                mapping_kwargs=self.mapping_kwargs)
+
+
+@dataclass
+class VAEConfig:
+    """Full VAE: encoder/decoder MappingToDistribution configs, a prior
+    (flowed or standard normal), and a regularizer (reference
+    vaemolsim/models.py:242-332)."""
+
+    encoder: MappingToDistConfig = field(default_factory=MappingToDistConfig)
+    decoder: MappingToDistConfig = field(default_factory=MappingToDistConfig)
+    prior: Optional[FlowedDistConfig] = None  # None -> standard normal
+    latent_dim: int = 1
+    regularizer: RegularizerConfig = field(default_factory=RegularizerConfig)
+    dual_elbo: bool = False
+    reverse_regularizer: Optional[RegularizerConfig] = None
+
+    def build(self, key: jax.Array):
+        import jax.numpy as jnp
+
+        from vaemolsim_tpu.models import VAE, VAEDualELBO
+        from vaemolsim_tpu.ops import distributions as d
+
+        k_enc, k_dec, k_prior = jax.random.split(key, 3)
+        encoder = self.encoder.build(k_enc)
+        decoder = self.decoder.build(k_dec)
+        if self.prior is not None:
+            prior = self.prior.build(k_prior)
+        else:
+            prior = d.Independent(
+                d.Normal(jnp.zeros(self.latent_dim),
+                         jnp.ones(self.latent_dim)), 1)
+        if self.dual_elbo:
+            rev = (self.reverse_regularizer or
+                   RegularizerConfig(kind="reverse_kl")).build()
+            return VAEDualELBO(encoder=encoder, decoder=decoder, prior=prior,
+                               regularizer_forward=self.regularizer.build(),
+                               regularizer_reverse=rev)
+        return VAE(encoder=encoder, decoder=decoder, prior=prior,
+                   regularizer=self.regularizer.build())
+
+
+@dataclass
+class BackmappingConfig:
+    """BackmappingOnly: DistanceSelection + ParticleEmbedding feeding a
+    decoding MappingToDistribution (reference vaemolsim/models.py:470-572;
+    Molecular_Backmapping workload defaults)."""
+
+    selection: DistanceSelectionConfig = field(
+        default_factory=lambda: DistanceSelectionConfig(max_included=10))
+    embedding: ParticleEmbeddingConfig = field(
+        default_factory=ParticleEmbeddingConfig)
+    decoder: MappingToDistConfig = field(default_factory=MappingToDistConfig)
+
+    def build(self, key: jax.Array):
+        from vaemolsim_tpu.models import BackmappingOnly
+        from vaemolsim_tpu.nn import LocalParticleDescriptors
+
+        k_embed, k_dec = jax.random.split(key)
+        lpd = LocalParticleDescriptors(
+            select=self.selection.build(),
+            embed=self.embedding.build(k_embed))
+        return BackmappingOnly(mask_and_embed=lpd,
+                               decoder=self.decoder.build(k_dec))
+
+
+@dataclass
+class OptimizerConfig:
+    """optax optimizer knobs (reference trains with Adam)."""
+
+    name: str = "adam"
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.0
+
+    def build(self):
+        import optax
+
+        if self.name == "adam":
+            return optax.adam(self.learning_rate)
+        if self.name == "adamw":
+            return optax.adamw(self.learning_rate,
+                               weight_decay=self.weight_decay)
+        if self.name == "sgd":
+            return optax.sgd(self.learning_rate)
+        raise ValueError(f"Unknown optimizer {self.name!r}")
+
+
+@dataclass
+class ExperimentConfig:
+    """One JSON = one reproducible experiment: model + optimizer +
+    training + MC run knobs + the PRNG seed.  ``build()`` returns the
+    model; pair with ``save_json``/``load_json`` and orbax weight
+    checkpoints for full restore in a fresh process."""
+
+    model: Union[VAEConfig, FlowModelConfig, BackmappingConfig,
+                 MappingToDistConfig] = field(default_factory=VAEConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    seed: int = 0
+    num_epochs: int = 1
+    batch_size: Optional[int] = None
+    mcmc: Optional[MCMCConfig] = None
+
+    def build(self):
+        return self.model.build(jax.random.PRNGKey(self.seed))
+
+
+def _shape(s):
+    if isinstance(s, list):
+        return tuple(s)
+    return s
+
+
+def flagship_experiment_config() -> "ExperimentConfig":
+    """The bench/dryrun flagship (config-4/5 workload, SURVEY.md §6): VAE
+    with a 2-block RQS-spline MAF flow prior over a 1-D standard-normal
+    latent, normal blockwise encoder/decoder, KL regularizer — fully
+    reconstructible from one JSON (SURVEY.md §5.4)."""
+    return ExperimentConfig(
+        model=VAEConfig(
+            encoder=MappingToDistConfig(
+                input_shape=2,
+                dist=DistLayerConfig(kind="independent_blockwise",
+                                     num_dofs=1, families="normal"),
+                mapping_kwargs={"hidden_dim": 200}),
+            decoder=MappingToDistConfig(
+                input_shape=1,
+                dist=DistLayerConfig(kind="independent_blockwise",
+                                     num_dofs=2, families="normal"),
+                mapping_kwargs={"hidden_dim": 200}),
+            prior=FlowedDistConfig(
+                flow=MAFConfig(data_dim=1, num_blocks=2,
+                               rqs=RQSParams(num_bins=32, hidden_dim=200,
+                                             bin_range=(-5.0, 5.0))),
+                base=None, static_base_dim=1),
+            latent_dim=1,
+            regularizer=RegularizerConfig(kind="kl")),
+        mcmc=MCMCConfig(n_chains=10_000, n_steps=100))
+
+
+_CONFIG_REGISTRY: Dict[str, type] = {
+    c.__name__: c
+    for c in (RQSParams, RealNVPConfig, MAFConfig, MappingConfig,
+              DistanceSelectionConfig, ParticleEmbeddingConfig, MCMCConfig,
+              DistLayerConfig, FlowedDistConfig, RegularizerConfig,
+              MappingToDistConfig, FlowModelConfig, VAEConfig,
+              BackmappingConfig, OptimizerConfig, ExperimentConfig)
+}

@@ -9,6 +9,7 @@ from vaemolsim_tpu.parallel.replica import (  # noqa: F401
 )
 from vaemolsim_tpu.parallel.sharding import (  # noqa: F401
     chain_sharding,
+    make_hybrid_mesh,
     make_mesh,
     replicate,
     shard_chain_state,

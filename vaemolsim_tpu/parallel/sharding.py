@@ -18,8 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "chain_sharding", "shard_chain_state",
-           "replicate"]
+__all__ = ["make_mesh", "make_hybrid_mesh", "chain_sharding",
+           "shard_chain_state", "replicate"]
 
 
 def make_mesh(axis_sizes: Optional[dict] = None,
@@ -42,6 +42,62 @@ def make_mesh(axis_sizes: Optional[dict] = None,
                          f"{n} devices")
     dev_array = np.asarray(devices).reshape(sizes)
     return Mesh(dev_array, names)
+
+
+def make_hybrid_mesh(dcn_axis_sizes: dict, ici_axis_sizes: dict,
+                     devices: Optional[Sequence] = None) -> Mesh:
+    """Slice-aware mesh for multi-slice TPU pods (SURVEY.md §2.4: ICI
+    within a pod slice, DCN across slices).
+
+    ``dcn_axis_sizes`` name the mesh axes laid out ACROSS slices (slow
+    DCN links — e.g. the replica-exchange ladder, which swaps only small
+    per-chain scalars), ``ici_axis_sizes`` the axes WITHIN a slice (fast
+    ICI — e.g. the chain axis whose collectives carry state).  On real
+    multi-slice hardware the layout comes from
+    ``mesh_utils.create_hybrid_device_mesh``; on single-slice or virtual
+    (CPU) devices the same logical mesh is emulated by factoring the
+    device list, so multi-slice programs compile and dry-run anywhere.
+
+    The last axis of either dict may be -1 to absorb the remainder.
+    """
+    from jax.experimental import mesh_utils
+
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+
+    def _resolve(sizes: dict, total: int) -> dict:
+        vals = list(sizes.values())
+        known = int(np.prod([s for s in vals if s != -1]))
+        vals = [total // known if s == -1 else s for s in vals]
+        return dict(zip(sizes, vals))
+
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    multi_slice = len(slice_ids) > 1 and None not in slice_ids
+
+    if multi_slice:
+        n_slices = len(slice_ids)
+        dcn = _resolve(dcn_axis_sizes, n_slices)
+        ici = _resolve(ici_axis_sizes, n // n_slices)
+        names = tuple(dcn) + tuple(ici)
+        # Hybrid helper wants per-axis (dcn, ici) factors on shared axes:
+        # give DCN axes ici-factor 1 and ICI axes dcn-factor 1.
+        ici_shape = tuple([1] * len(dcn) + list(ici.values()))
+        dcn_shape = tuple(list(dcn.values()) + [1] * len(ici))
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            ici_shape, dcn_shape, devices=devices)
+        return Mesh(dev_array, names)
+
+    # Single slice / virtual devices: emulate by factoring the flat list,
+    # DCN axes outermost (so a future multi-slice run keeps the layout).
+    dcn = _resolve(dcn_axis_sizes, n)
+    rem = n // max(int(np.prod(list(dcn.values()))), 1)
+    ici = _resolve(ici_axis_sizes, rem)
+    names = tuple(dcn) + tuple(ici)
+    sizes = list(dcn.values()) + list(ici.values())
+    if int(np.prod(sizes)) != n:
+        raise ValueError(f"Hybrid mesh {dict(zip(names, sizes))} does not "
+                         f"use all {n} devices")
+    return Mesh(np.asarray(devices).reshape(sizes), names)
 
 
 def chain_sharding(mesh: Mesh, ndim: int, chain_axis: int = 0,

@@ -5,6 +5,15 @@ workflow (SURVEY.md §1 L5): models are parameter pytrees, the loss is a
 callable ``loss_fn(model, batch, key) -> scalar | (scalar, metrics)``,
 and one jitted step does grad + update.  Batching is static-shape
 (drop-remainder) so the step compiles once.
+
+``data`` may be a single array or any pytree of arrays sharing the
+leading (sample) axis — the reference trains BackmappingOnly directly on
+a 3-input list (vaemolsim/models.py:510-542, tests/test_models.py:265-308)
+and this loop does the same with tuples/dicts.  With ``scan_epochs=True``
+the whole epoch (shuffle + every batch step) compiles to ONE jitted
+``lax.scan`` with device-resident data — one dispatch per epoch instead
+of one per batch, the right shape for TPU at the reference's
+100k-sample flow workload (SURVEY.md §6 row 1).
 """
 
 from __future__ import annotations
@@ -27,71 +36,132 @@ def make_train_step(loss_fn: Callable, optimizer) -> Callable:
 
     @jax.jit
     def step(model, opt_state, batch, key):
-        def wrapped(m):
-            out = loss_fn(m, batch, key)
-            if isinstance(out, tuple):
-                return out
-            return out, {}
-
-        (loss, metrics), grads = jax.value_and_grad(
-            wrapped, has_aux=True)(model)
-        # Pass params: required by optax transforms that use them
-        # (adamw / add_decayed_weights / lion), harmless otherwise.
-        updates, opt_state = optimizer.update(grads, opt_state, model)
-        model = optax.apply_updates(model, updates)
-        return model, opt_state, loss, metrics
+        return _train_step(loss_fn, optimizer, model, opt_state, batch, key)
 
     return step
 
 
-def fit(model: Any, loss_fn: Callable, data: Array, *,
+def _train_step(loss_fn, optimizer, model, opt_state, batch, key):
+    def wrapped(m):
+        out = loss_fn(m, batch, key)
+        if isinstance(out, tuple):
+            return out
+        return out, {}
+
+    (loss, metrics), grads = jax.value_and_grad(wrapped, has_aux=True)(model)
+    # Pass params: required by optax transforms that use them
+    # (adamw / add_decayed_weights / lion), harmless otherwise.
+    updates, opt_state = optimizer.update(grads, opt_state, model)
+    model = optax.apply_updates(model, updates)
+    return model, opt_state, loss, metrics
+
+
+def _num_samples(data) -> int:
+    leaves = jax.tree_util.tree_leaves(data)
+    if not leaves:
+        raise ValueError("data has no array leaves")
+    n = leaves[0].shape[0]
+    for leaf in leaves[1:]:
+        if leaf.shape[0] != n:
+            raise ValueError(
+                "all data leaves must share the leading (sample) axis; got "
+                f"sizes {sorted({l.shape[0] for l in leaves})}")
+    return n
+
+
+def _take(data, idx):
+    return jax.tree_util.tree_map(lambda a: a[idx], data)
+
+
+def fit(model: Any, loss_fn: Callable, data: Any, *,
         key: Array,
         num_epochs: int = 1,
         batch_size: Optional[int] = None,
         optimizer=None,
         learning_rate: float = 1e-3,
         shuffle: bool = True,
+        scan_epochs: bool = False,
         verbose: bool = False) -> Tuple[Any, Dict[str, List[float]]]:
     """Fit ``model`` by minimizing ``loss_fn`` over ``data``.
 
-    Returns ``(model, history)`` where history maps metric names (always
-    including "loss" and "epoch_time_s") to per-epoch means — the
-    replacement for Keras' fit history the reference relies on.
+    ``data`` is an array or a pytree of arrays (tuple / list / dict) with
+    a shared leading sample axis; each batch passed to ``loss_fn`` has the
+    same structure.  Returns ``(model, history)`` where history maps
+    metric names (always including "loss" and "epoch_time_s") to
+    per-epoch means — the replacement for Keras' fit history the
+    reference relies on.
     """
     optimizer = optimizer or optax.adam(learning_rate)
     opt_state = optimizer.init(model)
-    step = make_train_step(loss_fn, optimizer)
 
-    n = data.shape[0]
+    n = _num_samples(data)
     batch_size = batch_size or n
     n_batches = max(n // batch_size, 1)
+
+    if scan_epochs:
+        data = jax.tree_util.tree_map(jnp.asarray, data)
+
+        @jax.jit
+        def run_epoch(model, opt_state, key):
+            # Same split order as the host-driven path so both modes see
+            # identical PRNG streams (tested).
+            k_eps, k_shuf = jax.random.split(key)
+            order = (jax.random.permutation(k_shuf, n) if shuffle
+                     else jnp.arange(n))
+            batch_idx = order[: n_batches * batch_size].reshape(
+                n_batches, batch_size)
+
+            def body(carry, bidx):
+                model, opt_state, k = carry
+                k, k_step = jax.random.split(k)
+                model, opt_state, loss, metrics = _train_step(
+                    loss_fn, optimizer, model, opt_state,
+                    _take(data, bidx), k_step)
+                return (model, opt_state, k), (loss, metrics)
+
+            (model, opt_state, _), (losses, metrics) = jax.lax.scan(
+                body, (model, opt_state, k_eps), batch_idx)
+            mean_metrics = jax.tree_util.tree_map(jnp.mean, metrics)
+            return model, opt_state, jnp.mean(losses), mean_metrics
+    else:
+        step = make_train_step(loss_fn, optimizer)
 
     history: Dict[str, List[float]] = {"loss": [], "epoch_time_s": []}
     for epoch in range(num_epochs):
         t0 = time.perf_counter()
-        key, k_shuf = jax.random.split(key)
-        order = (jax.random.permutation(k_shuf, n) if shuffle
-                 else jnp.arange(n))
-        epoch_metrics: Dict[str, list] = {}
-        epoch_loss = []
-        for b in range(n_batches):
-            batch = data[order[b * batch_size:(b + 1) * batch_size]]
-            key, k_step = jax.random.split(key)
-            model, opt_state, loss, metrics = step(model, opt_state, batch,
-                                                   k_step)
-            # Keep device scalars; one host sync per epoch below (per-step
-            # float() would serialize JAX's async dispatch).
-            epoch_loss.append(loss)
-            for name, v in metrics.items():
-                if name in ("loss", "epoch_time_s"):
-                    continue  # reserved history keys (e.g. elbo_loss's
-                    # own "loss" metric duplicates the total)
-                epoch_metrics.setdefault(name, []).append(v)
-        history["loss"].append(float(np.mean(jax.device_get(epoch_loss))))
-        history["epoch_time_s"].append(time.perf_counter() - t0)
-        for name, vals in epoch_metrics.items():
-            history.setdefault(name, []).append(
-                float(np.mean(jax.device_get(vals))))
+        key, k_epoch = jax.random.split(key)
+        if scan_epochs:
+            model, opt_state, mean_loss, mean_metrics = run_epoch(
+                model, opt_state, k_epoch)
+            history["loss"].append(float(mean_loss))
+            for name, v in mean_metrics.items():
+                if name not in ("loss", "epoch_time_s"):
+                    history.setdefault(name, []).append(float(v))
+            history["epoch_time_s"].append(time.perf_counter() - t0)
+        else:
+            key2, k_shuf = jax.random.split(k_epoch)
+            order = (jax.random.permutation(k_shuf, n) if shuffle
+                     else jnp.arange(n))
+            epoch_metrics: Dict[str, list] = {}
+            epoch_loss = []
+            for b in range(n_batches):
+                batch = _take(data, order[b * batch_size:(b + 1) * batch_size])
+                key2, k_step = jax.random.split(key2)
+                model, opt_state, loss, metrics = step(model, opt_state,
+                                                       batch, k_step)
+                # Keep device scalars; one host sync per epoch below
+                # (per-step float() would serialize JAX's async dispatch).
+                epoch_loss.append(loss)
+                for name, v in metrics.items():
+                    if name in ("loss", "epoch_time_s"):
+                        continue  # reserved history keys (e.g. elbo_loss's
+                        # own "loss" metric duplicates the total)
+                    epoch_metrics.setdefault(name, []).append(v)
+            history["loss"].append(float(np.mean(jax.device_get(epoch_loss))))
+            history["epoch_time_s"].append(time.perf_counter() - t0)
+            for name, vals in epoch_metrics.items():
+                history.setdefault(name, []).append(
+                    float(np.mean(jax.device_get(vals))))
         if verbose:
             print(f"epoch {epoch}: loss {history['loss'][-1]:.4f} "
                   f"({history['epoch_time_s'][-1]:.2f}s)")
