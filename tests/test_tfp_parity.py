@@ -1,0 +1,111 @@
+"""TFP-parity goldens consumption (north-star "ELBO within 1e-3 of the
+TF reference" evidence path; VERDICT round-1 item 7).
+
+tests/goldens/tfp_parity.json is produced either by
+tools/tf_reference_parity.py (on a TF-equipped machine — true
+cross-framework evidence, ``source: "tfp"``) or by
+tools/make_placeholder_goldens.py (``source: "self"`` — exercises the
+identical schema and consumption path until the TF run happens).  The
+comparisons below run against whichever file is committed; the 1e-3
+budget is the north-star tolerance.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+GOLDENS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "goldens", "tfp_parity.json")
+
+
+@pytest.fixture(scope="module")
+def goldens():
+    with open(GOLDENS_PATH) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def computers():
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import parity_common
+    return parity_common.COMPUTERS
+
+
+def test_goldens_format(goldens):
+    assert goldens["source"] in ("self", "tfp")
+    assert "generator" in goldens and "seed" in goldens["generator"]
+    expected = {"rqs_spline", "von_mises", "von_mises_layer",
+                "von_mises_sample_stats", "blockwise_normal", "fcdeepnn",
+                "maf_composite", "elbo_fixed"}
+    assert expected <= set(goldens["cases"])
+
+
+def test_goldens_are_from_tfp(goldens):
+    if goldens["source"] != "tfp":
+        pytest.skip(
+            "Goldens are self-generated placeholders; run "
+            "tools/tf_reference_parity.py on a machine with "
+            "tensorflow<=2.15 + tensorflow-probability<=0.23 + the "
+            "reference vaemolsim installed, then commit the output to "
+            f"{GOLDENS_PATH} for true cross-framework evidence.")
+
+
+@pytest.mark.parametrize("case_name,fields,tol", [
+    ("rqs_spline", ["forward_y", "forward_ldj", "inverse_x",
+                    "inverse_ildj"], 1e-3),
+    ("von_mises", ["loc", "concentration", "log_prob"], 1e-3),
+    ("von_mises_layer", ["log_prob"], 1e-3),
+    ("blockwise_normal", ["log_prob"], 1e-3),
+    ("fcdeepnn", ["y"], 1e-3),
+    ("elbo_fixed", ["log_q_z_given_x", "log_p_x_given_z", "log_p_z",
+                    "elbo_fixed"], 1e-3),
+])
+def test_case_parity(goldens, computers, case_name, fields, tol):
+    case = goldens["cases"][case_name]
+    ours = computers[case_name](case)
+    for field in fields:
+        got = np.asarray(ours[field], np.float64)
+        want = np.asarray(case[field], np.float64)
+        np.testing.assert_allclose(
+            got, want, atol=tol, rtol=tol,
+            err_msg=f"{case_name}.{field} (source={goldens['source']})")
+
+
+def test_maf_composite_parity(goldens, computers):
+    """Stage-wise (per-block inverse + log-det) and end-to-end MAF
+    log-prob within the 1e-3 budget."""
+    case = goldens["cases"]["maf_composite"]
+    ours = computers["maf_composite"](case)
+    for i, (got_st, want_st) in enumerate(zip(ours["stages"],
+                                              case["stages"])):
+        np.testing.assert_allclose(
+            np.asarray(got_st["output"]), np.asarray(want_st["output"]),
+            atol=1e-3, rtol=1e-3, err_msg=f"stage {i} output")
+        np.testing.assert_allclose(
+            np.asarray(got_st["ildj"]), np.asarray(want_st["ildj"]),
+            atol=1e-3, rtol=1e-3, err_msg=f"stage {i} ildj")
+    np.testing.assert_allclose(
+        np.asarray(ours["log_prob"]), np.asarray(case["log_prob"]),
+        atol=1e-3, rtol=1e-3, err_msg="composite log_prob")
+
+
+def test_von_mises_sample_stats(goldens, computers):
+    """Sampler moment parity: both samplers' E[cos(z-loc)] must agree
+    with each other and the analytic I1/I0 ratio within combined MC
+    error."""
+    from scipy.special import i0e, i1e
+
+    case = goldens["cases"]["von_mises_sample_stats"]
+    ours = computers["von_mises_sample_stats"](case, n_override=100_000)
+    for want, got in zip(case["stats"], ours["stats"]):
+        kappa = want["concentration"]
+        analytic = i1e(kappa) / i0e(kappa)
+        # MC std of mean_cos <= sqrt(1/2n); use 5 sigma of the larger n.
+        tol = 5.0 * np.sqrt(0.5 / min(want["n"], got["n"]))
+        assert abs(got["mean_cos"] - analytic) < tol, (kappa, "ours")
+        assert abs(want["mean_cos"] - analytic) < tol, (kappa, "goldens")
+        assert abs(got["mean_sin"]) < tol and abs(want["mean_sin"]) < tol
