@@ -7,5 +7,7 @@ from vaemolsim_tpu.flows.spline_flows import (  # noqa: F401
     RQSSplineMAF,
     RQSSplineRealNVP,
     SplineConditioner,
+    maf_fused_enabled,
+    set_maf_fused,
 )
 from vaemolsim_tpu.ops.bijectors import make_domain_transform  # noqa: F401

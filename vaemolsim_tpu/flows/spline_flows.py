@@ -38,7 +38,8 @@ from vaemolsim_tpu.ops.rqs import RationalQuadraticSpline
 Array = jax.Array
 
 __all__ = ["SplineConditioner", "CouplingLayer", "RQSSplineRealNVP",
-           "MaskedSplineConditioner", "MAFLayer", "RQSSplineMAF"]
+           "MaskedSplineConditioner", "MAFLayer", "RQSSplineMAF",
+           "set_maf_fused", "maf_fused_enabled"]
 
 
 def _bin_positions(raw: Array, bin_min: float, bin_max: float,
@@ -136,15 +137,25 @@ class CouplingLayer(bj.Bijector):
             return jnp.concatenate([moved, cond_part], axis=-1)
         return jnp.concatenate([cond_part, moved], axis=-1)
 
+    def _spline(self, cond_part):
+        if cond_part.shape[-1] == 0:
+            # The zero-width (data_dim==1) conditioner sees a constant
+            # ones input (reference flows.py:180-187): evaluate ONE row
+            # and broadcast, instead of running the (batch, hidden)
+            # trunk (same constant-spline optimization as
+            # MAFLayer._spline; measured ~2x on 1-D flow training).
+            return self.conditioner(jnp.zeros((1, 0), cond_part.dtype))
+        return self.conditioner(cond_part)
+
     def forward_and_log_det(self, x, context=None):
         cond_part, rest, flipped = self._split(x)
-        spline = self.conditioner(cond_part)
+        spline = self._spline(cond_part)
         y, ldj = spline.forward_and_log_det(rest)
         return self._join(cond_part, y, flipped), jnp.sum(ldj, axis=-1)
 
     def inverse_and_log_det(self, y, context=None):
         cond_part, rest, flipped = self._split(y)
-        spline = self.conditioner(cond_part)
+        spline = self._spline(cond_part)
         x, ldj = spline.inverse_and_log_det(rest)
         return self._join(cond_part, x, flipped), jnp.sum(ldj, axis=-1)
 
@@ -338,26 +349,36 @@ class MaskedSplineConditioner:
     def conditional(self) -> bool:
         return self.w_net.conditional
 
-    def _merged_raw(self, x: Array,
-                    conditional_input: Optional[Array]) -> Tuple[Array, ...]:
-        """Evaluate the three MADEs as ONE block-diagonal masked net.
+    @property
+    def mergeable(self) -> bool:
+        """True when the three MADEs are the standard single-hidden-layer
+        nets that merge into one block-diagonal evaluation."""
+        return all(len(n.kernels) == 2
+                   for n in (self.w_net, self.h_net, self.s_net))
 
-        Exactly equivalent (the merged first layer stacks the three
-        hidden blocks side by side; the second layer is block-diagonal,
-        so no cross-talk), but 2 matmuls per conditioner eval instead of
-        6 — the weight assembly depends only on parameters, so XLA
-        hoists it out of the MCMC/scan loop (measured win on the
-        latency-bound 10k-chain workload).  Exactness is pinned by the
-        golden MAF log-prob tests.
-        """
+    def merged_params(self) -> Tuple[Optional[Array], ...]:
+        """Merged block-diagonal weights (k1, b1, k2, b2, c1, c2):
+        first-layer masked kernels stacked side by side, second layers
+        block-diagonal (no cross-talk), conditional kernels concatenated.
+        c1/c2 are None for unconditional nets.  Depends only on
+        parameters, so XLA hoists the assembly out of scan loops; also
+        the exact layout the fused Pallas kernel (ops/maf_fused.py)
+        consumes."""
         nets = (self.w_net, self.h_net, self.s_net)
-        if any(len(n.kernels) != 2 for n in nets):
-            # Merged path assumes the standard single-hidden-layer MADEs
-            # (MaskedSplineConditioner.create always builds these); fall
-            # back to three separate evaluations otherwise.
-            return (self.w_net(x, conditional_input),
-                    self.h_net(x, conditional_input),
-                    self.s_net(x, conditional_input))
+        k1 = jnp.concatenate(
+            [n.kernels[0] * n.masks[0] for n in nets], axis=1)
+        b1 = jnp.concatenate([n.biases[0] for n in nets])
+        k2 = jax.scipy.linalg.block_diag(
+            *[n.kernels[1] * n.masks[1] for n in nets])
+        b2 = jnp.concatenate([n.biases[1] for n in nets])
+        if self.w_net.conditional:
+            c1 = jnp.concatenate([n.cond_kernels[0] for n in nets], axis=1)
+            c2 = jnp.concatenate([n.cond_kernels[1] for n in nets], axis=1)
+        else:
+            c1 = c2 = None
+        return k1, b1, k2, b2, c1, c2
+
+    def _check_conditional(self, conditional_input):
         if self.w_net.conditional and conditional_input is None:
             raise ValueError(
                 "This conditioner is conditional; conditional_input is "
@@ -366,19 +387,41 @@ class MaskedSplineConditioner:
             raise ValueError(
                 "conditional_input passed to a non-conditional "
                 "conditioner; build with conditional=True.")
-        k1 = jnp.concatenate(
-            [n.kernels[0] * n.masks[0] for n in nets], axis=1)
-        b1 = jnp.concatenate([n.biases[0] for n in nets])
-        k2 = jax.scipy.linalg.block_diag(
-            *[n.kernels[1] * n.masks[1] for n in nets])
-        b2 = jnp.concatenate([n.biases[1] for n in nets])
-        h = jnp.tanh(x @ k1 + b1
-                     + (conditional_input @ jnp.concatenate(
-                         [n.cond_kernels[0] for n in nets], axis=1)
+
+    def _merged_raw(self, x: Array,
+                    conditional_input: Optional[Array]) -> Tuple[Array, ...]:
+        """Evaluate the three MADEs as ONE block-diagonal masked net.
+
+        Exactly equivalent, but 2 matmuls per conditioner eval instead
+        of 6 (measured win on the latency-bound 10k-chain workload).
+        Exactness is pinned by the golden MAF log-prob tests.
+        """
+        if not self.mergeable:
+            # Merged path assumes the standard single-hidden-layer MADEs
+            # (MaskedSplineConditioner.create always builds these); fall
+            # back to three separate evaluations otherwise.
+            return (self.w_net(x, conditional_input),
+                    self.h_net(x, conditional_input),
+                    self.s_net(x, conditional_input))
+        self._check_conditional(conditional_input)
+        k1, b1, k2, b2, c1, c2 = self.merged_params()
+        # Honor set_compute_dtype (bf16 MXU path with f32 accumulation) —
+        # identical semantics to the fused Pallas kernel
+        # (ops/maf_fused.py), so the two backends agree bit-for-bit.
+        from vaemolsim_tpu.nn.core import compute_dtype
+        cd = compute_dtype()
+
+        def mm(a, b):
+            if cd is None:
+                return a @ b
+            return jnp.dot(a.astype(cd), b.astype(cd),
+                           preferred_element_type=jnp.float32)
+
+        h = jnp.tanh(mm(x, k1) + b1
+                     + (mm(conditional_input, c1)
                         if self.w_net.conditional else 0.0))
-        out = (h @ k2 + b2
-               + (conditional_input @ jnp.concatenate(
-                   [n.cond_kernels[1] for n in nets], axis=1)
+        out = (mm(h, k2) + b2
+               + (mm(conditional_input, c2)
                   if self.w_net.conditional else 0.0))
         D, K = self.w_net.event_size, self.num_bins
         raw_w = out[..., : D * K].reshape(out.shape[:-1] + (D, K))
@@ -396,6 +439,26 @@ class MaskedSplineConditioner:
         return RationalQuadraticSpline(w, h, s, range_min=self.bin_min)
 
 
+_MAF_FUSED = False  # see set_maf_fused()
+
+
+def set_maf_fused(enabled: bool) -> None:
+    """Toggle the fused MAF-block Pallas kernel (ops/maf_fused.py): the
+    whole block — merged MADE matmuls, tanh, spline activations, RQS
+    eval + log-det — runs in one VMEM pass per tile instead of
+    round-tripping the (batch, 3*hidden) activation through HBM.  TPU
+    only; layers silently use the XLA path when the input/conditioner
+    shape is outside the kernel's support (non-merged MADEs, >2-D
+    batches).  Exactness vs the XLA path is golden-tested
+    (tests/test_maf_fused.py)."""
+    global _MAF_FUSED
+    _MAF_FUSED = bool(enabled)
+
+
+def maf_fused_enabled() -> bool:
+    return _MAF_FUSED
+
+
 @struct.dataclass
 class MAFLayer(bj.Bijector):
     """Masked autoregressive flow layer over an RQS conditioner.
@@ -404,28 +467,75 @@ class MAFLayer(bj.Bijector):
     (vaemolsim/flows.py:628-637).  Density (inverse) is one parallel
     pass; sampling (forward) is the inherent D-step fixed-point iteration,
     expressed as ``lax.fori_loop`` so it stays one fused XLA program
-    (SURVEY.md §7 hard part 1).
+    (SURVEY.md §7 hard part 1).  With ``set_maf_fused(True)`` both passes
+    run as single Pallas VMEM kernels on TPU.
     """
 
     conditioner: MaskedSplineConditioner
 
+    def _fused_args(self, t, context):
+        """(params, ctx) for the fused kernel, or None if unsupported."""
+        cond = self.conditioner
+        if not (_MAF_FUSED and cond.mergeable and t.ndim == 2
+                and (context is None or context.ndim == 2)
+                and jax.default_backend() == "tpu"):
+            return None
+        cond._check_conditional(context)
+        k1, b1, k2, b2, c1, c2 = cond.merged_params()
+        if context is not None:
+            return (k1, b1, k2, b2, c1, c2), context
+        return (k1, b1, k2, b2), None
+
+    def _fused_call(self, t, context, inverse: bool):
+        from vaemolsim_tpu.nn.core import compute_dtype
+        from vaemolsim_tpu.ops import maf_fused
+
+        args = self._fused_args(t, context)
+        if args is None:
+            return None
+        params, ctx = args
+        cond = self.conditioner
+        fn = (maf_fused.maf_block_inverse_fused if inverse
+              else maf_fused.maf_block_forward_fused)
+        return fn(t, params, ctx, cond.w_net.event_size, cond.num_bins,
+                  cond.bin_min, cond.bin_max,
+                  compute_dtype() or jnp.float32)
+
+    def _spline(self, t, context):
+        cond = self.conditioner
+        if cond.w_net.event_size == 1 and not cond.conditional:
+            # A 1-D autoregressive net's output may not depend on its
+            # input (every MADE mask is zero), so the spline parameters
+            # are a pure function of the biases/weights: evaluate ONE
+            # dummy row and broadcast, instead of the full
+            # (batch, 3*hidden) matmul + tanh XLA would otherwise run
+            # (measured ~2x on the flagship MC prior's per-step cost).
+            return cond(jnp.zeros((1, 1), t.dtype))
+        return cond(t, context)
+
     def forward_and_log_det(self, x, context=None):
+        fused = self._fused_call(x, context, inverse=False)
+        if fused is not None:
+            return fused
         D = self.conditioner.w_net.event_size
 
         def body(_, y):
-            spline = self.conditioner(y, context)
+            spline = self._spline(y, context)
             return spline.forward(x)
 
         # D total conditioner applications suffice (after k passes all
         # DOFs of autoregressive depth <= k are final): loop D-1 times
         # and let the final log-det evaluation be the D-th.
         y = jax.lax.fori_loop(0, D - 1, body, x)
-        spline = self.conditioner(y, context)
+        spline = self._spline(y, context)
         y, ldj = spline.forward_and_log_det(x)
         return y, jnp.sum(ldj, axis=-1)
 
     def inverse_and_log_det(self, y, context=None):
-        spline = self.conditioner(y, context)
+        fused = self._fused_call(y, context, inverse=True)
+        if fused is not None:
+            return fused
+        spline = self._spline(y, context)
         x, ldj = spline.inverse_and_log_det(y)
         return x, jnp.sum(ldj, axis=-1)
 
