@@ -1,0 +1,173 @@
+"""Fused whole-proposal kernel (mcmc/fused.py): density exactness vs the
+model's own distribution objects + MH wiring.
+
+The kernel's RNG stream differs from jax.random (MH is exact either
+way), so correctness is pinned by recomputing every density term for
+the kernel's OWN samples through the XLA distributions and requiring
+agreement, plus sampler moment checks.  Runs in Pallas interpret mode
+on the CPU mesh; bench.py exercises the compiled path on TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vaemolsim_tpu import losses
+from vaemolsim_tpu.dists import (IndependentBlockwise,
+                                 StaticFlowedDistribution)
+from vaemolsim_tpu.flows import RQSSplineMAF
+from vaemolsim_tpu.mcmc import MCMCState
+from vaemolsim_tpu.mcmc import fused as mf
+from vaemolsim_tpu.models import VAE, MappingToDistribution
+from vaemolsim_tpu.ops import distributions as d
+
+
+def small_flagship(key, hidden=32, num_bins=8):
+    keys = jax.random.split(key, 3)
+    encoder = MappingToDistribution.create(
+        keys[0], IndependentBlockwise.create(1, "normal"), input_shape=2,
+        mapping_kwargs={"hidden_dim": hidden})
+    decoder = MappingToDistribution.create(
+        keys[1], IndependentBlockwise.create(2, "normal"), input_shape=1,
+        mapping_kwargs={"hidden_dim": hidden})
+    prior = StaticFlowedDistribution(
+        flow=RQSSplineMAF.create(
+            keys[2], 1, num_blocks=2,
+            rqs_params={"num_bins": num_bins, "hidden_dim": hidden,
+                        "bin_range": [-5.0, 5.0]}),
+        base=d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1))
+    return VAE(encoder=encoder, decoder=decoder, prior=prior,
+               regularizer=losses.KLDivergenceEstimate())
+
+
+def run_proposal(vae, x1, seed=7):
+    enc_w, enc_act, _, d_z = mf._extract_mlp(vae.encoder, "encoder")
+    dec_w, dec_act, _, d_x = mf._extract_mlp(vae.decoder, "decoder")
+    tables_fn, base_params = mf._extract_prior(vae.prior)
+    (sw, sh, ss), range_min = tables_fn()
+    spec = mf._Spec(d_x=d_x, d_z=d_z, enc_act=enc_act, dec_act=dec_act,
+                    num_bins=sw.shape[-1], range_min=float(range_min))
+    # CPU interpret mode has no core PRNG: inject jax.random normals.
+    noise = jax.random.normal(jax.random.PRNGKey(seed),
+                              (x1.shape[0], 2 * d_z + d_x))
+    return mf.fused_vae_proposal(
+        x1, jnp.asarray(seed, jnp.int32), enc_w, dec_w, (sw, sh, ss),
+        base_params, spec, noise=noise, interpret=True)
+
+
+class TestDensityExactness:
+
+    def test_forward_reverse_match_xla_distributions(self):
+        """For the kernel's own (x1, z1, z2, x2), every density term —
+        and hence forward/reverse log-probs — must equal the XLA
+        distribution objects' values."""
+        vae = small_flagship(jax.random.PRNGKey(0))
+        x1 = jax.random.normal(jax.random.PRNGKey(1), (96, 2))
+        x2, fwd, rev, z1, z2 = run_proposal(vae, x1)
+
+        prior_dist = vae._prior_dist(z1, train=False)
+        want_fwd = (vae.encoder(x1).log_prob(z1)
+                    + prior_dist.log_prob(z2)
+                    + vae.decoder(z2).log_prob(x2))
+        want_rev = (vae.encoder(x2).log_prob(z2)
+                    + prior_dist.log_prob(z1)
+                    + vae.decoder(z1).log_prob(x1))
+        np.testing.assert_allclose(np.asarray(fwd), np.asarray(want_fwd),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(rev), np.asarray(want_rev),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_z2_is_flow_pushforward_of_base(self):
+        """z2 must lie in the prior flow's image with the correct
+        density: log p(z2) from the flow equals base log-prob minus the
+        forward log-det at the kernel's own base draw (checked
+        implicitly by the density test; here check z2's distribution
+        bulk lives where the flow puts it)."""
+        vae = small_flagship(jax.random.PRNGKey(2))
+        x1 = jax.random.normal(jax.random.PRNGKey(3), (2048, 2))
+        *_, z2 = run_proposal(vae, x1)
+        prior_dist = vae._prior_dist(jnp.zeros((1, 1)), train=False)
+        ref = prior_dist.sample(jax.random.PRNGKey(4), (2048,))
+        # Same distribution: compare mean/std within MC tolerance.
+        assert abs(float(jnp.mean(z2)) - float(jnp.mean(ref))) < 0.15
+        assert abs(float(jnp.std(z2)) - float(jnp.std(ref))) < 0.15
+
+    def test_sampler_moments_match_encoder(self):
+        """z1 = mu + sigma*eps with the encoder's own parameters."""
+        vae = small_flagship(jax.random.PRNGKey(5))
+        x1 = jnp.tile(jnp.asarray([[0.3, -0.7]]), (4096, 1))
+        _, _, _, z1, _ = run_proposal(vae, x1)
+        # Compare against a large XLA-path sample of the same encoder
+        # distribution (every row identical, so both are iid draws of
+        # the same 1-D normal).
+        samp = vae.encoder(x1).sample(jax.random.PRNGKey(6))
+        mu, sd = float(jnp.mean(samp)), float(jnp.std(samp))
+        assert abs(float(jnp.mean(z1)) - mu) < 5.0 * sd / np.sqrt(4096)
+        assert abs(float(jnp.std(z1)) - sd) < 0.1 * sd + 0.02
+
+
+class TestFusedStep:
+
+    def test_step_runs_and_accepts(self):
+        vae = small_flagship(jax.random.PRNGKey(0))
+
+        def log_target(x):
+            return -0.5 * jnp.sum(x ** 2, axis=-1)
+
+        step = mf.make_fused_vae_step(vae, log_target, interpret=True,
+                                      host_noise=True)
+        configs = jax.random.normal(jax.random.PRNGKey(1), (64, 2))
+        state = MCMCState.create(configs, log_target(configs),
+                                 jax.random.PRNGKey(2))
+        for _ in range(5):
+            state = step(state)
+        rate = float(state.acceptance_rate)
+        assert 0.0 < rate < 1.0
+        assert bool(jnp.all(jnp.isfinite(state.energies)))
+        assert float(state.num_trials) == 5 * 64
+
+    def test_padding_non_tile_aligned(self):
+        vae = small_flagship(jax.random.PRNGKey(3))
+        x1 = jax.random.normal(jax.random.PRNGKey(4), (77, 2))
+        x2, fwd, rev, z1, z2 = run_proposal(vae, x1)
+        assert x2.shape == (77, 2) and fwd.shape == (77,)
+        assert bool(jnp.all(jnp.isfinite(fwd)))
+        assert bool(jnp.all(jnp.isfinite(rev)))
+
+
+class TestUnsupportedModels:
+
+    def test_two_dim_latent_raises(self):
+        keys = jax.random.split(jax.random.PRNGKey(0), 3)
+        encoder = MappingToDistribution.create(
+            keys[0], IndependentBlockwise.create(2, "normal"),
+            input_shape=2, mapping_kwargs={"hidden_dim": 8})
+        decoder = MappingToDistribution.create(
+            keys[1], IndependentBlockwise.create(2, "normal"),
+            input_shape=2, mapping_kwargs={"hidden_dim": 8})
+        prior = StaticFlowedDistribution(
+            flow=RQSSplineMAF.create(keys[2], 2, num_blocks=2,
+                                     rqs_params={"num_bins": 4,
+                                                 "hidden_dim": 8}),
+            base=d.Independent(d.Normal(jnp.zeros(2), jnp.ones(2)), 1))
+        vae = VAE(encoder=encoder, decoder=decoder, prior=prior)
+        with pytest.raises(mf.UnsupportedModelError):
+            mf.make_fused_vae_step(vae, lambda x: -jnp.sum(x * x, -1))
+
+    def test_von_mises_decoder_raises(self):
+        keys = jax.random.split(jax.random.PRNGKey(1), 3)
+        encoder = MappingToDistribution.create(
+            keys[0], IndependentBlockwise.create(1, "normal"),
+            input_shape=2, mapping_kwargs={"hidden_dim": 8})
+        decoder = MappingToDistribution.create(
+            keys[1], IndependentBlockwise.create(2, "von_mises"),
+            input_shape=1, mapping_kwargs={"hidden_dim": 8})
+        prior = StaticFlowedDistribution(
+            flow=RQSSplineMAF.create(keys[2], 1, num_blocks=2,
+                                     rqs_params={"num_bins": 4,
+                                                 "hidden_dim": 8}),
+            base=d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1))
+        vae = VAE(encoder=encoder, decoder=decoder, prior=prior)
+        with pytest.raises(mf.UnsupportedModelError):
+            mf.make_fused_vae_step(vae, lambda x: -jnp.sum(x * x, -1))

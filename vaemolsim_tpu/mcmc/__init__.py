@@ -13,6 +13,10 @@ from vaemolsim_tpu.mcmc.engine import (  # noqa: F401
     run_mcmc_checkpointed,
     vae_proposal_fns,
 )
+from vaemolsim_tpu.mcmc.fused import (  # noqa: F401
+    UnsupportedModelError,
+    make_fused_vae_step,
+)
 from vaemolsim_tpu.mcmc.moves import (  # noqa: F401
     cycle_moves,
     make_random_walk_step,

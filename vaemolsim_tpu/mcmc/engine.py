@@ -128,29 +128,38 @@ def make_mcmc_step(encoder_fn: Callable[[Array], Any],
 
 
 def run_mcmc(step_fn: Callable[[MCMCState], MCMCState], state: MCMCState,
-             n_steps: int, collect_every: int = 0
+             n_steps: int, collect_every: int = 0, unroll: int = 4
              ) -> Tuple[MCMCState, Optional[Array]]:
     """Scan ``n_steps`` MC steps on device.
 
     With ``collect_every=k > 0``, also returns the configurations of every
     k-th step stacked as ``(n_steps//k, n_chains, n_dofs)`` (trajectory
     collection the reference does by hand in notebooks).
+
+    ``unroll`` unrolls the scan body (measured ~10% on the 10k-chain
+    workload: the launch-bound step overlaps better across iterations);
+    it never changes results.
     """
     if collect_every and n_steps % collect_every != 0:
         raise ValueError("n_steps must be a multiple of collect_every")
+    unroll = max(min(unroll, n_steps if n_steps else 1), 1)
 
     if not collect_every:
         def body(s, _):
             return step_fn(s), None
 
-        state, _ = jax.lax.scan(body, state, None, length=n_steps)
+        state, _ = jax.lax.scan(body, state, None, length=n_steps,
+                                unroll=(unroll if n_steps % unroll == 0
+                                        else 1))
         return state, None
 
     def outer(s, _):
         def inner(s2, _):
             return step_fn(s2), None
 
-        s, _ = jax.lax.scan(inner, s, None, length=collect_every)
+        s, _ = jax.lax.scan(inner, s, None, length=collect_every,
+                            unroll=(unroll if collect_every % unroll == 0
+                                    else 1))
         return s, s.configs
 
     state, traj = jax.lax.scan(outer, state, None,
