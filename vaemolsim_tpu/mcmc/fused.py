@@ -37,6 +37,17 @@ distribution objects and requires agreement.
 Use :func:`make_fused_vae_step` (raises ``UnsupportedModelError`` for
 architectures outside the family; callers can fall back to
 ``make_mcmc_step``).
+
+MEASURED OUTCOME (v5e, tools/bench_fused.py, 1000-step scans, bf16
+generic path): the generic XLA engine wins — 84.5M props/s vs 24.0M
+(10k chains) and 130.6M vs 26.7M (50k chains).  Two reasons: (a) the
+constant-spline optimization (flows.MAFLayer._spline) already removed
+the conditioner matmuls this kernel was built to fuse, collapsing the
+XLA step to ~12 us marginal; (b) inside one jitted ``lax.scan`` there
+are no per-step dispatches to amortize, and the kernel's VPU
+broadcast-FMA MLPs run slower than XLA's fused codegen at these tiny
+widths.  The kernel stays as a correct, density-exact, tested backend
+(tests/test_mcmc_fused.py); see docs/performance.md for the study.
 """
 
 from __future__ import annotations
@@ -62,7 +73,10 @@ _TWO_PI = 2.0 * math.pi
 _HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
 _F32_EPS = float(np.finfo(np.float32).eps)
 
-TILE_N = 1024
+# 512-row tiles: at hidden width ~200 the kernel's live intermediates
+# (four MLP evals + spline tables per tile) fit the 16M scoped-VMEM
+# stack with room to spare; 1024 exceeded it by ~3% on v5e.
+TILE_N = 512
 
 
 class UnsupportedModelError(ValueError):
