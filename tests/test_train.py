@@ -120,6 +120,70 @@ class TestFit:
         assert len(hist["loss"]) == 2
 
 
+class TestFitMesh:
+    """Data-parallel fit over a device mesh (SURVEY.md §2.4 — the
+    reference has no distributed training; batch sharded over the mesh,
+    model replicated, XLA-inserted gradient all-reduce)."""
+
+    def _loss_fn(self, base):
+        def loss_fn(f, batch, key):
+            del key
+            return -jnp.mean(f(base).log_prob(batch))
+        return loss_fn
+
+    def test_mesh_matches_single_device(self):
+        from vaemolsim_tpu.parallel import make_mesh
+
+        base = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)
+        data = d.Normal(jnp.float32(1.5), jnp.float32(0.5)).sample(
+            jax.random.PRNGKey(1), (256, 1))
+        mesh = make_mesh({"batch": len(jax.devices())})
+
+        out = {}
+        for m in (None, mesh):
+            flow, hist = fit(make_flow(), self._loss_fn(base), data,
+                             key=jax.random.PRNGKey(2), num_epochs=3,
+                             batch_size=64, shuffle=False, mesh=m)
+            out[m is None] = (flow, hist)
+        # Same PRNG stream and batch order; differences only from float
+        # reduction order across the 8-way sharded mean.
+        np.testing.assert_allclose(out[True][1]["loss"],
+                                   out[False][1]["loss"], rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(out[True][0]),
+                        jax.tree_util.tree_leaves(out[False][0])):
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+    def test_mesh_scan_epochs_trains_and_stays_replicated(self):
+        from vaemolsim_tpu.parallel import make_mesh
+
+        base = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)
+        data = d.Normal(jnp.float32(1.0), jnp.float32(0.5)).sample(
+            jax.random.PRNGKey(1), (256, 1))
+        mesh = make_mesh({"batch": len(jax.devices())})
+        flow, hist = fit(make_flow(), self._loss_fn(base), data,
+                         key=jax.random.PRNGKey(2), num_epochs=4,
+                         batch_size=64, scan_epochs=True, mesh=mesh)
+        assert hist["loss"][-1] < hist["loss"][0]
+        for leaf in jax.tree_util.tree_leaves(flow):
+            assert leaf.sharding.is_fully_replicated, leaf.sharding
+
+    def test_mesh_wrong_axis_name_raises(self):
+        from vaemolsim_tpu.parallel import make_mesh
+
+        mesh = make_mesh({"chain": len(jax.devices())})
+        with pytest.raises(ValueError, match="mesh has axes"):
+            fit(make_flow(), lambda f, b, k: 0.0, jnp.ones((64, 1)),
+                key=jax.random.PRNGKey(0), mesh=mesh)
+
+    def test_mesh_indivisible_batch_raises(self):
+        from vaemolsim_tpu.parallel import make_mesh
+
+        mesh = make_mesh({"batch": len(jax.devices())})
+        with pytest.raises(ValueError, match="divide evenly"):
+            fit(make_flow(), lambda f, b, k: 0.0, jnp.ones((60, 1)),
+                key=jax.random.PRNGKey(0), mesh=mesh)
+
+
 class TestCheckpoint:
 
     def test_roundtrip_model(self, tmp_path):

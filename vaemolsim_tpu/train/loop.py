@@ -31,6 +31,37 @@ Array = jax.Array
 __all__ = ["fit", "make_train_step"]
 
 
+def _shard_for_fit(model, opt_state, data, mesh, mesh_axis):
+    """Data-parallel placement: model/optimizer replicated, data leaves
+    sharded along the sample axis over ``mesh_axis``.  With the loss
+    reducing over the batch, XLA inserts the gradient all-reduce (psum
+    over ICI) on its own — SPMD, no hand-written collectives."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if mesh_axis not in mesh.axis_names:
+        raise ValueError(f"mesh has axes {mesh.axis_names}; expected "
+                         f"{mesh_axis!r} (pass mesh_axis=...)")
+    n_shards = mesh.shape[mesh_axis]
+    repl = NamedSharding(mesh, P())
+
+    def put_data(a):
+        a = jnp.asarray(a)
+        if a.shape[0] % n_shards:
+            raise ValueError(
+                f"sample axis ({a.shape[0]}) must divide evenly over the "
+                f"{n_shards}-way {mesh_axis!r} mesh axis")
+        spec = [None] * a.ndim
+        spec[0] = mesh_axis
+        return jax.device_put(a, NamedSharding(mesh, P(*spec)))
+
+    model = jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.asarray(x), repl), model)
+    opt_state = jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.asarray(x), repl), opt_state)
+    data = jax.tree_util.tree_map(put_data, data)
+    return model, opt_state, data
+
+
 def make_train_step(loss_fn: Callable, optimizer) -> Callable:
     """Build the jitted (model, opt_state, batch, key) -> ... step."""
 
@@ -81,6 +112,8 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
         learning_rate: float = 1e-3,
         shuffle: bool = True,
         scan_epochs: bool = False,
+        mesh=None,
+        mesh_axis: str = "batch",
         verbose: bool = False) -> Tuple[Any, Dict[str, List[float]]]:
     """Fit ``model`` by minimizing ``loss_fn`` over ``data``.
 
@@ -90,6 +123,14 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
     metric names (always including "loss" and "epoch_time_s") to
     per-epoch means — the replacement for Keras' fit history the
     reference relies on.
+
+    ``mesh``: a ``jax.sharding.Mesh`` for data-parallel training — the
+    batch axis is sharded over mesh axis ``mesh_axis`` and the model /
+    optimizer state replicated; XLA inserts the gradient all-reduce.
+    (The reference has no distributed training at all, SURVEY.md §2.4;
+    this is the TPU-native first-class equivalent.)  Batch size must
+    divide evenly over the axis.  Results match single-device training
+    up to float reduction order.
     """
     optimizer = optimizer or optax.adam(learning_rate)
     opt_state = optimizer.init(model)
@@ -97,6 +138,21 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
     n = _num_samples(data)
     batch_size = batch_size or n
     n_batches = max(n // batch_size, 1)
+
+    batch_sharding = None
+    if mesh is not None:
+        model, opt_state, data = _shard_for_fit(model, opt_state, data,
+                                                mesh, mesh_axis)
+        if batch_size % mesh.shape[mesh_axis]:
+            raise ValueError(
+                f"batch_size ({batch_size}) must divide evenly over the "
+                f"{mesh.shape[mesh_axis]}-way {mesh_axis!r} mesh axis")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def batch_sharding(a):
+            spec = [None] * a.ndim
+            spec[0] = mesh_axis
+            return NamedSharding(mesh, P(*spec))
 
     if scan_epochs:
         data = jax.tree_util.tree_map(jnp.asarray, data)
@@ -114,9 +170,15 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
             def body(carry, bidx):
                 model, opt_state, k = carry
                 k, k_step = jax.random.split(k)
+                batch = _take(data, bidx)
+                if batch_sharding is not None:
+                    # Re-pin the shuffled gather's layout so every batch
+                    # is evenly sharded over the data-parallel axis.
+                    batch = jax.tree_util.tree_map(
+                        lambda a: jax.lax.with_sharding_constraint(
+                            a, batch_sharding(a)), batch)
                 model, opt_state, loss, metrics = _train_step(
-                    loss_fn, optimizer, model, opt_state,
-                    _take(data, bidx), k_step)
+                    loss_fn, optimizer, model, opt_state, batch, k_step)
                 return (model, opt_state, k), (loss, metrics)
 
             (model, opt_state, _), (losses, metrics) = jax.lax.scan(
@@ -146,6 +208,9 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
             epoch_loss = []
             for b in range(n_batches):
                 batch = _take(data, order[b * batch_size:(b + 1) * batch_size])
+                if batch_sharding is not None:
+                    batch = jax.tree_util.tree_map(
+                        lambda a: jax.device_put(a, batch_sharding(a)), batch)
                 key2, k_step = jax.random.split(key2)
                 model, opt_state, loss, metrics = step(model, opt_state,
                                                        batch, k_step)
