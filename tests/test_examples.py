@@ -28,6 +28,13 @@ def test_example_01_flows():
 
 
 @pytest.mark.slow
+def test_example_08_distributed():
+    out = run_example("08_distributed_training.py")
+    assert "8-way data-parallel mesh" in out
+    assert "sharded chains" in out
+
+
+@pytest.mark.slow
 def test_example_06_full_workflow():
     out = run_example("06_full_molecular_workflow.py")
     assert "exported 500 generated frames" in out
