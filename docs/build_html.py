@@ -21,6 +21,8 @@ OUT = os.path.join(DOCS, "_build", "html")
 PAGES = [
     ("index.md", "Overview"),
     ("getting_started.md", "Getting started"),
+    ("distributed.md", "Distributed execution"),
+    ("performance.md", "Performance"),
     ("api.md", "API reference"),
     ("migrating_from_vaemolsim.md", "Migrating from vaemolsim"),
 ]
