@@ -46,6 +46,37 @@ class TestConfigs:
         assert out.shape == (2, 6)
 
 
+class TestUntaggedDicts:
+    """from_dict on untagged dicts must resolve Union-annotated fields
+    by key coverage (never silently build the first member with
+    defaults) and reject unknown keys."""
+
+    def test_union_resolves_by_keys(self):
+        import dataclasses
+        c = cfg.ExperimentConfig(
+            model=cfg.FlowModelConfig(
+                input_shape=1,
+                flowed_dist=cfg.FlowedDistConfig(
+                    flow=cfg.MAFConfig(data_dim=1,
+                                       rqs=cfg.RQSParams(num_bins=4,
+                                                         hidden_dim=8)),
+                    static_base_dim=1)))
+        back = cfg.from_dict(cfg.ExperimentConfig, dataclasses.asdict(c))
+        assert isinstance(back.model, cfg.FlowModelConfig)
+        assert back.model.flowed_dist.flow.rqs.num_bins == 4
+
+    def test_unknown_keys_raise(self):
+        import pytest
+        with pytest.raises(ValueError, match="no fields"):
+            cfg.from_dict(cfg.VAEConfig, {"not_a_field": 1})
+
+    def test_unmatchable_union_raises(self):
+        import pytest
+        with pytest.raises(ValueError, match="matches none"):
+            cfg.from_dict(cfg.ExperimentConfig,
+                          {"model": {"definitely_not": 1}})
+
+
 class TestModelConfigs:
     """VERDICT item 5: typed configs for dist layers, losses, models, and
     a one-JSON experiment (reference get_config analog,

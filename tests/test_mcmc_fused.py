@@ -52,8 +52,8 @@ def run_proposal(vae, x1, seed=7):
     noise = jax.random.normal(jax.random.PRNGKey(seed),
                               (x1.shape[0], 2 * d_z + d_x))
     return mf.fused_vae_proposal(
-        x1, jnp.asarray(seed, jnp.int32), enc_w, dec_w, (sw, sh, ss),
-        base_params, spec, noise=noise, interpret=True)
+        x1, jnp.asarray([seed, seed + 1], jnp.int32), enc_w, dec_w,
+        (sw, sh, ss), base_params, spec, noise=noise, interpret=True)
 
 
 class TestDensityExactness:
@@ -134,6 +134,13 @@ class TestFusedStep:
         assert x2.shape == (77, 2) and fwd.shape == (77,)
         assert bool(jnp.all(jnp.isfinite(fwd)))
         assert bool(jnp.all(jnp.isfinite(rev)))
+
+
+def test_interpret_without_host_noise_raises():
+    vae = small_flagship(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="host_noise"):
+        mf.make_fused_vae_step(vae, lambda x: -jnp.sum(x * x, -1),
+                               interpret=True)
 
 
 class TestUnsupportedModels:

@@ -164,8 +164,17 @@ class TestHybridMesh:
 
     def test_hybrid_mesh_bad_sizes_raise(self):
         from vaemolsim_tpu.parallel import make_hybrid_mesh
-        with pytest.raises(ValueError, match="does not use all"):
+        with pytest.raises(ValueError, match="does not use all|divide"):
             make_hybrid_mesh({"replica": 3}, {"chain": 2})
+
+    def test_hybrid_mesh_dcn_wildcard(self):
+        """A -1 DCN axis resolves against the remainder over the
+        explicit ICI axes (not the whole device count) on the emulated
+        single-slice path — matching multi-slice hardware."""
+        from vaemolsim_tpu.parallel import make_hybrid_mesh
+        mesh = make_hybrid_mesh({"replica": -1}, {"chain": 4})
+        assert mesh.axis_names == ("replica", "chain")
+        assert mesh.devices.shape == (2, 4)
 
     def test_remc_on_hybrid_mesh(self):
         """Replica-exchange ladder with the replica axis across the

@@ -110,6 +110,18 @@ class TestFit:
                          batch_size=64, scan_epochs=True)
         assert hist["loss"][-1] < hist["loss"][0]
 
+    def test_fit_batch_size_larger_than_data(self):
+        """batch_size > n clamps to one full batch in BOTH paths (the
+        scanned path's reshape used to crash)."""
+        base = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)
+        data = jnp.ones((100, 1))
+        loss_fn = lambda f, b, k: -jnp.mean(f(base).log_prob(b))  # noqa: E731
+        for scan in (False, True):
+            flow, hist = fit(make_flow(), loss_fn, data,
+                             key=jax.random.PRNGKey(0), num_epochs=2,
+                             batch_size=128, scan_epochs=scan)
+            assert len(hist["loss"]) == 2
+
     def test_fit_scalar_loss_fn(self):
         flow = make_flow()
         base = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)

@@ -26,7 +26,8 @@ def _from_metadata() -> str | None:
 
 def _from_git() -> str | None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    if not os.path.isdir(os.path.join(root, ".git")):
+    # exists(), not isdir(): in worktrees/submodules .git is a gitfile.
+    if not os.path.exists(os.path.join(root, ".git")):
         return None
     try:
         out = subprocess.run(

@@ -51,15 +51,35 @@ def to_tagged_dict(cfg) -> Any:
     return cfg
 
 
-def _dataclass_in_annotation(ann):
+def _dataclass_in_annotation(ann, keys=None):
     """The dataclass type named by an annotation, looking through
-    Optional[...] / Union[...] wrappers; None if there isn't one."""
+    Optional[...] / Union[...] wrappers; None if there isn't one.
+
+    When the annotation is a Union of several config classes and the
+    dict is untagged, ``keys`` (the dict's keys) picks the member whose
+    field names cover them — and it is an error if none does, rather
+    than silently reconstructing the first member with defaults."""
     if dataclasses.is_dataclass(ann):
         return ann
-    for arg in typing.get_args(ann):
-        if dataclasses.is_dataclass(arg):
-            return arg
-    return None
+    cands = [a for a in typing.get_args(ann) if dataclasses.is_dataclass(a)]
+    if not cands:
+        return None
+    if len(cands) == 1 or keys is None:
+        return cands[0]
+    keys = set(keys)
+    # Exact field-set match first (dataclasses.asdict emits every field,
+    # so the true class matches exactly even when its fields are a
+    # subset of another Union member's); then subset coverage.
+    for c in cands:
+        if keys == {f.name for f in dataclasses.fields(c)}:
+            return c
+    for c in cands:
+        if keys <= {f.name for f in dataclasses.fields(c)}:
+            return c
+    raise ValueError(
+        f"untagged dict with keys {sorted(keys)} matches none of the "
+        f"annotated config classes {[c.__name__ for c in cands]}; write "
+        "it with to_tagged_dict/save_json to disambiguate")
 
 
 def from_dict(cls, d: Dict[str, Any]):
@@ -78,6 +98,13 @@ def from_dict(cls, d: Dict[str, Any]):
         raise ValueError("from_dict needs a target class or a "
                          f"'{_TAG}'-tagged dict")
     hints = typing.get_type_hints(cls)
+    field_names = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(d) - field_names - {_TAG}
+    if unknown:
+        raise ValueError(
+            f"{cls.__name__} has no fields {sorted(unknown)} — wrong "
+            "target class? (tagged dicts from to_tagged_dict/save_json "
+            "reconstruct unambiguously)")
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in d:
@@ -86,8 +113,9 @@ def from_dict(cls, d: Dict[str, Any]):
         if isinstance(v, dict) and _TAG in v:
             v = from_dict(None, v)
         else:
-            nested = _dataclass_in_annotation(hints.get(f.name))
-            if nested is not None and isinstance(v, dict):
+            nested = (_dataclass_in_annotation(hints.get(f.name), set(v))
+                      if isinstance(v, dict) else None)
+            if nested is not None:
                 v = from_dict(nested, v)
         kwargs[f.name] = v
     return cls(**kwargs)

@@ -26,7 +26,9 @@ once outside the kernel (XLA hoists them out of the scan) and enter as
 small (B, K) tables.
 
 RNG: the kernel uses the TPU core PRNG (pltpu.prng_random_bits), seeded
-per (step, tile) from a scalar derived from the chain's JAX key.  The
+per (step, tile) with two 32-bit words derived from the chain's JAX key
+plus the tile id (~64-bit stream; a single 31-bit seed would suffer
+birthday collisions across steps).  The
 proposal distribution is identical to the generic engine's; only the
 random stream differs — Metropolis-Hastings is exact either way.
 Density EXACTNESS vs the XLA distributions is what the tests pin: the
@@ -105,15 +107,15 @@ def _act(name, x):
     raise ValueError(name)
 
 
-def _mlp(x, w1, b1, w2, b2, act, cd):
+def _mlp(x, w1, b1, w2, b2, act):
     """One-hidden-layer FCDeepNN trunk + linear head, shaped for the VPU.
 
     Both contractions are degenerate for the MXU (first: K = d_x <= ~4;
     second: output lanes 2*d <= ~8, padded 128 on the systolic array —
     XLA itself lowers these to elementwise broadcast/reduce, which is
     why the generic engine's MLPs cost ~3 us).  Do the same here:
-    explicit broadcast-FMA over the tiny axis."""
-    del cd
+    explicit broadcast-FMA over the tiny axis.  All arithmetic is
+    float32 (densities feed exact MH acceptance)."""
     T = x.shape[0]
     H = w1.shape[1]
     h = jnp.broadcast_to(b1, (T, H))
@@ -183,7 +185,7 @@ def _spline_scalar(t_in, w, h, s, range_min, inverse):
 def _proposal_kernel(seed_ref, x1_ref, ew1_ref, eb1_ref, ew2_ref, eb2_ref,
                      dw1_ref, db1_ref, dw2_ref, db2_ref, sw_ref, sh_ref,
                      ss_ref, base_ref, *refs, spec: _Spec, n_blocks: int,
-                     cd, use_noise_input: bool):
+                     use_noise_input: bool):
     if use_noise_input:
         # Externally supplied standard normals (tests / debugging — the
         # CPU Pallas interpreter has no core PRNG).
@@ -199,12 +201,16 @@ def _proposal_kernel(seed_ref, x1_ref, ew1_ref, eb1_ref, ew2_ref, eb2_ref,
     if use_noise_input:
         eps = noise_ref[:]
     else:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        # Two independent 32-bit words per step + the tile id: a ~64-bit
+        # per-(step, tile) stream.  (A single 31-bit word risks birthday
+        # collisions — ~1% already at 2e4 (step, tile) pairs — which
+        # would replay identical noise blocks across steps.)
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
         eps = _normals(T, 2 * d_z + d_x)
 
     # Encoder at x1: z1 ~ q(.|x1).
     raw = _mlp(x1, ew1_ref[:], eb1_ref[:], ew2_ref[:], eb2_ref[:],
-               spec.enc_act, cd)
+               spec.enc_act)
     mu, sig = _normal_params(raw, d_z)
     z1 = mu + sig * eps[:, :d_z]
     log_z1_x1 = _normal_logprob(z1, mu, sig)
@@ -226,14 +232,14 @@ def _proposal_kernel(seed_ref, x1_ref, ew1_ref, eb1_ref, ew2_ref, eb2_ref,
 
     # Decoder at z2: x2 ~ q(.|z2).
     raw = _mlp(z2, dw1_ref[:], db1_ref[:], dw2_ref[:], db2_ref[:],
-               spec.dec_act, cd)
+               spec.dec_act)
     mu_x, sig_x = _normal_params(raw, d_x)
     x2 = mu_x + sig_x * eps[:, 2 * d_z:]
     log_x2_z2 = _normal_logprob(x2, mu_x, sig_x)
 
     # Reverse: log q(z2|x2), log p(z1), log q(x1|z1).
     raw = _mlp(x2, ew1_ref[:], eb1_ref[:], ew2_ref[:], eb2_ref[:],
-               spec.enc_act, cd)
+               spec.enc_act)
     mu_r, sig_r = _normal_params(raw, d_z)
     log_z2_x2 = _normal_logprob(z2, mu_r, sig_r)
 
@@ -247,7 +253,7 @@ def _proposal_kernel(seed_ref, x1_ref, ew1_ref, eb1_ref, ew2_ref, eb2_ref,
                       - _HALF_LOG_2PI, axis=-1, keepdims=True) + ildj)
 
     raw = _mlp(z1, dw1_ref[:], db1_ref[:], dw2_ref[:], db2_ref[:],
-               spec.dec_act, cd)
+               spec.dec_act)
     mu_r, sig_r = _normal_params(raw, d_x)
     log_x1_z1 = _normal_logprob(x1, mu_r, sig_r)
 
@@ -259,11 +265,13 @@ def _proposal_kernel(seed_ref, x1_ref, ew1_ref, eb1_ref, ew2_ref, eb2_ref,
 
 
 def fused_vae_proposal(x1: Array, seed: Array, enc_w, dec_w, spline_tables,
-                       base_params, spec: _Spec, cd=jnp.float32,
+                       base_params, spec: _Spec,
                        noise: Optional[Array] = None,
                        interpret: bool = False):
     """Run the proposal kernel over all chains.
 
+    ``seed``: (2,) int32 — two independent words seeding the core PRNG
+    (combined with the tile id inside the kernel).
     ``noise``: optional (N, 2*d_z + d_x) standard normals to use instead
     of the in-kernel PRNG (tests; CPU interpret mode has no core PRNG).
     Returns (x2, forward_log_p, reverse_log_p, z1, z2)."""
@@ -291,7 +299,7 @@ def fused_vae_proposal(x1: Array, seed: Array, enc_w, dec_w, spline_tables,
         return a.reshape(1, -1)
 
     kernel = functools.partial(_proposal_kernel, spec=spec,
-                               n_blocks=n_blocks, cd=cd,
+                               n_blocks=n_blocks,
                                use_noise_input=noise is not None)
     args = [x1, ew1, v2(eb1), ew2, v2(eb2), dw1, v2(db1), dw2, v2(db2),
             sw, sh, ss, base_params.reshape(1, 2)]
@@ -314,7 +322,7 @@ def fused_vae_proposal(x1: Array, seed: Array, enc_w, dec_w, spline_tables,
                    jax.ShapeDtypeStruct((Np, d_z), jnp.float32),
                    jax.ShapeDtypeStruct((Np, d_z), jnp.float32)],
         interpret=interpret,
-    )(seed.astype(jnp.int32).reshape(1), *args)
+    )(seed.astype(jnp.int32).reshape(2), *args)
     x2, fwd, rev, z1, z2 = outs
     return (x2[:N], fwd[:N, 0], rev[:N, 0], z1[:N], z2[:N])
 
@@ -402,7 +410,10 @@ def make_fused_vae_step(vae, log_target_fn: Callable[[Array], Array],
     ``host_noise=True`` draws the proposal normals with jax.random
     outside the kernel (required with ``interpret=True`` on CPU, where
     the core PRNG is unavailable)."""
-    from vaemolsim_tpu.nn.core import compute_dtype
+    if interpret and not host_noise:
+        raise ValueError(
+            "interpret=True requires host_noise=True: the Pallas "
+            "interpreter has no TPU core PRNG (pltpu.prng_random_bits)")
 
     enc_w, enc_act, enc_in, d_z = _extract_mlp(vae.encoder, "encoder")
     dec_w, dec_act, dec_in, d_x = _extract_mlp(vae.decoder, "decoder")
@@ -413,19 +424,20 @@ def make_fused_vae_step(vae, log_target_fn: Callable[[Array], Array],
 
     def step(state: MCMCState) -> MCMCState:
         key, k_seed, k_acc = jax.random.split(state.key, 3)
-        seed = jax.random.randint(k_seed, (), 0, np.iinfo(np.int32).max,
-                                  dtype=jnp.int32)
+        # Two full 32-bit words -> a ~64-bit per-step seed space; a
+        # single 31-bit seed collides (birthday) within ~1e4 steps.
+        seed = jax.random.randint(k_seed, (2,), np.iinfo(np.int32).min,
+                                  np.iinfo(np.int32).max, dtype=jnp.int32)
         (sw, sh, ss), range_min = tables_fn()
         spec = _Spec(d_x=d_x, d_z=d_z, enc_act=enc_act, dec_act=dec_act,
                      num_bins=sw.shape[-1], range_min=float(range_min))
-        cd = compute_dtype() or jnp.float32
         x1, e1 = state.configs, state.energies
         noise = (jax.random.normal(k_seed,
                                    (x1.shape[0], 2 * d_z + d_x))
                  if host_noise else None)
         x2, fwd, rev, _, _ = fused_vae_proposal(
             x1, seed, enc_w, dec_w, (sw, sh, ss), base_params, spec,
-            cd=cd, noise=noise, interpret=interpret)
+            noise=noise, interpret=interpret)
         e2 = log_target_fn(x2)
         log_acc = (e2 - e1) + rev - fwd
         log_u = jnp.log(jax.random.uniform(

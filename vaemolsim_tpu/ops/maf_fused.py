@@ -213,14 +213,10 @@ def _maf_kernel(y_ref, k1_ref, b1_ref, k2_ref, b2_ref, c_refs, x_ref,
     ldj_ref[:] = jnp.sum(ldj, axis=-1, keepdims=True)
 
 
-def _raw_layout(raw_split):
-    """Column layout of the merged conditioner output: the merged K2 is
-    block-diag over (w_net, h_net, s_net), giving columns
-    [D*K widths | D*K heights | D*(K-1) slopes], each net's output
-    row-major over (dof, param)."""
-    return raw_split
-
-
+# Column layout of the merged conditioner output (_maf_kernel's raw
+# slicing): the merged K2 is block-diag over (w_net, h_net, s_net),
+# giving columns [D*K widths | D*K heights | D*(K-1) slopes], each
+# net's output row-major over (dof, param).
 def _run(y: Array, params: Tuple[Array, ...], ctx: Optional[Array],
          data_dim: int, num_bins: int, bin_min: float, bin_max: float,
          inverse: bool, compute_dtype, interpret: bool

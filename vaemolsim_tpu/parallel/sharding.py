@@ -89,9 +89,29 @@ def make_hybrid_mesh(dcn_axis_sizes: dict, ici_axis_sizes: dict,
 
     # Single slice / virtual devices: emulate by factoring the flat list,
     # DCN axes outermost (so a future multi-slice run keeps the layout).
-    dcn = _resolve(dcn_axis_sizes, n)
-    rem = n // max(int(np.prod(list(dcn.values()))), 1)
-    ici = _resolve(ici_axis_sizes, rem)
+    # A single -1 (in either dict) absorbs the remainder over ALL
+    # explicit axes — so e.g. ({"replica": -1}, {"chain": 4}) on 8
+    # devices resolves replica=2, matching what multi-slice hardware
+    # would give.  With a -1 in each dict, the DCN one absorbs the
+    # remainder and the ICI one gets what is left.
+    explicit = int(np.prod([s for s in (*dcn_axis_sizes.values(),
+                                        *ici_axis_sizes.values())
+                            if s != -1]))
+    if explicit == 0 or n % max(explicit, 1):
+        raise ValueError(
+            f"explicit hybrid axes {dict(**dcn_axis_sizes, **ici_axis_sizes)} "
+            f"do not divide the {n} devices")
+    wilds = sum(s == -1 for s in (*dcn_axis_sizes.values(),
+                                  *ici_axis_sizes.values()))
+    if wilds <= 1:
+        dcn = {k: (n // explicit if s == -1 else s)
+               for k, s in dcn_axis_sizes.items()}
+        ici = {k: (n // explicit if s == -1 else s)
+               for k, s in ici_axis_sizes.items()}
+    else:
+        dcn = _resolve(dcn_axis_sizes, n)
+        rem = n // max(int(np.prod(list(dcn.values()))), 1)
+        ici = _resolve(ici_axis_sizes, rem)
     names = tuple(dcn) + tuple(ici)
     sizes = list(dcn.values()) + list(ici.values())
     if int(np.prod(sizes)) != n:

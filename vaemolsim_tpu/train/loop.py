@@ -136,7 +136,9 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
     opt_state = optimizer.init(model)
 
     n = _num_samples(data)
-    batch_size = batch_size or n
+    # Clamp so batch_size > n trains on one full batch in both the
+    # host-driven and scanned paths (the scan's reshape needs it exact).
+    batch_size = min(batch_size or n, n)
     n_batches = max(n // batch_size, 1)
 
     batch_sharding = None
