@@ -106,3 +106,111 @@ class TestXYZ:
         from vaemolsim_tpu.data import write_xyz
         with pytest.raises(ValueError):
             write_xyz(str(tmp_path / "x.xyz"), np.zeros((1, 3, 3)), ["C"])
+
+
+class TestPipeline:
+    """Host->device prefetch, background IO, and epoch streaming
+    (data/pipeline.py)."""
+
+    def test_prefetch_preserves_order_and_places_on_device(self):
+        import jax
+        import jax.numpy as jnp
+        from vaemolsim_tpu.data import prefetch_to_device
+
+        items = [{"x": np.full((4, 2), i, np.float32), "i": np.int32(i)}
+                 for i in range(7)]
+        out = list(prefetch_to_device(iter(items), size=3))
+        assert len(out) == 7
+        for i, item in enumerate(out):
+            assert isinstance(item["x"], jax.Array)
+            np.testing.assert_array_equal(np.asarray(item["x"]),
+                                          np.full((4, 2), i))
+
+    def test_prefetch_with_sharding(self):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from vaemolsim_tpu.data import prefetch_to_device
+        from vaemolsim_tpu.parallel import make_mesh
+
+        mesh = make_mesh({"batch": len(jax.devices())})
+        sh = NamedSharding(mesh, P("batch", None))
+        items = [np.ones((16, 3), np.float32) for _ in range(3)]
+        for item in prefetch_to_device(iter(items), sharding=sh):
+            assert item.sharding == sh
+
+    def test_prefetch_size_validation(self):
+        from vaemolsim_tpu.data import prefetch_to_device
+        with pytest.raises(ValueError, match="size"):
+            list(prefetch_to_device(iter([]), size=0))
+
+    def test_background_reader_yields_all(self):
+        from vaemolsim_tpu.data import BackgroundReader
+
+        bg = BackgroundReader(lambda: iter(range(100)), capacity=3)
+        assert list(bg) == list(range(100))
+
+    def test_background_reader_propagates_exception(self):
+        from vaemolsim_tpu.data import BackgroundReader
+
+        def bad():
+            yield 1
+            raise RuntimeError("disk died")
+
+        bg = BackgroundReader(bad)
+        it = iter(bg)
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="disk died"):
+            list(it)
+
+    def test_background_reader_close_stops_producer(self):
+        import itertools
+        from vaemolsim_tpu.data import BackgroundReader
+
+        bg = BackgroundReader(lambda: itertools.count(), capacity=2)
+        it = iter(bg)
+        assert next(it) == 0
+        bg.close()  # must not hang
+
+    def test_epoch_stream_covers_every_sample_once(self):
+        import jax
+        from vaemolsim_tpu.data import epoch_stream
+
+        data = np.arange(64, dtype=np.float32)[:, None]
+        seen = []
+        for batch in epoch_stream(lambda s, c: data[s:s + c], 64, 8,
+                                  key=jax.random.PRNGKey(0), io_chunk=16):
+            assert batch.shape == (8, 1)
+            seen.extend(np.asarray(batch).ravel().tolist())
+        assert sorted(seen) == list(range(64))
+        # Shuffled: not the sequential order.
+        assert seen != list(range(64))
+
+    def test_epoch_stream_sequential_and_remainder(self):
+        from vaemolsim_tpu.data import epoch_stream
+
+        data = np.arange(20, dtype=np.float32)[:, None]
+        batches = list(epoch_stream(lambda s, c: data[s:s + c], 20, 8))
+        # drop_remainder: 2 full batches; sequential order per chunk.
+        assert [b.shape[0] for b in batches] == [8, 8]
+        got = np.concatenate([np.asarray(b) for b in batches]).ravel()
+        np.testing.assert_array_equal(got, np.arange(16))
+        batches = list(epoch_stream(lambda s, c: data[s:s + c], 20, 8,
+                                    drop_remainder=False))
+        assert [b.shape[0] for b in batches] == [8, 8, 4]
+
+    def test_epoch_stream_from_dcd(self, traj):
+        """The advertised composition: stream a DCD file through the
+        background reader into device batches."""
+        from vaemolsim_tpu.data import DCDReader, epoch_stream
+
+        path, coords, _ = traj
+        reader = DCDReader(path)
+        got = []
+        for batch in epoch_stream(
+                lambda s, c: reader.read(s, c)[0].reshape(c, -1),
+                reader.n_frames, 4, key=3):
+            assert batch.shape == (4, 90)
+            got.append(np.asarray(batch))
+        stacked = np.sort(np.concatenate(got).sum(axis=1))
+        want = np.sort(coords.reshape(12, -1).sum(axis=1))
+        np.testing.assert_allclose(stacked, want, rtol=1e-5)
