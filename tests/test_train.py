@@ -110,6 +110,56 @@ class TestFit:
                          batch_size=64, scan_epochs=True)
         assert hist["loss"][-1] < hist["loss"][0]
 
+    def test_fit_streamed_data(self):
+        """fit accepts a callable data stream (out-of-core path via
+        data.epoch_stream) in place of in-memory arrays."""
+        from vaemolsim_tpu.data import epoch_stream
+
+        base = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)
+        raw = np.random.default_rng(0).normal(
+            1.5, 0.5, size=(512, 1)).astype(np.float32)
+        loss_fn = lambda f, b, k: -jnp.mean(f(base).log_prob(b))  # noqa: E731
+
+        def stream(epoch_key):
+            return epoch_stream(lambda s, c: raw[s:s + c], 512, 64,
+                                key=epoch_key)
+
+        flow, hist = fit(make_flow(), loss_fn, stream,
+                         key=jax.random.PRNGKey(1), num_epochs=4)
+        assert len(hist["loss"]) == 4
+        assert hist["loss"][-1] < hist["loss"][0]
+
+    def test_fit_streamed_with_mesh(self):
+        """Streamed data composes with the data-parallel mesh path
+        (regression: the stream callable was clobbered by the mesh
+        placement step)."""
+        from vaemolsim_tpu.data import epoch_stream
+        from vaemolsim_tpu.parallel import make_mesh
+
+        base = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)
+        raw = np.random.default_rng(0).normal(
+            1.5, 0.5, size=(256, 1)).astype(np.float32)
+        loss_fn = lambda f, b, k: -jnp.mean(f(base).log_prob(b))  # noqa: E731
+        stream = lambda k: epoch_stream(  # noqa: E731
+            lambda s, c: raw[s:s + c], 256, 64, key=k)
+        flow, hist = fit(make_flow(), loss_fn, stream,
+                         key=jax.random.PRNGKey(1), num_epochs=2,
+                         mesh=make_mesh({"batch": len(jax.devices())}))
+        assert len(hist["loss"]) == 2
+        for leaf in jax.tree_util.tree_leaves(flow):
+            assert leaf.sharding.is_fully_replicated
+
+    def test_fit_streamed_rejects_scan_epochs(self):
+        with pytest.raises(ValueError, match="scan_epochs"):
+            fit(make_flow(), lambda f, b, k: 0.0,
+                lambda k: iter([jnp.ones((4, 1))]),
+                key=jax.random.PRNGKey(0), scan_epochs=True)
+
+    def test_fit_empty_stream_raises(self):
+        with pytest.raises(ValueError, match="no batches"):
+            fit(make_flow(), lambda f, b, k: 0.0, lambda k: iter([]),
+                key=jax.random.PRNGKey(0))
+
     def test_fit_batch_size_larger_than_data(self):
         """batch_size > n clamps to one full batch in BOTH paths (the
         scanned path's reshape used to crash)."""

@@ -58,7 +58,8 @@ def _shard_for_fit(model, opt_state, data, mesh, mesh_axis):
         lambda x: jax.device_put(jnp.asarray(x), repl), model)
     opt_state = jax.tree_util.tree_map(
         lambda x: jax.device_put(jnp.asarray(x), repl), opt_state)
-    data = jax.tree_util.tree_map(put_data, data)
+    if data is not None:
+        data = jax.tree_util.tree_map(put_data, data)
     return model, opt_state, data
 
 
@@ -124,6 +125,12 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
     per-epoch means — the replacement for Keras' fit history the
     reference relies on.
 
+    ``data`` may instead be a CALLABLE ``data(epoch_key) -> iterator of
+    batches`` — an out-of-core stream (compose with
+    ``data.epoch_stream`` / ``prefetch_to_device``); ``batch_size`` and
+    ``shuffle`` are then the stream's concern and ``scan_epochs`` is
+    unavailable (the data never lives in one device array).
+
     ``mesh``: a ``jax.sharding.Mesh`` for data-parallel training — the
     batch axis is sharded over mesh axis ``mesh_axis`` and the model /
     optimizer state replicated; XLA inserts the gradient all-reduce.
@@ -135,17 +142,28 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
     optimizer = optimizer or optax.adam(learning_rate)
     opt_state = optimizer.init(model)
 
-    n = _num_samples(data)
-    # Clamp so batch_size > n trains on one full batch in both the
-    # host-driven and scanned paths (the scan's reshape needs it exact).
-    batch_size = min(batch_size or n, n)
-    n_batches = max(n // batch_size, 1)
+    streamed = callable(data)
+    if streamed:
+        if scan_epochs:
+            raise ValueError(
+                "scan_epochs needs in-memory array data; streamed data "
+                "(callable) trains through the host-driven path")
+        n = n_batches = None
+    else:
+        n = _num_samples(data)
+        # Clamp so batch_size > n trains on one full batch in both the
+        # host-driven and scanned paths (the scan's reshape needs it
+        # exact).
+        batch_size = min(batch_size or n, n)
+        n_batches = max(n // batch_size, 1)
 
     batch_sharding = None
     if mesh is not None:
-        model, opt_state, data = _shard_for_fit(model, opt_state, data,
-                                                mesh, mesh_axis)
-        if batch_size % mesh.shape[mesh_axis]:
+        model, opt_state, placed = _shard_for_fit(
+            model, opt_state, None if streamed else data, mesh, mesh_axis)
+        if not streamed:
+            data = placed
+        if not streamed and batch_size % mesh.shape[mesh_axis]:
             raise ValueError(
                 f"batch_size ({batch_size}) must divide evenly over the "
                 f"{mesh.shape[mesh_axis]}-way {mesh_axis!r} mesh axis")
@@ -204,12 +222,17 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
             history["epoch_time_s"].append(time.perf_counter() - t0)
         else:
             key2, k_shuf = jax.random.split(k_epoch)
-            order = (jax.random.permutation(k_shuf, n) if shuffle
-                     else jnp.arange(n))
+            if streamed:
+                batches = data(k_shuf)
+            else:
+                order = (jax.random.permutation(k_shuf, n) if shuffle
+                         else jnp.arange(n))
+                batches = (_take(data,
+                                 order[b * batch_size:(b + 1) * batch_size])
+                           for b in range(n_batches))
             epoch_metrics: Dict[str, list] = {}
             epoch_loss = []
-            for b in range(n_batches):
-                batch = _take(data, order[b * batch_size:(b + 1) * batch_size])
+            for batch in batches:
                 if batch_sharding is not None:
                     batch = jax.tree_util.tree_map(
                         lambda a: jax.device_put(a, batch_sharding(a)), batch)
@@ -224,6 +247,8 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
                         continue  # reserved history keys (e.g. elbo_loss's
                         # own "loss" metric duplicates the total)
                     epoch_metrics.setdefault(name, []).append(v)
+            if not epoch_loss:
+                raise ValueError("data stream yielded no batches")
             history["loss"].append(float(np.mean(jax.device_get(epoch_loss))))
             history["epoch_time_s"].append(time.perf_counter() - t0)
             for name, vals in epoch_metrics.items():
