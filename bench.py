@@ -225,6 +225,14 @@ def main():
         print("TPU tunnel unresponsive; benching on CPU", file=sys.stderr,
               flush=True)
     import jax
+
+    # Hardware-RNG fast path: generation via XLA's RngBitGenerator
+    # instead of software threefry.  Measured on v5e: 84.9M -> 101.9M
+    # props/s at 10k chains (the PRNG was ~20% of the optimized step).
+    # MH is exact for any sound uniform source; statistical correctness
+    # under rbg is covered by
+    # tests/test_mcmc.py::TestEngineStatistics::test_independence_sampler_rbg_prng.
+    jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
 
     from vaemolsim_tpu.nn.core import set_compute_dtype
