@@ -76,6 +76,15 @@ class TestUntaggedDicts:
             cfg.from_dict(cfg.ExperimentConfig,
                           {"model": {"definitely_not": 1}})
 
+    def test_ambiguous_partial_union_raises(self):
+        """A partial dict whose keys fit several Union members (e.g.
+        RealNVPConfig's fields are a subset of MAFConfig's) must demand a
+        tag, never silently build the first member."""
+        import pytest
+        with pytest.raises(ValueError, match="ambiguous"):
+            cfg.from_dict(cfg.FlowedDistConfig,
+                          {"flow": {"data_dim": 2, "num_blocks": 4}})
+
 
 class TestModelConfigs:
     """VERDICT item 5: typed configs for dist layers, losses, models, and

@@ -171,6 +171,28 @@ class TestPipeline:
         assert next(it) == 0
         bg.close()  # must not hang
 
+    def test_background_reader_close_unblocks_consumer(self):
+        """A consumer draining after close() terminates even when the
+        stopped producer never enqueued the DONE sentinel."""
+        import itertools
+        import threading
+        from vaemolsim_tpu.data import BackgroundReader
+
+        bg = BackgroundReader(lambda: itertools.count(), capacity=2)
+        it = iter(bg)
+        next(it)
+        bg.close()
+        done = threading.Event()
+
+        def drain():
+            for _ in it:
+                pass
+            done.set()
+
+        t = threading.Thread(target=drain, daemon=True)
+        t.start()
+        assert done.wait(timeout=5.0), "consumer hung after close()"
+
     def test_epoch_stream_covers_every_sample_once(self):
         import jax
         from vaemolsim_tpu.data import epoch_stream

@@ -232,6 +232,21 @@ class TestConstantSplineOptimization:
         np.testing.assert_allclose(np.asarray(yf_opt), np.asarray(yf_full),
                                    rtol=1e-6, atol=1e-6)
 
+    def test_maf_1d_shortcut_still_validates_context(self):
+        """The shortcut must not silently drop a context passed to a
+        non-conditional conditioner (regression: it skipped
+        _check_conditional)."""
+        import pytest
+        from vaemolsim_tpu.flows.spline_flows import (MAFLayer,
+                                                      MaskedSplineConditioner)
+        cond = MaskedSplineConditioner.create(
+            jax.random.PRNGKey(0), 1, num_bins=8, hidden_dim=16,
+            bin_range=(-4.0, 4.0))
+        layer = MAFLayer(cond)
+        y = jnp.zeros((3, 1))
+        with pytest.raises(ValueError, match="non-conditional"):
+            layer.inverse_and_log_det(y, context=jnp.ones((3, 5)))
+
     def test_realnvp_1d_matches_full_batch_eval(self):
         from vaemolsim_tpu.flows.spline_flows import (CouplingLayer,
                                                       SplineConditioner)

@@ -237,6 +237,20 @@ class TestFitMesh:
             fit(make_flow(), lambda f, b, k: 0.0, jnp.ones((64, 1)),
                 key=jax.random.PRNGKey(0), mesh=mesh)
 
+    def test_mesh_indivisible_dataset_drops_remainder(self):
+        """Only the BATCH must divide the mesh; an indivisible dataset
+        trains with drop-remainder semantics instead of erroring."""
+        from vaemolsim_tpu.parallel import make_mesh
+
+        base = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)
+        data = d.Normal(jnp.float32(1.0), jnp.float32(0.5)).sample(
+            jax.random.PRNGKey(1), (157, 1))  # 157 % 8 != 0
+        mesh = make_mesh({"batch": len(jax.devices())})
+        flow, hist = fit(make_flow(), self._loss_fn(base), data,
+                         key=jax.random.PRNGKey(2), num_epochs=2,
+                         batch_size=64, mesh=mesh)
+        assert len(hist["loss"]) == 2
+
     def test_mesh_indivisible_batch_raises(self):
         from vaemolsim_tpu.parallel import make_mesh
 

@@ -8,17 +8,8 @@ Prints one JSON line per (path, n_chains) with proposals/sec
 """
 
 import json
-import time
 
-
-def _time_reps(fn, n_reps=3):
-    import statistics
-    times = []
-    for _ in range(n_reps):
-        t0 = time.perf_counter()
-        fn()
-        times.append(time.perf_counter() - t0)
-    return min(times), statistics.median(times)
+from bench import _time_reps  # shared timing methodology
 
 
 def main():
@@ -57,7 +48,7 @@ def main():
             def rep():
                 jax.block_until_ready(run(state).configs)
 
-            best, median = _time_reps(rep)
+            best, median, _ = _time_reps(rep)
             print(json.dumps({
                 "path": name, "n_chains": n_chains, "n_steps": n_steps,
                 "best_props_per_s": round(n_chains * n_steps / best, 1),

@@ -59,4 +59,7 @@ def _from_git() -> str | None:
         return None
 
 
-__version__ = _from_metadata() or _from_git() or _BASE_VERSION
+# Git first: when running from a source tree (the repo's sys.path
+# pattern), an older installed wheel's metadata must not shadow the
+# checkout's actual version.
+__version__ = _from_git() or _from_metadata() or _BASE_VERSION

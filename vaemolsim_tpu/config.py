@@ -69,13 +69,22 @@ def _dataclass_in_annotation(ann, keys=None):
     keys = set(keys)
     # Exact field-set match first (dataclasses.asdict emits every field,
     # so the true class matches exactly even when its fields are a
-    # subset of another Union member's); then subset coverage.
+    # subset of another Union member's); then UNIQUE subset coverage —
+    # a partial dict fitting several members is ambiguous and must be
+    # tagged, never silently resolved to the first member.
     for c in cands:
         if keys == {f.name for f in dataclasses.fields(c)}:
             return c
-    for c in cands:
-        if keys <= {f.name for f in dataclasses.fields(c)}:
-            return c
+    covering = [c for c in cands
+                if keys <= {f.name for f in dataclasses.fields(c)}]
+    if len(covering) == 1:
+        return covering[0]
+    if covering:
+        raise ValueError(
+            f"untagged dict with keys {sorted(keys)} is ambiguous between "
+            f"config classes {[c.__name__ for c in covering]}; write it "
+            "with to_tagged_dict/save_json (or include every field) to "
+            "disambiguate")
     raise ValueError(
         f"untagged dict with keys {sorted(keys)} matches none of the "
         f"annotated config classes {[c.__name__ for c in cands]}; write "

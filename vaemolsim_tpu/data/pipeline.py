@@ -106,7 +106,15 @@ class BackgroundReader:
 
     def __iter__(self):
         while True:
-            item = self._q.get()
+            try:
+                # Timed get so a close() with no sentinel in flight (the
+                # producer exits without enqueueing once stopped) cannot
+                # strand a blocked consumer.
+                item = self._q.get(timeout=0.1)
+            except queue.Empty:
+                if self._stop.is_set():
+                    return
+                continue
             if item is self._DONE:
                 if self._exc is not None:
                     raise self._exc

@@ -504,6 +504,10 @@ class MAFLayer(bj.Bijector):
     def _spline(self, t, context):
         cond = self.conditioner
         if cond.w_net.event_size == 1 and not cond.conditional:
+            # Keep the non-shortcut path's validation: a context passed
+            # to a non-conditional conditioner is a wiring error, not
+            # something to silently drop.
+            cond._check_conditional(context)
             # A 1-D autoregressive net's output may not depend on its
             # input (every MADE mask is zero), so the spline parameters
             # are a pure function of the biases/weights: evaluate ONE

@@ -159,14 +159,28 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
 
     batch_sharding = None
     if mesh is not None:
+        if mesh_axis not in mesh.axis_names:
+            raise ValueError(f"mesh has axes {mesh.axis_names}; expected "
+                             f"{mesh_axis!r} (pass mesh_axis=...)")
+        if not streamed:
+            if batch_size % mesh.shape[mesh_axis]:
+                raise ValueError(
+                    f"batch_size ({batch_size}) must divide evenly over "
+                    f"the {mesh.shape[mesh_axis]}-way {mesh_axis!r} mesh "
+                    f"axis")
+            # Even sharding needs the SAMPLE axis divisible too; drop the
+            # remainder (same drop-remainder semantics batching already
+            # has) rather than reject real-world dataset sizes.
+            n_keep = n - n % mesh.shape[mesh_axis]
+            if n_keep != n:
+                data = jax.tree_util.tree_map(lambda a: a[:n_keep], data)
+                n = n_keep
+                batch_size = min(batch_size, n)
+                n_batches = max(n // batch_size, 1)
         model, opt_state, placed = _shard_for_fit(
             model, opt_state, None if streamed else data, mesh, mesh_axis)
         if not streamed:
             data = placed
-        if not streamed and batch_size % mesh.shape[mesh_axis]:
-            raise ValueError(
-                f"batch_size ({batch_size}) must divide evenly over the "
-                f"{mesh.shape[mesh_axis]}-way {mesh_axis!r} mesh axis")
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         def batch_sharding(a):
