@@ -295,6 +295,41 @@ class TestMoveComposition:
         np.testing.assert_allclose(float(jnp.std(st.configs)), 0.75,
                                    atol=0.08)
 
+    def test_mala_recovers_target(self):
+        """MALA with the exact asymmetric-proposal correction preserves
+        the target (2-D anisotropic Gaussian — the asymmetry term is
+        load-bearing: plain Langevin without it is biased)."""
+        from vaemolsim_tpu.mcmc import make_mala_step
+        scales = jnp.asarray([0.6, 1.4])
+        target = d.Independent(d.Normal(jnp.asarray([1.0, -1.0]), scales), 1)
+        step = make_mala_step(target.log_prob, step_size=0.3)
+        st = MCMCState.create(jnp.zeros((1024, 2)),
+                              target.log_prob(jnp.zeros((1024, 2))),
+                              jax.random.PRNGKey(0))
+        st, _ = jax.jit(lambda s: run_mcmc(step, s, 1500))(st)
+        np.testing.assert_allclose(
+            np.asarray(jnp.mean(st.configs, 0)), [1.0, -1.0], atol=0.12)
+        np.testing.assert_allclose(
+            np.asarray(jnp.std(st.configs, 0)), np.asarray(scales),
+            atol=0.12)
+        assert 0.3 < float(st.acceptance_rate) < 1.0
+
+    def test_mala_cycles_with_vae_moves(self):
+        """MALA composes with the VAE jump kernel through cycle_moves."""
+        from vaemolsim_tpu.mcmc import cycle_moves, make_mala_step
+        target = self._target()
+        enc, pri, dec = _independence_sampler_fns()
+        vae_step = make_mcmc_step(enc, pri, dec, target.log_prob)
+        step = cycle_moves([vae_step,
+                            make_mala_step(target.log_prob, 0.1)])
+        st = MCMCState.create(jnp.zeros((256, 1)),
+                              target.log_prob(jnp.zeros((256, 1))),
+                              jax.random.PRNGKey(0))
+        st, _ = jax.jit(lambda s: run_mcmc(step, s, 300))(st)
+        np.testing.assert_allclose(float(jnp.mean(st.configs)), 1.0,
+                                   atol=0.08)
+        assert float(st.num_trials) == 2 * 300 * 256
+
     def test_mixture_recovers_target(self):
         from vaemolsim_tpu.mcmc import make_random_walk_step, mix_moves
         target = self._target()
