@@ -182,6 +182,59 @@ class TestFit:
         assert len(hist["loss"]) == 2
 
 
+class TestFitEnsemble:
+    """vmap-parallel multi-seed training (train.fit_ensemble)."""
+
+    def test_ensemble_trains_all_members(self):
+        from vaemolsim_tpu.train import (fit_ensemble, stack_models,
+                                         unstack_model)
+
+        base = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)
+        data = d.Normal(jnp.float32(1.5), jnp.float32(0.5)).sample(
+            jax.random.PRNGKey(1), (512, 1))
+        K = 4
+        stack = stack_models([
+            type(make_flow()).create(
+                jax.random.PRNGKey(100 + i), 1, num_blocks=2,
+                rqs_params={"num_bins": 8, "hidden_dim": 16,
+                            "bin_range": [-5.0, 5.0]})
+            for i in range(K)])
+
+        def loss_fn(f, batch, key):
+            del key
+            return -jnp.mean(f(base).log_prob(batch))
+
+        stack, hist = fit_ensemble(stack, loss_fn, data,
+                                   key=jax.random.PRNGKey(2),
+                                   num_epochs=5, batch_size=128)
+        assert hist["loss"][0].shape == (K,)
+        # Every member's loss decreased.
+        assert np.all(hist["loss"][-1] < hist["loss"][0])
+        # Members differ (different inits): single-member extraction
+        # gives a usable model whose log-prob differs across members.
+        m0 = unstack_model(stack, 0)
+        m1 = unstack_model(stack, 1)
+        x = jnp.asarray([[1.0]])
+        lp0 = float(m0(base).log_prob(x)[0])
+        lp1 = float(m1(base).log_prob(x)[0])
+        assert lp0 != lp1
+        # Each trained member is a sensible density for the data.
+        assert lp0 > float(base.log_prob(x)[0]) - 2.0
+
+    def test_ensemble_matches_sequential_shapes(self):
+        from vaemolsim_tpu.train import fit_ensemble, stack_models
+
+        base = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)
+        data = jnp.ones((64, 1))
+        stack = stack_models([make_flow(), make_flow()])
+        stack, hist = fit_ensemble(
+            stack, lambda f, b, k: -jnp.mean(f(base).log_prob(b)),
+            data, key=jax.random.PRNGKey(0), num_epochs=2)
+        assert len(hist["loss"]) == 2
+        for leaf in jax.tree_util.tree_leaves(stack):
+            assert leaf.shape[0] == 2
+
+
 class TestFitMesh:
     """Data-parallel fit over a device mesh (SURVEY.md §2.4 — the
     reference has no distributed training; batch sharded over the mesh,

@@ -6,4 +6,10 @@ from vaemolsim_tpu.train.checkpoint import (  # noqa: F401
     restore_checkpoint,
     save_checkpoint,
 )
-from vaemolsim_tpu.train.loop import fit, make_train_step  # noqa: F401
+from vaemolsim_tpu.train.loop import (  # noqa: F401
+    fit,
+    fit_ensemble,
+    make_train_step,
+    stack_models,
+    unstack_model,
+)

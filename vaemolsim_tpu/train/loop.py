@@ -19,7 +19,7 @@ of one per batch, the right shape for TPU at the reference's
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,74 @@ import optax
 
 Array = jax.Array
 
-__all__ = ["fit", "make_train_step"]
+__all__ = ["fit", "fit_ensemble", "make_train_step", "stack_models",
+           "unstack_model"]
+
+
+def stack_models(models: Sequence[Any]) -> Any:
+    """Stack K same-structure model pytrees leaf-wise along a new
+    leading axis — the input format of :func:`fit_ensemble`."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *models)
+
+
+def unstack_model(stack: Any, i: int) -> Any:
+    """Extract ensemble member ``i`` from a stacked model pytree."""
+    return jax.tree_util.tree_map(lambda a: a[i], stack)
+
+
+def fit_ensemble(model_stack: Any, loss_fn: Callable, data: Any, *,
+                 key: Array,
+                 num_epochs: int = 1,
+                 batch_size: Optional[int] = None,
+                 optimizer=None,
+                 learning_rate: float = 1e-3,
+                 shuffle: bool = True) -> Tuple[Any, Dict[str, Any]]:
+    """Train K models SIMULTANEOUSLY via ``vmap`` — deep ensembles /
+    multi-seed training as one compiled program (idiomatic on TPU: the
+    member axis batches straight onto the hardware; the reference would
+    run K sequential Keras fits).
+
+    ``model_stack``: K same-structure models stacked on a new leading
+    axis (:func:`stack_models` of per-seed inits).  Every member sees
+    the same shuffled batches; members differ by init and by their
+    per-member training PRNG streams (split from ``key``).  Returns the
+    trained stack and a history whose "loss" entries are per-epoch
+    ``(K,)`` arrays.
+    """
+    optimizer = optimizer or optax.adam(learning_rate)
+    opt_state = jax.vmap(optimizer.init)(model_stack)
+    K = jax.tree_util.tree_leaves(model_stack)[0].shape[0]
+
+    n = _num_samples(data)
+    batch_size = min(batch_size or n, n)
+    n_batches = max(n // batch_size, 1)
+
+    @jax.jit
+    def vstep(stack, ostate, batch, keys):
+        return jax.vmap(
+            lambda m, o, k: _train_step(loss_fn, optimizer, m, o, batch, k),
+            in_axes=(0, 0, 0))(stack, ostate, keys)
+
+    key, k_members = jax.random.split(key)
+    member_keys = jax.random.split(k_members, K)
+    history: Dict[str, Any] = {"loss": [], "epoch_time_s": []}
+    for _ in range(num_epochs):
+        t0 = time.perf_counter()
+        key, k_shuf = jax.random.split(key)
+        order = (jax.random.permutation(k_shuf, n) if shuffle
+                 else jnp.arange(n))
+        epoch_losses = []
+        for b in range(n_batches):
+            batch = _take(data, order[b * batch_size:(b + 1) * batch_size])
+            splits = jax.vmap(jax.random.split)(member_keys)
+            member_keys, step_keys = splits[:, 0], splits[:, 1]
+            model_stack, opt_state, losses, _ = vstep(
+                model_stack, opt_state, batch, step_keys)
+            epoch_losses.append(losses)
+        history["loss"].append(
+            np.mean(jax.device_get(epoch_losses), axis=0))
+        history["epoch_time_s"].append(time.perf_counter() - t0)
+    return model_stack, history
 
 
 def _shard_for_fit(model, opt_state, data, mesh, mesh_axis):
