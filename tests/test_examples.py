@@ -35,6 +35,13 @@ def test_example_08_distributed():
 
 
 @pytest.mark.slow
+def test_example_09_ensemble():
+    out = run_example("09_ensemble_training.py")
+    assert "one vmapped program" in out
+    assert "best member" in out
+
+
+@pytest.mark.slow
 def test_example_06_full_workflow():
     out = run_example("06_full_molecular_workflow.py")
     assert "exported 500 generated frames" in out
