@@ -330,6 +330,41 @@ class TestMoveComposition:
                                    atol=0.08)
         assert float(st.num_trials) == 2 * 300 * 256
 
+    def test_tune_scale_random_walk_hits_target_acceptance(self):
+        """Robbins-Monro warmup lands within a band of the 0.234 target;
+        the tuned fixed-scale production kernel stays there."""
+        from vaemolsim_tpu.mcmc import make_random_walk_step, tune_scale
+        target = d.Independent(d.Normal(jnp.zeros(3), jnp.ones(3)), 1)
+        st = MCMCState.create(jnp.zeros((256, 3)),
+                              target.log_prob(jnp.zeros((256, 3))),
+                              jax.random.PRNGKey(0))
+        scale, st = tune_scale(target.log_prob, st, kind="random_walk")
+        assert scale > 0.0
+        assert float(st.num_trials) == 0  # warmup not counted
+        step = make_random_walk_step(target.log_prob, scale=scale)
+        st, _ = jax.jit(lambda s: run_mcmc(step, s, 200))(st)
+        assert 0.15 < float(st.acceptance_rate) < 0.35
+
+    def test_tune_scale_mala(self):
+        from vaemolsim_tpu.mcmc import make_mala_step, tune_scale
+        target = d.Independent(d.Normal(jnp.zeros(2), jnp.ones(2)), 1)
+        st = MCMCState.create(jnp.zeros((256, 2)),
+                              target.log_prob(jnp.zeros((256, 2))),
+                              jax.random.PRNGKey(0))
+        eps, st = tune_scale(target.log_prob, st, kind="mala",
+                             init_scale=0.01)
+        step = make_mala_step(target.log_prob, step_size=eps)
+        st, _ = jax.jit(lambda s: run_mcmc(step, s, 200))(st)
+        assert 0.45 < float(st.acceptance_rate) < 0.72
+
+    def test_tune_scale_bad_kind_raises(self):
+        import pytest
+        from vaemolsim_tpu.mcmc import tune_scale
+        st = MCMCState.create(jnp.zeros((8, 1)), jnp.zeros((8,)),
+                              jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="unknown move kind"):
+            tune_scale(lambda x: -jnp.sum(x * x, -1), st, kind="hmc")
+
     def test_mixture_recovers_target(self):
         from vaemolsim_tpu.mcmc import make_random_walk_step, mix_moves
         target = self._target()

@@ -22,4 +22,5 @@ from vaemolsim_tpu.mcmc.moves import (  # noqa: F401
     make_mala_step,
     make_random_walk_step,
     mix_moves,
+    tune_scale,
 )
