@@ -357,6 +357,18 @@ class TestMoveComposition:
         st, _ = jax.jit(lambda s: run_mcmc(step, s, 200))(st)
         assert 0.45 < float(st.acceptance_rate) < 0.72
 
+    def test_tune_scale_bf16_configs(self):
+        """The tuner works with bf16 chain state (the repo's standard
+        compute dtype) — the log-scale carry stays float32."""
+        from vaemolsim_tpu.mcmc import tune_scale
+        lt = lambda x: -0.5 * jnp.sum(  # noqa: E731
+            x.astype(jnp.float32) ** 2, axis=-1)
+        x0 = jnp.zeros((64, 2), jnp.bfloat16)
+        st = MCMCState.create(x0, lt(x0), jax.random.PRNGKey(0))
+        scale, st2 = tune_scale(lt, st, kind="random_walk", rounds=10)
+        assert scale > 0.0
+        assert st2.configs.dtype == jnp.bfloat16
+
     def test_tune_scale_bad_kind_raises(self):
         import pytest
         from vaemolsim_tpu.mcmc import tune_scale

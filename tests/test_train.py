@@ -221,6 +221,25 @@ class TestFitEnsemble:
         # Each trained member is a sensible density for the data.
         assert lp0 > float(base.log_prob(x)[0]) - 2.0
 
+    def test_ensemble_records_metrics_and_rejects_streams(self):
+        from vaemolsim_tpu.train import fit_ensemble, stack_models
+
+        base = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)
+        data = jnp.ones((64, 1))
+
+        def loss_fn(f, batch, key):
+            del key
+            nll = -jnp.mean(f(base).log_prob(batch))
+            return nll, {"nll": nll}
+
+        stack = stack_models([make_flow(), make_flow()])
+        stack, hist = fit_ensemble(stack, loss_fn, data,
+                                   key=jax.random.PRNGKey(0), num_epochs=2)
+        assert "nll" in hist and hist["nll"][0].shape == (2,)
+        with pytest.raises(ValueError, match="in-memory"):
+            fit_ensemble(stack, loss_fn, lambda k: iter([]),
+                         key=jax.random.PRNGKey(0))
+
     def test_ensemble_matches_sequential_shapes(self):
         from vaemolsim_tpu.train import fit_ensemble, stack_models
 

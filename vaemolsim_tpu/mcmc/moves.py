@@ -10,7 +10,7 @@ pure VAE moves; this extends the capability).  All moves share the
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +23,63 @@ __all__ = ["make_random_walk_step", "make_mala_step", "mix_moves",
            "cycle_moves", "tune_scale"]
 
 
+def _scaled_trial(kind: str, log_target_fn, x1, e1, scale, key):
+    """One MH trial of a local-move family.  ``scale`` may be a Python
+    float (production kernels — baked into the compiled step) or a
+    traced value (the tuner adapts it inside one compiled scan).  The
+    SINGLE implementation both paths share, so the tuned kernel is
+    exactly the production kernel.
+
+    Returns ``(x_new, e_new, accept)`` with per-chain accept decisions.
+    """
+    k1, k2 = jax.random.split(key)
+    xi = jax.random.normal(k1, x1.shape, x1.dtype)
+    scale = jnp.asarray(scale, x1.dtype)
+    if kind == "random_walk":
+        x2 = x1 + scale * xi
+        e2 = log_target_fn(x2)
+        log_acc = e2 - e1
+    elif kind == "mala":
+        # vjp gives per-chain energies AND gradients in one
+        # forward+backward per proposal point (chains are independent,
+        # so the ones-seeded cotangent IS the per-chain gradient).
+        def lp_and_grad(x):
+            e, vjp = jax.vjp(log_target_fn, x)
+            (g,) = vjp(jnp.ones_like(e))
+            return e, g
+
+        _, g1 = lp_and_grad(x1)  # log pi(x1) already in state.energies
+        x2 = x1 + scale * g1 + jnp.sqrt(2.0 * scale) * xi
+        e2, g2 = lp_and_grad(x2)
+
+        def log_q(x_to, x_from, g_from):
+            mean = x_from + scale * g_from
+            return -jnp.sum((x_to - mean) ** 2, axis=-1) / (4.0 * scale)
+
+        log_acc = (e2 - e1) + log_q(x1, x2, g2) - log_q(x2, x1, g1)
+    else:
+        raise ValueError(f"unknown move kind {kind!r}")
+    log_u = jnp.log(jax.random.uniform(k2, e1.shape, dtype=e1.dtype,
+                                       minval=1e-38))
+    accept = log_acc >= log_u
+    return (jnp.where(accept[..., None], x2, x1),
+            jnp.where(accept, e2, e1), accept)
+
+
+def _make_local_step(kind: str, log_target_fn, scale
+                     ) -> Callable[[MCMCState], MCMCState]:
+    def step(state: MCMCState) -> MCMCState:
+        key, sub = jax.random.split(state.key)
+        x, e, accept = _scaled_trial(kind, log_target_fn, state.configs,
+                                     state.energies, scale, sub)
+        return MCMCState(
+            configs=x, energies=e, key=key,
+            num_trials=state.num_trials + accept.size,
+            num_acc=state.num_acc + jnp.sum(accept))
+
+    return step
+
+
 def make_random_walk_step(log_target_fn: Callable[[Array], Array],
                           scale: float = 0.1
                           ) -> Callable[[MCMCState], MCMCState]:
@@ -31,22 +88,7 @@ def make_random_walk_step(log_target_fn: Callable[[Array], Array],
     ``log_target_fn`` uses the same convention as the engine (log target
     density); the proposal is symmetric so only the target ratio enters.
     """
-
-    def step(state: MCMCState) -> MCMCState:
-        key, k1, k2 = jax.random.split(state.key, 3)
-        x1, e1 = state.configs, state.energies
-        x2 = x1 + scale * jax.random.normal(k1, x1.shape, x1.dtype)
-        e2 = log_target_fn(x2)
-        log_u = jnp.log(jax.random.uniform(k2, e1.shape, dtype=e1.dtype,
-                                           minval=1e-38))
-        accept = (e2 - e1) >= log_u
-        return MCMCState(
-            configs=jnp.where(accept[..., None], x2, x1),
-            energies=jnp.where(accept, e2, e1), key=key,
-            num_trials=state.num_trials + accept.size,
-            num_acc=state.num_acc + jnp.sum(accept))
-
-    return step
+    return _make_local_step("random_walk", log_target_fn, float(scale))
 
 
 def make_mala_step(log_target_fn: Callable[[Array], Array],
@@ -62,71 +104,21 @@ def make_mala_step(log_target_fn: Callable[[Array], Array],
     TPU where the target is a compiled function (the reference's NumPy
     energy callbacks cannot support this; extension beyond parity).
     Composable with the VAE/jump/random-walk kernels via ``cycle_moves``
-    / ``mix_moves``.
+    / ``mix_moves``; tune ``step_size`` with :func:`tune_scale`.
+
+    Cost: two gradient evaluations of the log-target per step (x1 and
+    the proposal).  A grad-caching variant (carrying grad(x) in the
+    chain state) would halve that but breaks the shared
+    ``step(MCMCState) -> MCMCState`` contract every composition utility
+    relies on; revisit if an expensive molecular target dominates.
     """
-    eps = float(step_size)
-
-    grad_fn = jax.grad(lambda x: jnp.sum(log_target_fn(x)))
-
-    def _log_q(x_to, x_from, g_from):
-        mean = x_from + eps * g_from
-        return -jnp.sum((x_to - mean) ** 2, axis=-1) / (4.0 * eps)
-
-    def step(state: MCMCState) -> MCMCState:
-        key, k1, k2 = jax.random.split(state.key, 3)
-        x1, e1 = state.configs, state.energies
-        g1 = grad_fn(x1)
-        xi = jax.random.normal(k1, x1.shape, x1.dtype)
-        x2 = x1 + eps * g1 + jnp.sqrt(2.0 * eps) * xi
-        e2 = log_target_fn(x2)
-        g2 = grad_fn(x2)
-        log_acc = (e2 - e1) + _log_q(x1, x2, g2) - _log_q(x2, x1, g1)
-        log_u = jnp.log(jax.random.uniform(k2, e1.shape, dtype=e1.dtype,
-                                           minval=1e-38))
-        accept = log_acc >= log_u
-        return MCMCState(
-            configs=jnp.where(accept[..., None], x2, x1),
-            energies=jnp.where(accept, e2, e1), key=key,
-            num_trials=state.num_trials + accept.size,
-            num_acc=state.num_acc + jnp.sum(accept))
-
-    return step
-
-
-def _scaled_trial(kind: str, log_target_fn, x1, e1, scale, key):
-    """One MH trial of the given local-move family with a DYNAMIC scale
-    (traced value, so the tuner adapts it inside one compiled scan)."""
-    k1, k2 = jax.random.split(key)
-    xi = jax.random.normal(k1, x1.shape, x1.dtype)
-    if kind == "random_walk":
-        x2 = x1 + scale * xi
-        e2 = log_target_fn(x2)
-        log_acc = e2 - e1
-    elif kind == "mala":
-        grad_fn = jax.grad(lambda x: jnp.sum(log_target_fn(x)))
-        g1 = grad_fn(x1)
-        x2 = x1 + scale * g1 + jnp.sqrt(2.0 * scale) * xi
-        e2 = log_target_fn(x2)
-        g2 = grad_fn(x2)
-
-        def log_q(x_to, x_from, g_from):
-            mean = x_from + scale * g_from
-            return -jnp.sum((x_to - mean) ** 2, axis=-1) / (4.0 * scale)
-
-        log_acc = (e2 - e1) + log_q(x1, x2, g2) - log_q(x2, x1, g1)
-    else:
-        raise ValueError(f"unknown move kind {kind!r}")
-    log_u = jnp.log(jax.random.uniform(k2, e1.shape, dtype=e1.dtype,
-                                       minval=1e-38))
-    accept = log_acc >= log_u
-    return (jnp.where(accept[..., None], x2, x1),
-            jnp.where(accept, e2, e1), jnp.mean(accept))
+    return _make_local_step("mala", log_target_fn, float(step_size))
 
 
 def tune_scale(log_target_fn: Callable[[Array], Array],
                state: MCMCState, *,
                kind: str = "random_walk",
-               target_accept: float = None,
+               target_accept: Optional[float] = None,
                init_scale: float = 0.1,
                rounds: int = 30,
                steps_per_round: int = 20) -> Tuple[float, MCMCState]:
@@ -151,12 +143,14 @@ def tune_scale(log_target_fn: Callable[[Array], Array],
         def inner(c, _):
             x, e, key, acc_sum = c
             key, sub = jax.random.split(key)
-            x, e, acc = _scaled_trial(kind, log_target_fn, x, e,
-                                      jnp.exp(log_s), sub)
-            return (x, e, key, acc_sum + acc), None
+            x, e, accept = _scaled_trial(kind, log_target_fn, x, e,
+                                         jnp.exp(log_s), sub)
+            return (x, e, key,
+                    acc_sum + jnp.mean(accept.astype(jnp.float32))), None
 
         (x, e, key, acc_sum), _ = jax.lax.scan(
-            inner, (x, e, key, 0.0), None, length=steps_per_round)
+            inner, (x, e, key, jnp.float32(0.0)), None,
+            length=steps_per_round)
         acc_rate = acc_sum / steps_per_round
         # Decaying Robbins-Monro step keeps late rounds stable; gain 2
         # lets the tuner travel several decades of scale from a poor
@@ -166,9 +160,13 @@ def tune_scale(log_target_fn: Callable[[Array], Array],
 
     @jax.jit
     def run(x, e, key):
-        carry = (x, e, key, jnp.log(jnp.asarray(init_scale, x.dtype)))
+        # log_s rides in float32 regardless of the chains' compute dtype
+        # (bf16 configs are supported; a bf16 carry would both violate
+        # the scan-carry type invariant against the f32 acceptance mean
+        # and quantize the adaptation).
+        carry = (x, e, key, jnp.log(jnp.float32(init_scale)))
         (x, e, key, log_s), acc = jax.lax.scan(
-            one_round, carry, jnp.arange(rounds, dtype=x.dtype))
+            one_round, carry, jnp.arange(rounds, dtype=jnp.float32))
         return x, e, key, jnp.exp(log_s), acc
 
     x, e, key, scale, acc = run(state.configs, state.energies, state.key)

@@ -62,6 +62,10 @@ def fit_ensemble(model_stack: Any, loss_fn: Callable, data: Any, *,
     trained stack and a history whose "loss" entries are per-epoch
     ``(K,)`` arrays.
     """
+    if callable(data):
+        raise ValueError(
+            "fit_ensemble needs in-memory array data (vmapped batches); "
+            "materialize the stream or use fit() per member")
     optimizer = optimizer or optax.adam(learning_rate)
     opt_state = jax.vmap(optimizer.init)(model_stack)
     K = jax.tree_util.tree_leaves(model_stack)[0].shape[0]
@@ -85,16 +89,24 @@ def fit_ensemble(model_stack: Any, loss_fn: Callable, data: Any, *,
         order = (jax.random.permutation(k_shuf, n) if shuffle
                  else jnp.arange(n))
         epoch_losses = []
+        epoch_metrics: Dict[str, list] = {}
         for b in range(n_batches):
             batch = _take(data, order[b * batch_size:(b + 1) * batch_size])
             splits = jax.vmap(jax.random.split)(member_keys)
             member_keys, step_keys = splits[:, 0], splits[:, 1]
-            model_stack, opt_state, losses, _ = vstep(
+            model_stack, opt_state, losses, metrics = vstep(
                 model_stack, opt_state, batch, step_keys)
             epoch_losses.append(losses)
+            for name, v in metrics.items():
+                if name in ("loss", "epoch_time_s"):
+                    continue  # reserved history keys
+                epoch_metrics.setdefault(name, []).append(v)
         history["loss"].append(
             np.mean(jax.device_get(epoch_losses), axis=0))
         history["epoch_time_s"].append(time.perf_counter() - t0)
+        for name, vals in epoch_metrics.items():
+            history.setdefault(name, []).append(
+                np.mean(jax.device_get(vals), axis=0))
     return model_stack, history
 
 
