@@ -40,16 +40,20 @@ FLOW_EPOCHS = 10
 FLOW_BATCH = 4096
 
 
-def _probe_tpu_alive(timeout_s: int = 240, attempts: int = 2) -> bool:
+def _probe_tpu_alive(timeout_s: int = 240, attempts: int = 3,
+                     retry_wait_s: int = 90) -> bool:
     """The environment's TPU tunnel occasionally wedges (a trivial matmul
     never returns).  Probe it in a subprocess so a hang can't take down
-    the bench; fall back to CPU when dead.  Wedges are often transient,
-    so probe more than once before giving up the chip."""
+    the bench; fall back to CPU when dead.  Wedges are transient and
+    clear within minutes, so retry with a pause before giving up the
+    chip (a CPU-fallback record is ~100x slower and near-worthless)."""
     import subprocess
     import sys
     code = ("import jax, jax.numpy as jnp;"
             "print(float(jnp.sum(jax.jit(lambda a: a@a)(jnp.ones((64,64))))))")
-    for _ in range(attempts):
+    for attempt in range(attempts):
+        if attempt:
+            time.sleep(retry_wait_s)
         try:
             r = subprocess.run([sys.executable, "-c", code],
                                timeout=timeout_s, capture_output=True)
@@ -57,6 +61,8 @@ def _probe_tpu_alive(timeout_s: int = 240, attempts: int = 2) -> bool:
                 return True
         except subprocess.TimeoutExpired:
             pass
+        print(f"TPU probe attempt {attempt + 1}/{attempts} failed",
+              file=sys.stderr, flush=True)
     return False
 
 
