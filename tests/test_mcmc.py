@@ -55,6 +55,43 @@ class TestEngineStatistics:
         acc = float(state.acceptance_rate)
         assert 0.05 < acc < 0.95
 
+    def test_periodic_independence_sampler_von_mises(self):
+        """MC on the circle: a von Mises proposal (decoder) against a
+        von Mises target recovers the target's circular statistics —
+        pins the periodic-DOF path (the reference's core use case:
+        torsion sampling) through the engine."""
+        target = d.Independent(
+            d.VonMises(jnp.full(1, 1.0), jnp.full(1, 2.0)), 1)
+
+        def encoder_fn(x):
+            zeros = jnp.zeros(x.shape[:-1] + (1,))
+            return d.Independent(d.Normal(zeros, jnp.ones_like(zeros)), 1)
+
+        def decoder_fn(z):
+            loc = jnp.zeros(z.shape[:-1] + (1,))
+            # Broad proposal (kappa=0.5) so moves cross the circle.
+            return d.Independent(
+                d.VonMises(loc, 0.5 * jnp.ones_like(loc)), 1)
+
+        step = make_mcmc_step(encoder_fn, encoder_fn, decoder_fn,
+                              target.log_prob)
+        configs = jnp.zeros((512, 1))
+        state = MCMCState.create(configs, target.log_prob(configs),
+                                 jax.random.PRNGKey(0))
+        state, _ = jax.jit(lambda s: run_mcmc(step, s, 400))(state)
+        theta = state.configs[:, 0]
+        ref = target.sample(jax.random.PRNGKey(1), (4000,))[:, 0]
+        # Circular mean and mean resultant length within MC tolerance.
+        circ_mean = jnp.angle(jnp.mean(jnp.exp(1j * theta)))
+        ref_mean = jnp.angle(jnp.mean(jnp.exp(1j * ref)))
+        np.testing.assert_allclose(float(circ_mean), float(ref_mean),
+                                   atol=0.12)
+        r = float(jnp.abs(jnp.mean(jnp.exp(1j * theta))))
+        r_ref = float(jnp.abs(jnp.mean(jnp.exp(1j * ref))))
+        np.testing.assert_allclose(r, r_ref, atol=0.08)
+        # Samples stay on the principal circle.
+        assert bool(jnp.all(jnp.abs(theta) <= np.pi + 1e-5))
+
     def test_independence_sampler_rbg_prng(self):
         """Same statistical check under the rbg PRNG (the hardware-RNG
         fast path bench.py uses on TPU: +20% props/s there) — MH is
