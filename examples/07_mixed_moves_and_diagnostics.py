@@ -24,6 +24,7 @@ from vaemolsim_tpu.flows import RQSSplineMAF
 from vaemolsim_tpu.mcmc import (MCMCState, effective_sample_size,
                                 make_mcmc_step, make_random_walk_step,
                                 mix_moves, potential_scale_reduction,
+                                tune_scale,
                                 run_mcmc, vae_proposal_fns)
 from vaemolsim_tpu.models import VAE, MappingToDistribution
 from vaemolsim_tpu.nn.core import set_compute_dtype
@@ -68,15 +69,20 @@ def main():
                     batch_size=1024)
     print(f"trained VAE, -ELBO {hist['loss'][-1]:.3f}")
 
-    # 70% nonlocal VAE jumps, 30% local random-walk relaxation.
+    # 70% nonlocal VAE jumps, 30% local random-walk relaxation.  The
+    # walk's job in the mix is WITHIN-basin relaxation (the VAE supplies
+    # the mode jumps), so tune it to a higher-than-global-optimal
+    # acceptance — small, reliable moves.
     ef, pf, df = vae_proposal_fns(vae)
-    step = mix_moves([make_mcmc_step(ef, pf, df, log_target),
-                      make_random_walk_step(log_target, scale=0.3)],
-                     [0.7, 0.3])
-
     configs0 = jnp.tile(data, (N_CHAINS // TRAIN_N + 1, 1))[:N_CHAINS]
     state = MCMCState.create(configs0, log_target(configs0),
                              jax.random.PRNGKey(4))
+    rw_scale, state = tune_scale(log_target, state, kind="random_walk",
+                                 target_accept=0.6)
+    print(f"tuned random-walk scale: {rw_scale:.3f}")
+    step = mix_moves([make_mcmc_step(ef, pf, df, log_target),
+                      make_random_walk_step(log_target, scale=rw_scale)],
+                     [0.7, 0.3])
     run = jax.jit(lambda s: run_mcmc(step, s, STEPS, collect_every=1))
     out, traj = run(state)
     jax.block_until_ready(out.configs)
