@@ -119,3 +119,14 @@ def test_transformed_distribution_log_prob_change_of_variables():
     np.testing.assert_allclose(td.log_prob(y), want, rtol=1e-6)
     s, lp = td.sample_and_log_prob(jax.random.PRNGKey(0), (100,))
     np.testing.assert_allclose(lp, td.log_prob(s), rtol=1e-4, atol=1e-5)
+
+
+def test_softclip_inverse_out_of_domain_is_nan():
+    """The codomain is (low, high); inverting an impossible y must
+    return NaN, not a silently wrong value."""
+    from vaemolsim_tpu.ops.bijectors import SoftClip
+
+    sc = SoftClip(low=0.0, high=5.0)
+    x, _ = sc.inverse_and_log_det(jnp.asarray([2.5, 20.0, -3.0, 5.0]))
+    assert bool(jnp.isfinite(x[0]))
+    assert bool(jnp.all(jnp.isnan(x[1:])))

@@ -310,3 +310,29 @@ class TestBlockwise:
         np.testing.assert_allclose(per[1], d.VonMises(0.5, 2.0).log_prob(x[1]),
                                    rtol=1e-6)
         np.testing.assert_allclose(jnp.sum(per), bw.log_prob(x), rtol=1e-6)
+
+
+class TestBoundaryLogProbs:
+    """float32 sampling can return exact support endpoints; densities
+    there must be the correct limits, not 0*(-inf) artifacts."""
+
+    def test_gamma_unit_concentration_at_zero(self):
+        # Gamma(1, rate) is Exponential(rate): log p(0) = log(rate).
+        g = d.Gamma(jnp.float32(1.0), jnp.float32(2.0))
+        np.testing.assert_allclose(float(g.log_prob(jnp.float32(0.0))),
+                                   float(jnp.log(2.0)), rtol=1e-6)
+
+    def test_gamma_small_concentration_own_samples_finite_or_inf(self):
+        # a < 1 genuinely diverges at 0 (+inf is the correct limit);
+        # what must NOT appear is NaN.
+        g = d.Gamma(jnp.float32(0.05), jnp.float32(1.0))
+        samp = g.sample(jax.random.PRNGKey(0), (20000,))
+        lp = g.log_prob(samp)
+        assert not bool(jnp.any(jnp.isnan(lp)))
+
+    def test_beta_uniform_edges(self):
+        # Beta(1, 1) is Uniform(0, 1): log p = 0 everywhere incl. edges.
+        b = d.Beta(jnp.float32(1.0), jnp.float32(1.0))
+        for x in (0.0, 0.5, 1.0):
+            np.testing.assert_allclose(float(b.log_prob(jnp.float32(x))),
+                                       0.0, atol=1e-6)

@@ -65,3 +65,40 @@ def test_gradients_match_xla():
     g2 = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(x, w, h, s)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_grad_with_pallas_dispatch_active(monkeypatch):
+    """The custom-vjp backward must call the PRIVATE XLA spline, not the
+    dispatcher: with the pallas backend selected, dispatching inside the
+    backward re-entered the pallas op's own vjp without bound."""
+    from vaemolsim_tpu.ops import rqs
+    from vaemolsim_tpu.ops.rqs_pallas import rqs_forward_pallas
+
+    # Simulate the on-TPU dispatch state (interpret mode runs on CPU).
+    monkeypatch.setattr(rqs, "_use_pallas", lambda: True)
+    w, h, s = make_params(jax.random.PRNGKey(0), (8,))
+
+    def loss(x):
+        y, ldj = rqs_forward_pallas(x, w, h, s, -2.0, True)
+        return jnp.sum(y) + jnp.sum(ldj)
+
+    g = jax.grad(loss)(jnp.linspace(-1.0, 1.0, 8))
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_param_leading_batch_axes():
+    """Parameters may carry MORE leading axes than x (public contract:
+    score one configuration under a batch of parameter sets)."""
+    from vaemolsim_tpu.ops import rqs
+    from vaemolsim_tpu.ops.rqs_pallas import rqs_forward_pallas
+
+    B, D = 3, 4
+    w, h, s = make_params(jax.random.PRNGKey(0), (B, D))
+    x = jnp.linspace(-1.0, 1.0, D)
+    y_p, ldj_p = rqs_forward_pallas(x, w, h, s, -2.0, True)
+    y_x, ldj_x = rqs._rqs_forward_xla(x, w, h, s, -2.0)
+    assert y_p.shape == (B, D)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ldj_p), np.asarray(ldj_x),
+                               rtol=1e-4, atol=1e-5)

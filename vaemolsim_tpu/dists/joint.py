@@ -125,10 +125,20 @@ class JointBackmappingDistribution(dl.Distribution):
         keys = jax.random.split(key, R)
         env = self._env_contexts()  # hoisted: x-independent
 
+        causal = _causal_mean_matrix(R)
+
         def body(x, inp):
             r, k = inp
-            ctx = self._contexts(x, env)  # causal: row r sees rows < r
-            ctx_r = jnp.take(ctx, r, axis=1)  # (B, C)
+            # Only residue r's context is consumed this step: contract
+            # the prefix summary with row r alone (O(R) per step) rather
+            # than building the full (B, R, C) context tensor and
+            # discarding all but one row (O(R^2) per step, O(R^3) per
+            # sample).  Identical math to _contexts(x)[:, r].
+            enc = self.layer.residue_encoder(x)  # (B, R, F)
+            prefix_r = jnp.einsum("s,bsf->bf",
+                                  jnp.take(causal, r, axis=0), enc)
+            ctx_r = jnp.concatenate(
+                [jnp.take(env, r, axis=1), prefix_r], axis=-1)  # (B, C)
             x_r = self._residue_dist(ctx_r).sample(k)  # (B, D)
             x = jax.lax.dynamic_update_slice_in_dim(
                 x, x_r[:, None, :], r, axis=1)

@@ -175,13 +175,20 @@ class SoftClip(Bijector):
         def fwd(x):
             return self.forward_and_log_det(x)[0]
 
-        # Newton from the identity-region guess x0 = y.
+        # Newton from the identity-region guess x0 = y.  The codomain is
+        # the OPEN interval (low, high): clip the iterate into it, and
+        # return NaN for y outside — a silent wrong x for impossible
+        # inputs corrupted downstream values undetectably.  (Near the
+        # bounds the recovered x is only float32-representable-accurate:
+        # the forward saturates, so distinct x map to the same y.)
         x = jnp.clip(y, self.low + 1e-6, self.high - 1e-6)
         for _ in range(25):
             s = self.hinge_softness
             d = (jax.nn.sigmoid((x - self.low) / s)
                  - jax.nn.sigmoid((x - self.high) / s))
             x = x - (fwd(x) - y) / jnp.maximum(d, 1e-12)
+        out_of_domain = (y <= self.low) | (y >= self.high)
+        x = jnp.where(out_of_domain, jnp.nan, x)
         _, fldj = self.forward_and_log_det(x)
         return x, -fldj
 

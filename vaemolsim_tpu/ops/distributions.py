@@ -335,7 +335,11 @@ class Beta(Distribution):
         a, b = self.concentration1, self.concentration0
         norm = (jax.scipy.special.gammaln(a) + jax.scipy.special.gammaln(b)
                 - jax.scipy.special.gammaln(a + b))
-        return (a - 1.0) * jnp.log(x) + (b - 1.0) * jnp.log1p(-x) - norm
+        # xlogy/xlog1py: x==0 / x==1 with unit concentration must give
+        # the finite uniform-edge density, not 0*(-inf)=NaN (float32
+        # sampling does return exact endpoints).
+        return (jax.scipy.special.xlogy(a - 1.0, x)
+                + jax.scipy.special.xlog1py(b - 1.0, -x) - norm)
 
     def sample(self, key: Array, sample_shape: Tuple[int, ...] = ()) -> Array:
         shape = tuple(sample_shape) + self.batch_shape
@@ -363,8 +367,11 @@ class Gamma(Distribution):
 
     def log_prob(self, x: Array) -> Array:
         a, r = self.concentration, self.rate
-        return (a * jnp.log(r) + (a - 1.0) * jnp.log(x) - r * x
-                - jax.scipy.special.gammaln(a))
+        # xlogy: a==1 at x==0 is the exponential's finite log(rate), not
+        # 0*(-inf)=NaN (jax.random.gamma emits exact 0.0 in float32 for
+        # small concentrations).
+        return (a * jnp.log(r) + jax.scipy.special.xlogy(a - 1.0, x)
+                - r * x - jax.scipy.special.gammaln(a))
 
     def sample(self, key: Array, sample_shape: Tuple[int, ...] = ()) -> Array:
         shape = tuple(sample_shape) + self.batch_shape

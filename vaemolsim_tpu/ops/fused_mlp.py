@@ -215,9 +215,15 @@ def fused_dense_stack(x: Array, kernels: Sequence[Array],
                       cond_kernels: Optional[Sequence[Array]] = None,
                       interpret: bool = False) -> Array:
     """Dense stack; dispatches to the fused kernel when enabled
-    (set_implementation("fused") on TPU, or interpret=True), else XLA."""
-    supported = all(a in (None, "linear", "tanh", "relu")
-                    for a in activations)
+    (set_implementation("fused") on TPU, or interpret=True), else XLA.
+
+    The fused kernel computes in float32 only; under
+    ``nn.core.set_compute_dtype(bfloat16)`` the XLA path is used so the
+    user's dtype choice is honored rather than silently ignored."""
+    from vaemolsim_tpu.nn.core import compute_dtype
+    supported = (all(a in (None, "linear", "tanh", "relu")
+                     for a in activations)
+                 and compute_dtype() in (None, jnp.float32))
     if (use_fused() or interpret) and supported:
         return _fused_op(x, tuple(kernels), tuple(biases),
                          tuple(activations), cond,

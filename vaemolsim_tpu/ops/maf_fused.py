@@ -310,7 +310,12 @@ def _make_entry(inverse: bool):
 def _xla_reference(y, params, ctx, data_dim, num_bins, bin_min, bin_max,
                    inverse, compute_dtype):
     """Plain-XLA evaluation of the identical merged-block math (used for
-    the custom-vjp backward pass and as the golden in tests)."""
+    the custom-vjp backward pass and as the golden in tests).
+
+    Calls the PRIVATE XLA spline implementations, never the rqs
+    dispatcher: with set_implementation("pallas") active, the
+    dispatcher would route this "XLA reference" (and the fused op's
+    backward recompute) through the pallas kernel."""
     from vaemolsim_tpu.ops import rqs
 
     k1, b1, k2, b2 = params[:4]
@@ -343,14 +348,14 @@ def _xla_reference(y, params, ctx, data_dim, num_bins, bin_min, bin_max,
 
     if inverse:
         w, hh, s = conditioner(y)
-        x, ldj = rqs.rqs_inverse(y, w, hh, s, bin_min)
+        x, ldj = rqs._rqs_inverse_xla(y, w, hh, s, bin_min)
         return x, jnp.sum(ldj, axis=-1)
     cur = y
     for _ in range(D - 1):
         w, hh, s = conditioner(cur)
-        cur, _ = rqs.rqs_forward(y, w, hh, s, bin_min)
+        cur, _ = rqs._rqs_forward_xla(y, w, hh, s, bin_min)
     w, hh, s = conditioner(cur)
-    x, ldj = rqs.rqs_forward(y, w, hh, s, bin_min)
+    x, ldj = rqs._rqs_forward_xla(y, w, hh, s, bin_min)
     return x, jnp.sum(ldj, axis=-1)
 
 

@@ -133,9 +133,12 @@ def _rqs_kernel(x_ref, w_ref, h_ref, s_ref, y_ref, ldj_ref, *,
 
 def _pallas_impl(x: Array, w: Array, h: Array, s: Array, range_min: float,
                  inverse: bool, interpret: bool) -> Tuple[Array, Array]:
-    orig_shape = x.shape
     K = w.shape[-1]
-    x2 = x.reshape(-1, 1)
+    # Parameters may carry MORE leading batch axes than x (the public
+    # contract): the output shape is the broadcast of both.
+    orig_shape = jax.lax.broadcast_shapes(x.shape, w.shape[:-1],
+                                          h.shape[:-1], s.shape[:-1])
+    x2 = jnp.broadcast_to(x, orig_shape).reshape(-1, 1)
     w2 = jnp.broadcast_to(w, orig_shape + (K,)).reshape(-1, K)
     h2 = jnp.broadcast_to(h, orig_shape + (K,)).reshape(-1, K)
     s2 = jnp.broadcast_to(s, orig_shape + (K - 1,)).reshape(-1, K - 1)
@@ -182,7 +185,12 @@ def _pallas_impl(x: Array, w: Array, h: Array, s: Array, range_min: float,
 
 
 def _make_entry(inverse: bool):
-    xla_fn = rqs_xla.rqs_inverse if inverse else rqs_xla.rqs_forward
+    # The PRIVATE XLA implementations, not the public dispatcher: with
+    # the pallas backend enabled the dispatcher would route this very
+    # op's backward back into the pallas op's own vjp — unbounded
+    # recursion on the first jax.grad.
+    xla_fn = (rqs_xla._rqs_inverse_xla if inverse
+              else rqs_xla._rqs_forward_xla)
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
     def op(x, w, h, s, range_min, interpret=False):
