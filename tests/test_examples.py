@@ -35,6 +35,13 @@ def test_example_08_distributed():
 
 
 @pytest.mark.slow
+def test_example_07_mixed_moves():
+    out = run_example("07_mixed_moves_and_diagnostics.py")
+    assert "tuned random-walk scale" in out
+    assert "mode balance" in out
+
+
+@pytest.mark.slow
 def test_example_09_ensemble():
     out = run_example("09_ensemble_training.py")
     assert "one vmapped program" in out
