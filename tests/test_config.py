@@ -263,6 +263,21 @@ class TestCheckpointedRun:
         resumed = run_mcmc_checkpointed(step, mid, n_steps=2,
                                         checkpoint_every=2, manager=mgr)
         np.testing.assert_allclose(resumed.configs, final.configs, atol=1e-6)
+        # Resumed saves continue the step numbering past the manager's
+        # latest (orbax drops saves to existing steps silently, and
+        # latest-step selection would otherwise return stale state).
+        assert mgr.latest_step() == 12
+        latest = mgr.restore(state)
+        np.testing.assert_allclose(latest.configs, resumed.configs,
+                                   atol=1e-6)
+        assert int(latest.num_trials) == int(resumed.num_trials)
+        mgr.close()
+
+    def test_restore_empty_directory_raises(self, tmp_path):
+        import pytest
+        mgr = CheckpointManager(str(tmp_path / "empty"))
+        with pytest.raises(ValueError, match="no checkpoints"):
+            mgr.restore({"a": jnp.zeros(1)})
         mgr.close()
 
 

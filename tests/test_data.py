@@ -236,3 +236,33 @@ class TestPipeline:
         stacked = np.sort(np.concatenate(got).sum(axis=1))
         want = np.sort(coords.reshape(12, -1).sum(axis=1))
         np.testing.assert_allclose(stacked, want, rtol=1e-5)
+
+
+class TestDCDRobustness:
+
+    def test_out_of_range_read_raises_ioerror(self, traj):
+        path, _, _ = traj
+        r = DCDReader(path, force_numpy=True)
+        with pytest.raises(IOError, match="outside"):
+            r.read(0, r.n_frames + 1)
+        with pytest.raises(IOError, match="outside"):
+            r.read(r.n_frames, 1)
+
+    def test_truncated_file_clamps_frames(self, traj, tmp_path):
+        path, coords, _ = traj
+        raw = open(path, "rb").read()
+        # Cut the file mid-way through the last frame.
+        cut = str(tmp_path / "cut.dcd")
+        open(cut, "wb").write(raw[:-50])
+        r = DCDReader(cut, force_numpy=True)
+        assert r.n_frames == coords.shape[0] - 1
+        got, _ = r.read(0, r.n_frames)
+        np.testing.assert_allclose(got, coords[:-1], rtol=1e-6)
+
+    def test_charmm_version_stamp(self, traj):
+        """External consumers (VMD/mdtraj) parse the unit-cell record
+        only when icntrl[19] != 0."""
+        path, _, _ = traj
+        raw = open(path, "rb").read()
+        icntrl = np.frombuffer(raw[8:88], "<i4")
+        assert icntrl[19] != 0

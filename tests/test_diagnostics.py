@@ -91,3 +91,17 @@ class TestTorchCrossValidation:
         theirs_g = torch.distributions.Gamma(2.5, 1.5).log_prob(
             torch.tensor(x)).numpy()
         np.testing.assert_allclose(np.asarray(ours_g), theirs_g, rtol=1e-5)
+
+
+def test_ess_stuck_chain_is_nan():
+    """A zero-variance (fully stuck) chain must NOT report the maximal
+    ESS = T — it carries no information; NaN flags it for monitoring."""
+    from vaemolsim_tpu.mcmc import effective_sample_size
+
+    x = jnp.ones((200, 3)) * 5.0
+    ess = effective_sample_size(x)
+    assert bool(jnp.all(jnp.isnan(ess)))
+    # Mixed case: only the stuck chain is flagged.
+    x = x.at[:, 0].set(jax.random.normal(jax.random.PRNGKey(0), (200,)))
+    ess = effective_sample_size(x)
+    assert bool(jnp.isfinite(ess[0])) and bool(jnp.all(jnp.isnan(ess[1:])))

@@ -445,3 +445,14 @@ class TestMoveComposition:
         from vaemolsim_tpu.mcmc import mix_moves
         with pytest.raises(ValueError):
             mix_moves([lambda s: s], [0.5, 0.5])
+
+
+def test_counters_are_exact_integers():
+    """Acceptance counters ride as int32 (float32 loses integer
+    exactness past 2^24 — seconds of runtime at the benched rate)."""
+    st = MCMCState.create(jnp.zeros((4, 1)), jnp.zeros((4,)),
+                          jax.random.PRNGKey(0))
+    assert st.num_trials.dtype == jnp.int32
+    assert st.num_acc.dtype == jnp.int32
+    big = st.replace(num_trials=jnp.asarray(2 ** 24 + 7, jnp.int32))
+    assert int(big.num_trials + 4) == 2 ** 24 + 11  # float32 would drop

@@ -80,7 +80,10 @@ class _NumpyDCD:
     """Pure-NumPy DCD parsing (fallback + test oracle)."""
 
     def __init__(self, path: str):
-        self._raw = np.fromfile(path, dtype=np.uint8)
+        # memmap, not fromfile: the fallback must stream multi-GB
+        # trajectories batch-by-batch on hosts without the native
+        # reader, not load them whole into RAM.
+        self._raw = np.memmap(path, dtype=np.uint8, mode="r")
         head = self._raw[:4].tobytes()
         # Explicit-order probe (a native-order view would misdetect on
         # big-endian hosts).
@@ -107,8 +110,17 @@ class _NumpyDCD:
         self._first = pos
         self._frame_bytes = ((48 + 8 if self.has_box else 0)
                              + 3 * (8 + 4 * self.n_atoms))
+        # Trust the bytes over the header: a truncated file (or a
+        # header NSET written before the run finished) must not promise
+        # frames that are not there.
+        on_disk = (len(self._raw) - self._first) // self._frame_bytes
+        self.n_frames = min(self.n_frames, int(on_disk))
 
     def read(self, start: int, count: int):
+        if start < 0 or count < 0 or start + count > self.n_frames:
+            raise IOError(
+                f"requested frames [{start}, {start + count}) outside "
+                f"[0, {self.n_frames}) in {getattr(self._raw, 'filename', 'DCD')}")
         n = self.n_atoms
         coords = np.empty((count, n, 3), np.float32)
         box = np.empty((count, 6), np.float64) if self.has_box else None
@@ -205,6 +217,10 @@ def write_dcd(path: str, coords: np.ndarray,
     icntrl = np.zeros(20, np.int32)
     icntrl[0] = n_frames
     icntrl[10] = 1 if box is not None else 0
+    # CHARMM version stamp: external consumers (VMD/mdtraj/MDAnalysis)
+    # only look for the unit-cell record when icntrl[19] != 0 — with 0
+    # they parse the file as X-PLOR and misread box records as coords.
+    icntrl[19] = 24
     header = b"CORD" + icntrl.tobytes()
     title = np.int32(1).tobytes() + b" " * 80
     with open(path, "wb") as f:

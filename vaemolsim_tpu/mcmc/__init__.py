@@ -8,6 +8,7 @@ from vaemolsim_tpu.mcmc.diagnostics import (  # noqa: F401
 from vaemolsim_tpu.mcmc.engine import (  # noqa: F401
     MCMC,
     MCMCState,
+    apply_mh,
     make_mcmc_step,
     run_mcmc,
     run_mcmc_checkpointed,

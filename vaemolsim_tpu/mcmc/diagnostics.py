@@ -48,7 +48,12 @@ def effective_sample_size(x: Array, max_lag: int = 100) -> Array:
     positive = pair_sums > 0.0
     keep = jnp.cumprod(positive.astype(rho.dtype), axis=0)
     tau = 1.0 + 2.0 * jnp.sum(pair_sums * keep, axis=0)
-    return T / jnp.maximum(tau, 1.0 / T)
+    ess = T / jnp.maximum(tau, 1.0 / T)
+    # A zero-variance (stuck) chain has no information, not maximal
+    # information: the normalized autocorrelation degenerates to 0 and
+    # tau to 1, which would report ESS = T for the worst possible chain.
+    var = jnp.var(x, axis=0)
+    return jnp.where(var > 0.0, ess, jnp.nan)
 
 
 def potential_scale_reduction(x: Array) -> Array:

@@ -31,7 +31,8 @@ from flax import struct
 
 Array = jax.Array
 
-__all__ = ["MCMCState", "mh_propose", "make_mcmc_step", "run_mcmc", "MCMC"]
+__all__ = ["MCMCState", "apply_mh", "mh_propose", "make_mcmc_step",
+           "run_mcmc", "MCMC"]
 
 
 @struct.dataclass
@@ -42,19 +43,37 @@ class MCMCState:
     configs: Array  # (n_chains, n_dofs)
     energies: Array  # (n_chains,) log target density values
     key: Array
-    num_trials: Array  # () float
-    num_acc: Array  # () float
+    # int32 counters: counts are exact integers, and float32 loses
+    # integer exactness past 2^24 (~0.2 s of trials at the benched
+    # 100M proposals/s, after which the acceptance rate silently
+    # decays).  int32 is exact to 2.1e9 trials.
+    num_trials: Array  # () int32
+    num_acc: Array  # () int32
 
     @property
     def acceptance_rate(self) -> Array:
-        return self.num_acc / self.num_trials
+        return (self.num_acc.astype(jnp.float32)
+                / self.num_trials.astype(jnp.float32))
 
     @classmethod
     def create(cls, configs: Array, energies: Array,
                key: Array) -> "MCMCState":
         return cls(configs=jnp.asarray(configs),
                    energies=jnp.asarray(energies), key=key,
-                   num_trials=jnp.asarray(0.0), num_acc=jnp.asarray(0.0))
+                   num_trials=jnp.asarray(0, jnp.int32),
+                   num_acc=jnp.asarray(0, jnp.int32))
+
+
+def apply_mh(state: MCMCState, x2: Array, e2: Array, accept: Array,
+             key: Array) -> MCMCState:
+    """Shared accept/select/bookkeeping tail of every MH kernel (engine,
+    local moves, tempered replica phases): one implementation so counter
+    semantics cannot diverge between kernels."""
+    return MCMCState(
+        configs=jnp.where(accept[..., None], x2, state.configs),
+        energies=jnp.where(accept, e2, state.energies), key=key,
+        num_trials=state.num_trials + accept.size,
+        num_acc=state.num_acc + jnp.sum(accept, dtype=jnp.int32))
 
 
 def mh_propose(encoder_fn: Callable[[Array], Any],
@@ -115,14 +134,10 @@ def make_mcmc_step(encoder_fn: Callable[[Array], Any],
 
     def step(state: MCMCState) -> MCMCState:
         key, sub = jax.random.split(state.key)
-        x1, e1 = state.configs, state.energies
         x2, e2, accept = mh_propose(encoder_fn, prior_fn, decoder_fn,
-                                    log_target_fn, x1, e1, sub)
-        return MCMCState(
-            configs=jnp.where(accept[..., None], x2, x1),
-            energies=jnp.where(accept, e2, e1), key=key,
-            num_trials=state.num_trials + accept.size,
-            num_acc=state.num_acc + jnp.sum(accept))
+                                    log_target_fn, state.configs,
+                                    state.energies, sub)
+        return apply_mh(state, x2, e2, accept, key)
 
     return step
 
@@ -181,7 +196,13 @@ def run_mcmc_checkpointed(step_fn, state: MCMCState, n_steps: int,
     steps — the fault-tolerance capability of SURVEY.md §5.3.  Resume by
     restoring the latest state from ``manager``
     (train.CheckpointManager) and calling again with the remaining steps.
+
+    Checkpoint step numbers continue from the manager's latest step, so
+    a resumed run never reuses step ids (orbax silently drops saves to
+    an existing step, and latest-step/retention ordering would pick the
+    stale pre-crash checkpoints).
     """
+    base = manager.latest_step() or 0
     done = 0
     run = jax.jit(lambda s, n: run_mcmc(step_fn, s, n)[0],
                   static_argnums=1)
@@ -190,7 +211,7 @@ def run_mcmc_checkpointed(step_fn, state: MCMCState, n_steps: int,
         state = run(state, seg)
         done += seg
         jax.block_until_ready(state.configs)
-        manager.save(done, state)
+        manager.save(base + done, state)
     return state
 
 

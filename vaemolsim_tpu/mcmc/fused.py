@@ -447,6 +447,6 @@ def make_fused_vae_step(vae, log_target_fn: Callable[[Array], Array],
             configs=jnp.where(accept[..., None], x2, x1),
             energies=jnp.where(accept, e2, e1), key=key,
             num_trials=state.num_trials + accept.size,
-            num_acc=state.num_acc + jnp.sum(accept))
+            num_acc=state.num_acc + jnp.sum(accept, dtype=jnp.int32))
 
     return step

@@ -72,10 +72,11 @@ def _make_local_step(kind: str, log_target_fn, scale
         key, sub = jax.random.split(state.key)
         x, e, accept = _scaled_trial(kind, log_target_fn, state.configs,
                                      state.energies, scale, sub)
-        return MCMCState(
+        # _scaled_trial already applied the accept/reject select.
+        return state.replace(
             configs=x, energies=e, key=key,
             num_trials=state.num_trials + accept.size,
-            num_acc=state.num_acc + jnp.sum(accept))
+            num_acc=state.num_acc + jnp.sum(accept, dtype=jnp.int32))
 
     return step
 

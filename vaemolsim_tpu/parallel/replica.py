@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from vaemolsim_tpu.mcmc.engine import mh_propose
+
 Array = jax.Array
 
 __all__ = ["REMCState", "make_remc_step", "run_remc", "temperature_ladder"]
@@ -45,11 +47,13 @@ class REMCState:
 
     @property
     def acceptance_rate(self) -> Array:
-        return self.num_acc / jnp.maximum(self.num_trials, 1.0)
+        return (self.num_acc.astype(jnp.float32)
+                / jnp.maximum(self.num_trials, 1).astype(jnp.float32))
 
     @property
     def swap_acceptance_rate(self) -> Array:
-        return self.num_swap_acc / jnp.maximum(self.num_swap_trials, 1.0)
+        return (self.num_swap_acc.astype(jnp.float32)
+                / jnp.maximum(self.num_swap_trials, 1).astype(jnp.float32))
 
     @classmethod
     def create(cls, configs: Array, log_target_fn, betas: Array,
@@ -59,10 +63,12 @@ class REMCState:
                    energies=log_target_fn(configs),
                    betas=jnp.asarray(betas), key=key,
                    step_index=jnp.asarray(0, jnp.int32),
-                   num_trials=jnp.asarray(0.0),
-                   num_acc=jnp.asarray(0.0),
-                   num_swap_trials=jnp.asarray(0.0),
-                   num_swap_acc=jnp.asarray(0.0))
+                   # int32: exact integer counts (float32 loses
+                   # exactness past 2^24 trials — seconds at bench rate).
+                   num_trials=jnp.asarray(0, jnp.int32),
+                   num_acc=jnp.asarray(0, jnp.int32),
+                   num_swap_trials=jnp.asarray(0, jnp.int32),
+                   num_swap_acc=jnp.asarray(0, jnp.int32))
 
 
 def temperature_ladder(n_replicas: int, beta_min: float = 0.2,
@@ -75,16 +81,15 @@ def _swap_partner_perm(R: int, odd_phase: Array) -> Array:
     """Partner indices for even pairing (0,1)(2,3)... and odd pairing
     (1,2)(3,4)... as a traced selection between two static permutations."""
     idx = jnp.arange(R)
+    # min(idx+1, R-1) already maps an unpaired tail replica (odd R) to
+    # itself in both phases, so no extra tail guards are needed.
     even = jnp.where(idx % 2 == 0,
                      jnp.minimum(idx + 1, R - 1),
                      idx - 1)
-    # Guard the tail when R is odd: last replica pairs with itself.
-    even = jnp.where((idx % 2 == 0) & (idx == R - 1), idx, even)
     shifted = idx - 1
     odd = jnp.where(shifted % 2 == 0,
                     jnp.minimum(idx + 1, R - 1), idx - 1)
     odd = jnp.where(idx == 0, 0, odd)
-    odd = jnp.where((shifted % 2 == 0) & (idx == R - 1), idx, odd)
     return jnp.where(odd_phase, odd, even)
 
 
@@ -105,7 +110,6 @@ def make_remc_step(encoder_fn: Callable[[Array], Any],
         key, sub = jax.random.split(state.key)
         x1, l1 = state.configs, state.energies  # (R, C, D), (R, C)
         # Shared VAE-MH kernel (mcmc/engine.py), tempered per replica.
-        from vaemolsim_tpu.mcmc.engine import mh_propose
         x2, l2, accept = mh_propose(encoder_fn, prior_fn, decoder_fn,
                                     log_target_fn, x1, l1, sub,
                                     beta=state.betas[:, None])
@@ -114,7 +118,7 @@ def make_remc_step(encoder_fn: Callable[[Array], Any],
             energies=jnp.where(accept, l2, l1),
             key=key,
             num_trials=state.num_trials + accept.size,
-            num_acc=state.num_acc + jnp.sum(accept))
+            num_acc=state.num_acc + jnp.sum(accept, dtype=jnp.int32))
 
     def exchange_phase(state: REMCState) -> REMCState:
         R = state.configs.shape[0]
@@ -143,9 +147,10 @@ def make_remc_step(encoder_fn: Callable[[Array], Any],
 
         new_x = jnp.where(accept[..., None], x_p, x)
         new_l = jnp.where(accept, l_p, l)
-        # Each attempted pair counts once (divide the two-sided count).
-        n_att = jnp.sum(has_partner) / 2.0 * l.shape[1]
-        n_acc = jnp.sum(accept) / 2.0
+        # Each attempted pair counts once (the two-sided counts are
+        # even by pair symmetry; keep them exact integers).
+        n_att = (jnp.sum(has_partner, dtype=jnp.int32) // 2) * l.shape[1]
+        n_acc = jnp.sum(accept, dtype=jnp.int32) // 2
         return state.replace(
             configs=new_x, energies=new_l, key=key,
             num_swap_trials=state.num_swap_trials + n_att,

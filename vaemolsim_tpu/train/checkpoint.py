@@ -51,6 +51,9 @@ class CheckpointManager:
 
     def restore(self, template: Any, step: Optional[int] = None) -> Any:
         step = self.latest_step() if step is None else step
+        if step is None:
+            raise ValueError(
+                f"no checkpoints found in {self._mgr.directory}")
         return self._mgr.restore(step,
                                  args=ocp.args.StandardRestore(template))
 

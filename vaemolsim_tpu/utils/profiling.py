@@ -15,7 +15,7 @@ from typing import Dict, List
 
 import jax
 
-__all__ = ["trace", "StepTimer", "benchmark_fn"]
+__all__ = ["trace", "StepTimer", "benchmark_fn", "count_params"]
 
 
 @contextlib.contextmanager
