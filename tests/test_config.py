@@ -304,3 +304,41 @@ def test_realnvp_config_rejects_conditional():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         c.build(jax.random.PRNGKey(0))
+
+
+def test_conditional_independent_kind_raises():
+    import pytest
+    with pytest.raises(ValueError, match="no conditional machinery"):
+        cfg.DistLayerConfig(kind="independent_blockwise",
+                            conditional=True).build()
+
+
+def test_weight_decay_requires_adamw():
+    import pytest
+    with pytest.raises(ValueError, match="adamw"):
+        cfg.OptimizerConfig(name="adam", weight_decay=1e-2).build()
+    cfg.OptimizerConfig(name="adamw", weight_decay=1e-2).build()
+
+
+def test_json_roundtrip_preserves_tuples():
+    import json
+    c = cfg.flagship_experiment_config()
+    back = cfg.from_dict(None, json.loads(json.dumps(cfg.to_tagged_dict(c))))
+    assert back == c  # incl. bin_range staying a tuple
+
+
+def test_static_dist_autosize_clear_error():
+    import pytest
+    from vaemolsim_tpu.dists import StaticFlowedDistribution
+    from vaemolsim_tpu.flows import RQSSplineMAF
+    from vaemolsim_tpu.models import MappingToDistribution
+    from vaemolsim_tpu.ops import distributions as d
+
+    static = StaticFlowedDistribution(
+        flow=RQSSplineMAF.create(jax.random.PRNGKey(0), 1,
+                                 rqs_params={"num_bins": 4,
+                                             "hidden_dim": 8}),
+        base=d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1))
+    with pytest.raises(TypeError, match="params_size"):
+        MappingToDistribution.create(jax.random.PRNGKey(1), static,
+                                     input_shape=2)

@@ -282,3 +282,57 @@ class TestConstantSplineOptimization:
                  for g in jax.tree_util.tree_leaves(grads)]
         # Second-layer kernels and all biases must receive gradient.
         assert sum(n > 0 for n in norms) >= 8
+
+
+class TestEventTransformProbe:
+    """before/after transforms are wrapped by PROBING their log-det
+    shape (an isinstance allowlist silently mishandled unlisted scalar
+    bijectors and already-Blocked chains)."""
+
+    def test_unlisted_scalar_bijector_reduces(self):
+        from vaemolsim_tpu.flows import RQSSplineMAF
+        from vaemolsim_tpu.ops import bijectors as bj
+        from vaemolsim_tpu.ops import distributions as d
+
+        flow = RQSSplineMAF.create(
+            jax.random.PRNGKey(0), 3, num_blocks=2,
+            rqs_params={"num_bins": 4, "hidden_dim": 8},
+            before_flow_transform=bj.BatchNormBijector(
+                mean=jnp.zeros(3), var=jnp.ones(3),
+                log_gamma=jnp.zeros(3), beta=jnp.zeros(3)))
+        base = d.Independent(d.Normal(jnp.zeros(3), jnp.ones(3)), 1)
+        lp = flow(base).log_prob(jnp.ones((7, 3)))
+        assert lp.shape == (7,)
+
+    def test_already_blocked_chain_not_double_reduced(self):
+        from vaemolsim_tpu.flows import RQSSplineMAF
+        from vaemolsim_tpu.ops import bijectors as bj
+        from vaemolsim_tpu.ops import distributions as d
+
+        pre = bj.Chain((bj.Block(bj.Tanh(), 1),))
+        flow = RQSSplineMAF.create(
+            jax.random.PRNGKey(0), 2, num_blocks=2,
+            rqs_params={"num_bins": 4, "hidden_dim": 8},
+            before_flow_transform=pre)
+        base = d.Independent(d.Normal(jnp.zeros(2), jnp.ones(2)), 1)
+        lp = flow(base).log_prob(0.3 * jnp.ones((5, 2)))
+        assert lp.shape == (5,)
+        assert bool(jnp.all(jnp.isfinite(lp)))
+
+
+def test_merged_made_requires_tanh():
+    """The merged fast path hardcodes tanh; a custom-activation MADE
+    must fall back to per-net evaluation (same results either way)."""
+    from vaemolsim_tpu.flows.spline_flows import MaskedSplineConditioner
+    from vaemolsim_tpu.nn.core import MADE
+
+    cond = MaskedSplineConditioner.create(
+        jax.random.PRNGKey(0), 3, num_bins=4, hidden_dim=8,
+        bin_range=(-4.0, 4.0))
+    relu_net = MADE.create(jax.random.PRNGKey(1), 3, 4, hidden_units=[8],
+                           activation="relu")
+    cond2 = cond.replace(w_net=relu_net)
+    assert cond.mergeable and not cond2.mergeable
+    # The non-mergeable path still evaluates (three separate nets).
+    spline = cond2(jnp.ones((2, 3)))
+    assert spline.bin_widths.shape[-1] == 4

@@ -126,6 +126,11 @@ def from_dict(cls, d: Dict[str, Any]):
                       if isinstance(v, dict) else None)
             if nested is not None:
                 v = from_dict(nested, v)
+        if isinstance(v, list) and typing.get_origin(
+                hints.get(f.name)) is tuple:
+            # JSON has no tuples; coerce per the annotation so
+            # load_json(save_json(cfg)) == cfg holds.
+            v = tuple(v)
         kwargs[f.name] = v
     return cls(**kwargs)
 
@@ -300,6 +305,13 @@ class DistLayerConfig:
     def build(self, key: Optional[jax.Array] = None):
         from vaemolsim_tpu import dists
 
+        if self.conditional and self.kind != "autoregressive_blockwise":
+            raise ValueError(
+                f"kind={self.kind!r} has no conditional machinery; "
+                "conditional=True would be silently ignored and the "
+                "model would train unconditioned (use "
+                "autoregressive_blockwise, or condition via a "
+                "FlowedDistConfig with a conditional flow)")
         if self.kind == "independent_blockwise":
             return dists.IndependentBlockwise.create(self.num_dofs,
                                                      self.families)
@@ -489,6 +501,11 @@ class OptimizerConfig:
     def build(self):
         import optax
 
+        if self.weight_decay and self.name != "adamw":
+            raise ValueError(
+                f"weight_decay={self.weight_decay} is only applied by "
+                f"name='adamw'; with {self.name!r} it would be silently "
+                "dropped while the saved config claims otherwise")
         if self.name == "adam":
             return optax.adam(self.learning_rate)
         if self.name == "adamw":

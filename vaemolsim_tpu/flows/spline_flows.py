@@ -160,28 +160,35 @@ class CouplingLayer(bj.Bijector):
         return self._join(cond_part, x, flipped), jnp.sum(ldj, axis=-1)
 
 
-_SCALAR_BIJECTORS = (bj.Identity, bj.Shift, bj.Scale, bj.Sigmoid,
-                     bj.Tanh, bj.Softplus, bj.SoftClip, bj.Chain,
-                     bj.Inverse)
-
-
-def _ensure_event_transform(t):
-    """Auto-wrap known scalar-acting bijectors in Block(.., 1) so their
+def _ensure_event_transform(t, data_dim: int):
+    """Auto-wrap scalar-acting bijectors in Block(.., 1) so their
     log-dets reduce over the event axis — a raw make_domain_transform
     (the reference accepted these directly) would otherwise broadcast a
-    per-DOF log-det into the flow's reduced log-prob silently."""
-    if isinstance(t, _SCALAR_BIJECTORS):
+    per-DOF log-det into the flow's reduced log-prob silently.
+
+    Decided by PROBING the bijector's log-det shape on a zero event (an
+    isinstance allowlist silently mishandled both unlisted scalar
+    bijectors and already-Blocked chains): a (batch, D) log-det means
+    per-DOF (wrap); (batch,) means already event-reduced (keep)."""
+    try:
+        _, ldj = t.forward_and_log_det(jnp.zeros((1, data_dim)))
+    except Exception:
+        return t  # exotic transform: leave the caller's choice intact
+    if jnp.ndim(ldj) >= 2:
         return bj.Block(t, 1)
     return t
 
 
-def _assemble_chain(blocks, bn_params, before, after, train: bool):
+def _assemble_chain(blocks, bn_params, before, after, train: bool,
+                    data_dim: int):
     """Forward-order list: before, block0, BN, block1, ..., after
     (reference vaemolsim/flows.py:286-323 builds the same order and chains
     reversed).  Returns a Chain (whose forward applies last-entry first)."""
     seq = []
-    before = None if before is None else _ensure_event_transform(before)
-    after = None if after is None else _ensure_event_transform(after)
+    before = (None if before is None
+              else _ensure_event_transform(before, data_dim))
+    after = (None if after is None
+             else _ensure_event_transform(after, data_dim))
     if before is not None:
         seq.append(before)
     for i, blk in enumerate(blocks):
@@ -208,7 +215,8 @@ class _FlowMixin:
     def as_bijector(self, train: bool = False) -> bj.Chain:
         return _assemble_chain(self.blocks, self.bn_params,
                                self.before_flow_transform,
-                               self.after_flow_transform, train)
+                               self.after_flow_transform, train,
+                               self.data_dim)
 
     def __call__(self, inputs, train: bool = False,
                  conditional_input: Optional[Array] = None):
@@ -260,7 +268,8 @@ class RQSSplineRealNVP(_FlowMixin):
 
     Reference analog: ``RQSSplineRealNVP`` (vaemolsim/flows.py:221-360):
     ``num_blocks`` (default 4) blocks; even blocks mask the first
-    floor(d/2) DOFs, odd blocks mask the last floor(d/2)
+    floor(d/2) DOFs, odd blocks mask the last ceil(d/2)
+    (matching the reference's ``-(d - d//2)`` split exactly)
     (flows.py:291-306); data_dim==1 masks nothing and transforms the
     single DOF via the ones-fed conditioner (flows.py:294-296); optional
     BatchNorm between blocks (flows.py:308-309) and before/after domain
@@ -352,8 +361,11 @@ class MaskedSplineConditioner:
     @property
     def mergeable(self) -> bool:
         """True when the three MADEs are the standard single-hidden-layer
-        nets that merge into one block-diagonal evaluation."""
+        tanh nets that merge into one block-diagonal evaluation (the
+        merged path hardcodes tanh, so a custom activation must fall
+        back to per-net evaluation)."""
         return all(len(n.kernels) == 2
+                   and getattr(n, "activation", "tanh") == "tanh"
                    for n in (self.w_net, self.h_net, self.s_net))
 
     def merged_params(self) -> Tuple[Optional[Array], ...]:
@@ -450,7 +462,11 @@ def set_maf_fused(enabled: bool) -> None:
     only; layers silently use the XLA path when the input/conditioner
     shape is outside the kernel's support (non-merged MADEs, >2-D
     batches).  Exactness vs the XLA path is golden-tested
-    (tests/test_maf_fused.py)."""
+    (tests/test_maf_fused.py).
+
+    The flag is read at TRACE time: functions already jit-compiled keep
+    their cached backend — toggle BEFORE tracing (or re-jit) for the
+    change to take effect."""
     global _MAF_FUSED
     _MAF_FUSED = bool(enabled)
 

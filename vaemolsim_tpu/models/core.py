@@ -69,6 +69,12 @@ class MappingToDistribution:
                mapping_kwargs: Optional[dict] = None,
                name: str = "map_to_dist") -> "MappingToDistribution":
         if mapping is None:
+            if not hasattr(dist, "params_size"):
+                raise TypeError(
+                    f"{type(dist).__name__} has no params_size(), so a "
+                    "mapping cannot be auto-sized (a static distribution "
+                    "takes no parameters — use FlowModel, or pass an "
+                    "explicit mapping=)")
             target = dist.params_size()
             mapping = FCDeepNN.create(key, input_shape, target,
                                       **(mapping_kwargs or {}))

@@ -59,7 +59,6 @@ def pair_invariants(coords: Array) -> Array:
     cross = jnp.cross(coords[..., :, None, :], coords[..., None, :, :])
     cross_norm = jnp.sqrt(jnp.sum(cross * cross, axis=-1) + 1e-12)
     n2 = jnp.sum(coords * coords, axis=-1)
-    N = coords.shape[-2]
     n2_i = jnp.broadcast_to(n2[..., :, None], dots.shape)
     n2_j = jnp.broadcast_to(n2[..., None, :], dots.shape)
     return jnp.stack([dots, cross_norm, n2_i, n2_j], axis=-1)
@@ -141,8 +140,9 @@ class VectorAttention:
         scores = self.score_net(pair)  # (..., N, N)
         vals = self.value_net(pair)  # (..., N, N, F_out)
 
-        if mask is not None:
-            pair_mask = mask[..., :, None] & mask[..., None, :]
+        pair_mask = (None if mask is None
+                     else mask[..., :, None] & mask[..., None, :])
+        if pair_mask is not None:
             scores = jnp.where(pair_mask, scores, _NEG_INF)
 
         if self.reduce:
@@ -156,10 +156,9 @@ class VectorAttention:
                 out = jnp.where(any_valid[..., None], out, 0.0)
             return out
         alpha = jax.nn.softmax(scores, axis=-1)  # over j
-        if mask is not None:
+        if pair_mask is not None:
             # Fully-masked query rows produce uniform alpha; zero them.
-            alpha = jnp.where(mask[..., :, None] & mask[..., None, :],
-                              alpha, 0.0)
+            alpha = jnp.where(pair_mask, alpha, 0.0)
         return jnp.einsum("...ij,...ijf->...if", alpha, vals)
 
 
