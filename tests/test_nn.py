@@ -208,3 +208,35 @@ class TestMADE:
     def test_bad_order_raises(self):
         with pytest.raises(ValueError):
             MADE.create(jax.random.PRNGKey(0), 3, 2, input_order=[1, 1, 2])
+
+
+def test_dense_bf16_matches_stack_path():
+    """Per-layer Dense and the fused dense_stack_xla must produce
+    identical bf16 numerics for the same weights (they share a dtype
+    flow: matmul/bias/activation in the compute dtype)."""
+    from vaemolsim_tpu.nn.core import Dense, set_compute_dtype
+    from vaemolsim_tpu.ops.fused_mlp import dense_stack_xla
+
+    lyr = Dense.create(jax.random.PRNGKey(0), 4, 8, activation="tanh")
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 4))
+    set_compute_dtype(jnp.bfloat16)
+    try:
+        got = lyr(x)
+        want = dense_stack_xla(x, [lyr.kernel], [lyr.bias], ["tanh"])
+        assert got.dtype == x.dtype
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    finally:
+        set_compute_dtype(None)
+
+
+def test_cg_aggregation_not_trainable():
+    """The CG aggregation matrix is a physical constant: gradients must
+    not flow into it even though it is a pytree leaf."""
+    from vaemolsim_tpu.nn import CGCenterOfMass, CGCentroid
+
+    for layer in (CGCentroid.create([2, 3]),
+                  CGCenterOfMass.create([2, 3],
+                                        masses=np.asarray([1., 2., 1., 1., 3.]))):
+        coords = jax.random.normal(jax.random.PRNGKey(0), (4, 5, 3))
+        g = jax.grad(lambda l: jnp.sum(l(coords) ** 2))(layer)
+        np.testing.assert_array_equal(np.asarray(g.agg), 0.0)

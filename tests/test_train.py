@@ -497,3 +497,19 @@ class TestReviewRegressions:
         # Eager path still catches non-finite values.
         with pytest.raises(AssertionError):
             assert_finite(jnp.array([jnp.nan]), "bad")
+
+
+def test_checked_fires_user_checks():
+    """checkify.check assertions inside a checked() fn must fire (the
+    wrapper previously dropped user_checks, silently discharging them)."""
+    from jax.experimental import checkify
+    from vaemolsim_tpu.utils import checked
+
+    def fn(x):
+        checkify.check(jnp.all(x > 0), "x must be positive")
+        return jnp.sqrt(x)
+
+    safe = checked(fn)
+    safe(jnp.asarray([1.0, 4.0]))  # passes
+    with pytest.raises(Exception, match="positive"):
+        safe(jnp.asarray([-1.0, 4.0]))

@@ -12,13 +12,16 @@ replacement for ``tfp.bijectors.AutoregressiveNetwork``
 (vaemolsim/flows.py:454-487, vaemolsim/dists.py:301-305): masked dense
 matmuls with precomputed static masks, configurable input order
 (left-to-right / right-to-left / explicit permutation), and optional
-unmasked conditional input into the first hidden layer.  Masked matmuls
-are plain XLA (they land on the MXU; masks fold into the weights).
+unmasked conditional input into EVERY layer including the output head
+(TFP AutoregressiveNetwork's all-layers default — see MADE.create).
+Masked matmuls are plain XLA (they land on the MXU; masks fold into
+the weights).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple, Union
+import functools
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,8 +30,9 @@ from flax import struct
 
 Array = jax.Array
 
-__all__ = ["Dense", "MLP", "BatchNorm", "MADE", "resolve_activation",
-           "glorot_uniform", "truncated_normal_init"]
+__all__ = ["Dense", "MLP", "BatchNorm", "LayerNorm", "MADE",
+           "resolve_activation", "glorot_uniform",
+           "truncated_normal_init"]
 
 _ACTIVATIONS = {
     None: lambda x: x,
@@ -121,11 +125,15 @@ class Dense:
     def __call__(self, x: Array) -> Array:
         cd = compute_dtype()
         if cd is not None:
-            y = (x.astype(cd) @ self.kernel.astype(cd)).astype(x.dtype)
-            y = y + self.bias
-        else:
-            y = x @ self.kernel + self.bias
-        return resolve_activation(self.activation)(y)
+            # Same dtype flow as ops.fused_mlp.dense_stack_xla (matmul,
+            # bias-add, AND activation all in the compute dtype; output
+            # cast back to the input dtype) so per-layer and fused-stack
+            # paths produce identical bf16 numerics for the same weights.
+            y = x.astype(cd) @ self.kernel.astype(cd) + self.bias.astype(cd)
+            y = resolve_activation(self.activation)(y)
+            return y.astype(x.dtype)
+        return resolve_activation(self.activation)(x @ self.kernel
+                                                   + self.bias)
 
     @property
     def in_dim(self) -> int:
@@ -245,8 +253,6 @@ def _resolve_input_order(input_order, event_size: int) -> np.ndarray:
             f"input_order must be a permutation of 1..{event_size}, got {order}")
     return order
 
-
-import functools
 
 
 @functools.lru_cache(maxsize=None)

@@ -139,10 +139,6 @@ class FCDeepNN:
             return out, self
         return out, self.replace(bns=new_bns)
 
-    def params_size_input(self) -> int:
-        return self.layers[0].in_dim if self.layers else self.head.in_dim
-
-
 def _aggregation_matrix(res_atom_nums: Sequence[int],
                         weights: Optional[np.ndarray] = None) -> np.ndarray:
     """(n_res, n_atoms) row-normalized aggregation matrix."""
@@ -174,7 +170,11 @@ class CGCentroid:
 
     def __call__(self, coords: Array) -> Array:
         """coords (..., n_atoms, 3) -> (..., n_res, 3)."""
-        return jnp.einsum("ra,...ad->...rd", self.agg, coords)
+        # The aggregation matrix is a fixed physical constant, but as a
+        # pytree leaf it would receive optimizer updates when the map is
+        # embedded in a trained model: stop gradients at the use site.
+        return jnp.einsum("ra,...ad->...rd",
+                          jax.lax.stop_gradient(self.agg), coords)
 
 
 @struct.dataclass
@@ -204,7 +204,9 @@ class CGCenterOfMass:
         return cls.create(nums, flat)
 
     def __call__(self, coords: Array) -> Array:
-        return jnp.einsum("ra,...ad->...rd", self.agg, coords)
+        # Fixed physical constant: see CGCentroid.__call__.
+        return jnp.einsum("ra,...ad->...rd",
+                          jax.lax.stop_gradient(self.agg), coords)
 
 
 @struct.dataclass
@@ -259,7 +261,9 @@ class DistanceSelection:
         diff = coords - ref[..., None, :]
         box = box_lengths if box_lengths is not None else self.box_lengths
         if box is not None:
-            box = jnp.asarray(box)
+            # Physical constant, not a trainable parameter (it rides as
+            # a pytree leaf when stored on the layer).
+            box = jax.lax.stop_gradient(jnp.asarray(box))
             # (3,) or (B, 3) -> broadcast over the particle axis.
             if box.ndim < diff.ndim:
                 box = box[..., None, :]
