@@ -327,6 +327,21 @@ def test_json_roundtrip_preserves_tuples():
     assert back == c  # incl. bin_range staying a tuple
 
 
+def test_json_roundtrip_preserves_union_tuples():
+    """Tuple fields wrapped in Union/Optional (MappingConfig.input_shape:
+    Union[int, Tuple[int, ...]]) must also load back as tuples, and
+    Union[..., List[...]] fields must stay lists (ADVICE round 2)."""
+    import json
+    c = cfg.MappingConfig(input_shape=(2, 3), target_shape=(4,),
+                          hidden_dim=[16, 8], periodic_dofs=[True, False])
+    back = cfg.from_dict(None, json.loads(json.dumps(cfg.to_tagged_dict(c))))
+    assert back == c
+    assert isinstance(back.input_shape, tuple)
+    assert isinstance(back.target_shape, tuple)
+    assert isinstance(back.hidden_dim, list)  # List-typed Union untouched
+    assert isinstance(back.periodic_dofs, list)
+
+
 def test_static_dist_autosize_clear_error():
     import pytest
     from vaemolsim_tpu.dists import StaticFlowedDistribution

@@ -448,11 +448,29 @@ class TestMoveComposition:
 
 
 def test_counters_are_exact_integers():
-    """Acceptance counters ride as int32 (float32 loses integer
-    exactness past 2^24 — seconds of runtime at the benched rate)."""
+    """Acceptance counters are exact wide integers: float32 loses
+    exactness past 2^24 and a single int32 wraps at 2.1e9 trials (~20 s
+    at the benched 100M props/s, e.g. 50k chains x 43k steps in one
+    scan); the two-word Counter stays exact to 2^61."""
+    from vaemolsim_tpu.mcmc import Counter
     st = MCMCState.create(jnp.zeros((4, 1)), jnp.zeros((4,)),
                           jax.random.PRNGKey(0))
-    assert st.num_trials.dtype == jnp.int32
-    assert st.num_acc.dtype == jnp.int32
-    big = st.replace(num_trials=jnp.asarray(2 ** 24 + 7, jnp.int32))
-    assert int(big.num_trials + 4) == 2 ** 24 + 11  # float32 would drop
+    assert st.num_trials.lo.dtype == jnp.int32
+    assert st.num_trials.hi.dtype == jnp.int32
+    # Exact past the float32 mantissa.
+    big = st.replace(num_trials=Counter.of(2 ** 24 + 7))
+    assert int(big.num_trials.add(4)) == 2 ** 24 + 11
+    # Exact past the int32 range: the 50k x 43k scenario and beyond.
+    c = Counter.of(2 ** 31 - 5)
+    for _ in range(3):
+        c = c.add(50_000)
+    assert int(c) == 2 ** 31 - 5 + 3 * 50_000  # a single int32 wrapped here
+    # Traced accumulation (the scan path) carries identically.
+    def body(cc, _):
+        return cc.add(jnp.asarray(50_000, jnp.int32)), None
+    c2, _ = jax.lax.scan(body, Counter.of(2 ** 31 - 5), None, length=3)
+    assert int(c2) == int(c)
+    # Round-trip of a huge count and float32 rate sanity.
+    assert int(Counter.of(3 * 10 ** 12)) == 3 * 10 ** 12
+    rate = Counter.of(10 ** 10).to_float() / Counter.of(4 * 10 ** 10).to_float()
+    np.testing.assert_allclose(float(rate), 0.25, rtol=1e-6)

@@ -347,8 +347,9 @@ class TestCheckpoint:
     def test_mcmc_state_roundtrip(self, tmp_path):
         state = MCMCState.create(jnp.ones((8, 2)), jnp.zeros(8),
                                  jax.random.PRNGKey(3))
-        state = state.replace(num_trials=jnp.asarray(40.0),
-                              num_acc=jnp.asarray(13.0))
+        from vaemolsim_tpu.mcmc import Counter
+        state = state.replace(num_trials=Counter.of(40),
+                              num_acc=Counter.of(13))
         path = str(tmp_path / "mc")
         save_checkpoint(path, state)
         template = MCMCState.create(jnp.zeros((8, 2)), jnp.zeros(8),

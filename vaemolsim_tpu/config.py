@@ -51,6 +51,20 @@ def to_tagged_dict(cfg) -> Any:
     return cfg
 
 
+def _tuple_in_annotation(ann) -> bool:
+    """Whether a loaded JSON list should be coerced to a tuple for this
+    annotation: the annotation is tuple-origin, or (mirroring
+    ``_dataclass_in_annotation``'s Union handling) a Union/Optional with
+    a tuple-origin member.  A Union that also admits a list (or a bare
+    ``list``) keeps the list — coercion there would be ambiguous."""
+    if typing.get_origin(ann) is tuple:
+        return True
+    args = typing.get_args(ann)
+    has_tuple = any(typing.get_origin(a) is tuple for a in args)
+    has_list = any(a is list or typing.get_origin(a) is list for a in args)
+    return has_tuple and not has_list
+
+
 def _dataclass_in_annotation(ann, keys=None):
     """The dataclass type named by an annotation, looking through
     Optional[...] / Union[...] wrappers; None if there isn't one.
@@ -126,8 +140,7 @@ def from_dict(cls, d: Dict[str, Any]):
                       if isinstance(v, dict) else None)
             if nested is not None:
                 v = from_dict(nested, v)
-        if isinstance(v, list) and typing.get_origin(
-                hints.get(f.name)) is tuple:
+        if isinstance(v, list) and _tuple_in_annotation(hints.get(f.name)):
             # JSON has no tuples; coerce per the annotation so
             # load_json(save_json(cfg)) == cfg holds.
             v = tuple(v)

@@ -7,6 +7,7 @@ from vaemolsim_tpu.mcmc.diagnostics import (  # noqa: F401
 )
 from vaemolsim_tpu.mcmc.engine import (  # noqa: F401
     MCMC,
+    Counter,
     MCMCState,
     apply_mh,
     make_mcmc_step,

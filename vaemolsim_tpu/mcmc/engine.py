@@ -31,8 +31,55 @@ from flax import struct
 
 Array = jax.Array
 
-__all__ = ["MCMCState", "apply_mh", "mh_propose", "make_mcmc_step",
-           "run_mcmc", "MCMC"]
+__all__ = ["Counter", "MCMCState", "apply_mh", "mh_propose",
+           "make_mcmc_step", "run_mcmc", "MCMC"]
+
+_COUNTER_BASE = 1 << 30
+
+
+@struct.dataclass
+class Counter:
+    """Exact wide event counter: two int32 words in base 2**30.
+
+    Counts are exact integers; float32 loses integer exactness past
+    2^24 (~0.2 s of trials at the benched 100M proposals/s) and a single
+    int32 wraps at 2.1e9 (~20 s at that rate, e.g. 50k chains x 43k
+    steps in one scan), yielding negative counts.  Two base-2**30 words
+    are exact to 2^61 events (~700 years at 100M/s) and stay in plain
+    int32 lanes (jax_enable_x64 not required).  Per-step increments must
+    be < 2**30 (i.e. < 1e9 chains per device — always true).
+    """
+
+    lo: Array  # () int32 in [0, 2**30)
+    hi: Array  # () int32
+
+    @classmethod
+    def zero(cls) -> "Counter":
+        return cls(lo=jnp.asarray(0, jnp.int32), hi=jnp.asarray(0, jnp.int32))
+
+    @classmethod
+    def of(cls, n: int) -> "Counter":
+        n = int(n)
+        return cls(lo=jnp.asarray(n % _COUNTER_BASE, jnp.int32),
+                   hi=jnp.asarray(n // _COUNTER_BASE, jnp.int32))
+
+    def add(self, n) -> "Counter":
+        """Add a non-negative increment (< 2**30): Python int or traced
+        int32 scalar.  max lo + max increment < 2**31, so the raw add
+        never overflows before the carry split."""
+        lo = self.lo + jnp.asarray(n, jnp.int32)
+        return Counter(lo=lo % _COUNTER_BASE, hi=self.hi + lo // _COUNTER_BASE)
+
+    def to_float(self) -> Array:
+        """float32 value (relative error <= ~1e-7 — fine for rates)."""
+        return (self.hi.astype(jnp.float32) * float(_COUNTER_BASE)
+                + self.lo.astype(jnp.float32))
+
+    def __int__(self) -> int:
+        return int(self.hi) * _COUNTER_BASE + int(self.lo)
+
+    def __float__(self) -> float:
+        return float(int(self))
 
 
 @struct.dataclass
@@ -43,25 +90,19 @@ class MCMCState:
     configs: Array  # (n_chains, n_dofs)
     energies: Array  # (n_chains,) log target density values
     key: Array
-    # int32 counters: counts are exact integers, and float32 loses
-    # integer exactness past 2^24 (~0.2 s of trials at the benched
-    # 100M proposals/s, after which the acceptance rate silently
-    # decays).  int32 is exact to 2.1e9 trials.
-    num_trials: Array  # () int32
-    num_acc: Array  # () int32
+    num_trials: Counter
+    num_acc: Counter
 
     @property
     def acceptance_rate(self) -> Array:
-        return (self.num_acc.astype(jnp.float32)
-                / self.num_trials.astype(jnp.float32))
+        return self.num_acc.to_float() / self.num_trials.to_float()
 
     @classmethod
     def create(cls, configs: Array, energies: Array,
                key: Array) -> "MCMCState":
         return cls(configs=jnp.asarray(configs),
                    energies=jnp.asarray(energies), key=key,
-                   num_trials=jnp.asarray(0, jnp.int32),
-                   num_acc=jnp.asarray(0, jnp.int32))
+                   num_trials=Counter.zero(), num_acc=Counter.zero())
 
 
 def apply_mh(state: MCMCState, x2: Array, e2: Array, accept: Array,
@@ -72,8 +113,8 @@ def apply_mh(state: MCMCState, x2: Array, e2: Array, accept: Array,
     return MCMCState(
         configs=jnp.where(accept[..., None], x2, state.configs),
         energies=jnp.where(accept, e2, state.energies), key=key,
-        num_trials=state.num_trials + accept.size,
-        num_acc=state.num_acc + jnp.sum(accept, dtype=jnp.int32))
+        num_trials=state.num_trials.add(accept.size),
+        num_acc=state.num_acc.add(jnp.sum(accept, dtype=jnp.int32)))
 
 
 def mh_propose(encoder_fn: Callable[[Array], Any],
@@ -254,11 +295,12 @@ class MCMC:
     def acceptance_rate(self) -> float:
         if self._num_trials == 0:
             return float("nan")  # matches MCMCState's 0/0 semantics
-        return float(self._num_acc / self._num_trials)
+        return self._num_acc / self._num_trials
 
     def reset(self, random_seed: Optional[int] = None) -> None:
-        self._num_trials = 0.0
-        self._num_acc = 0.0
+        # Python ints: arbitrary precision, no wrap/precision class at all.
+        self._num_trials = 0
+        self._num_acc = 0
         self._key = jax.random.PRNGKey(
             0 if random_seed is None else random_seed)
 
@@ -271,12 +313,12 @@ class MCMC:
 
     def single_step(self, configs, energies=None):
         state = self._jit_run(self._state(configs, energies), 1)
-        self._num_trials += float(state.num_trials)
-        self._num_acc += float(state.num_acc)
+        self._num_trials += int(state.num_trials)
+        self._num_acc += int(state.num_acc)
         return state.configs, state.energies
 
     def run(self, configs, energies=None, n_steps: int = 1):
         state = self._jit_run(self._state(configs, energies), n_steps)
-        self._num_trials += float(state.num_trials)
-        self._num_acc += float(state.num_acc)
+        self._num_trials += int(state.num_trials)
+        self._num_acc += int(state.num_acc)
         return state.configs, state.energies

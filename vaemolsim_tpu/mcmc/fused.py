@@ -446,7 +446,7 @@ def make_fused_vae_step(vae, log_target_fn: Callable[[Array], Array],
         return MCMCState(
             configs=jnp.where(accept[..., None], x2, x1),
             energies=jnp.where(accept, e2, e1), key=key,
-            num_trials=state.num_trials + accept.size,
-            num_acc=state.num_acc + jnp.sum(accept, dtype=jnp.int32))
+            num_trials=state.num_trials.add(accept.size),
+            num_acc=state.num_acc.add(jnp.sum(accept, dtype=jnp.int32)))
 
     return step

@@ -75,8 +75,8 @@ def _make_local_step(kind: str, log_target_fn, scale
         # _scaled_trial already applied the accept/reject select.
         return state.replace(
             configs=x, energies=e, key=key,
-            num_trials=state.num_trials + accept.size,
-            num_acc=state.num_acc + jnp.sum(accept, dtype=jnp.int32))
+            num_trials=state.num_trials.add(accept.size),
+            num_acc=state.num_acc.add(jnp.sum(accept, dtype=jnp.int32)))
 
     return step
 

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from vaemolsim_tpu.mcmc.engine import mh_propose
+from vaemolsim_tpu.mcmc.engine import Counter, mh_propose
 
 Array = jax.Array
 
@@ -40,20 +40,22 @@ class REMCState:
     betas: Array  # (R,)
     key: Array
     step_index: Array  # () int32, drives even/odd pairing
-    num_trials: Array
-    num_acc: Array
-    num_swap_trials: Array
-    num_swap_acc: Array
+    # Wide exact counters (mcmc.engine.Counter): two int32 words, no
+    # wrap to 2^61 events.
+    num_trials: Counter
+    num_acc: Counter
+    num_swap_trials: Counter
+    num_swap_acc: Counter
 
     @property
     def acceptance_rate(self) -> Array:
-        return (self.num_acc.astype(jnp.float32)
-                / jnp.maximum(self.num_trials, 1).astype(jnp.float32))
+        return (self.num_acc.to_float()
+                / jnp.maximum(self.num_trials.to_float(), 1.0))
 
     @property
     def swap_acceptance_rate(self) -> Array:
-        return (self.num_swap_acc.astype(jnp.float32)
-                / jnp.maximum(self.num_swap_trials, 1).astype(jnp.float32))
+        return (self.num_swap_acc.to_float()
+                / jnp.maximum(self.num_swap_trials.to_float(), 1.0))
 
     @classmethod
     def create(cls, configs: Array, log_target_fn, betas: Array,
@@ -63,12 +65,9 @@ class REMCState:
                    energies=log_target_fn(configs),
                    betas=jnp.asarray(betas), key=key,
                    step_index=jnp.asarray(0, jnp.int32),
-                   # int32: exact integer counts (float32 loses
-                   # exactness past 2^24 trials — seconds at bench rate).
-                   num_trials=jnp.asarray(0, jnp.int32),
-                   num_acc=jnp.asarray(0, jnp.int32),
-                   num_swap_trials=jnp.asarray(0, jnp.int32),
-                   num_swap_acc=jnp.asarray(0, jnp.int32))
+                   num_trials=Counter.zero(), num_acc=Counter.zero(),
+                   num_swap_trials=Counter.zero(),
+                   num_swap_acc=Counter.zero())
 
 
 def temperature_ladder(n_replicas: int, beta_min: float = 0.2,
@@ -117,8 +116,8 @@ def make_remc_step(encoder_fn: Callable[[Array], Any],
             configs=jnp.where(accept[..., None], x2, x1),
             energies=jnp.where(accept, l2, l1),
             key=key,
-            num_trials=state.num_trials + accept.size,
-            num_acc=state.num_acc + jnp.sum(accept, dtype=jnp.int32))
+            num_trials=state.num_trials.add(accept.size),
+            num_acc=state.num_acc.add(jnp.sum(accept, dtype=jnp.int32)))
 
     def exchange_phase(state: REMCState) -> REMCState:
         R = state.configs.shape[0]
@@ -153,8 +152,8 @@ def make_remc_step(encoder_fn: Callable[[Array], Any],
         n_acc = jnp.sum(accept, dtype=jnp.int32) // 2
         return state.replace(
             configs=new_x, energies=new_l, key=key,
-            num_swap_trials=state.num_swap_trials + n_att,
-            num_swap_acc=state.num_swap_acc + n_acc)
+            num_swap_trials=state.num_swap_trials.add(n_att),
+            num_swap_acc=state.num_swap_acc.add(n_acc))
 
     def step(state: REMCState) -> REMCState:
         state = mc_phase(state)
