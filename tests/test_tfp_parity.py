@@ -51,7 +51,11 @@ def test_goldens_are_from_tfp(goldens):
             "tools/tf_reference_parity.py on a machine with "
             "tensorflow<=2.15 + tensorflow-probability<=0.23 + the "
             "reference vaemolsim installed, then commit the output to "
-            f"{GOLDENS_PATH} for true cross-framework evidence.")
+            f"{GOLDENS_PATH} for true cross-framework evidence.  "
+            "(Real cross-framework coverage that does NOT need TFP "
+            "already runs unconditionally: tests/test_tf_parity.py — "
+            "TF-2.21-computed goldens — and tests/test_rqs_oracle.py — "
+            "a 30-digit mpmath RQS oracle; see PARITY.md.)")
 
 
 @pytest.mark.parametrize("case_name,fields,tol", [

@@ -184,8 +184,64 @@ def compute_elbo_fixed(case):
             "elbo_fixed": np.asarray(logp_xz + logp_z - logq)}
 
 
+def compute_von_mises_log_prob_grid(case):
+    import jax.numpy as jnp
+
+    from vaemolsim_tpu.ops import distributions as d
+
+    rows = []
+    for row in case["rows"]:
+        dist = d.VonMises(jnp.float32(row["loc"]),
+                          jnp.float32(row["concentration"]))
+        rows.append({"log_prob": np.asarray(
+            dist.log_prob(jnp.asarray(_np(row["x"]))))})
+    return {"rows": rows}
+
+
+def compute_spline_activations(case):
+    import jax.numpy as jnp
+
+    from vaemolsim_tpu.flows.spline_flows import _bin_positions, _slopes
+
+    bin_min, bin_max = case["bin_range"]
+    K = case["num_bins"]
+    return {
+        "w": np.asarray(_bin_positions(jnp.asarray(_np(case["raw_w"])),
+                                       bin_min, bin_max, K)),
+        "h": np.asarray(_bin_positions(jnp.asarray(_np(case["raw_h"])),
+                                       bin_min, bin_max, K)),
+        "s": np.asarray(_slopes(jnp.asarray(_np(case["raw_s"])))),
+    }
+
+
+def compute_initializer_stats(case):
+    """This framework's initializer draws at the goldens' shapes; the
+    consumer compares moments/bounds statistically."""
+    import jax
+
+    from vaemolsim_tpu.nn.core import glorot_uniform, truncated_normal_init
+
+    g_spec = case["glorot"]
+    g = np.asarray(glorot_uniform(
+        jax.random.PRNGKey(21), (g_spec["fan_in"], g_spec["fan_out"])))
+    t_spec = case["truncated_normal"]
+    n = int(np.sqrt(t_spec["n"]))
+    t = np.asarray(truncated_normal_init(
+        jax.random.PRNGKey(22), (n, n), stddev=t_spec["stddev"]))
+    return {
+        "glorot": {"mean": float(g.mean()), "std": float(g.std()),
+                   "absmax": float(np.abs(g).max())},
+        "truncated_normal": {"mean": float(t.mean()),
+                             "std": float(t.std()),
+                             "absmax": float(np.abs(t).max())},
+    }
+
+
 COMPUTERS = {
     "rqs_spline": compute_rqs_spline,
+    "von_mises_log_prob_grid": compute_von_mises_log_prob_grid,
+    "spline_activations": compute_spline_activations,
+    "initializer_stats": compute_initializer_stats,
     "von_mises": compute_von_mises,
     "von_mises_layer": compute_von_mises_layer,
     "von_mises_sample_stats": compute_von_mises_sample_stats,
