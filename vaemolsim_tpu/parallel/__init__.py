@@ -1,6 +1,18 @@
 """Device-mesh parallelism: chain sharding + replica exchange (new
 first-class capability of the TPU build; SURVEY.md §2.4)."""
 
+from vaemolsim_tpu.parallel.distributed import (  # noqa: F401
+    broadcast_from_coordinator,
+    global_to_local,
+    initialize_distributed,
+    is_coordinator,
+    local_to_global,
+    process_allmean,
+    process_count,
+    process_index,
+    shutdown_distributed,
+    sync_processes,
+)
 from vaemolsim_tpu.parallel.replica import (  # noqa: F401
     REMCState,
     make_remc_step,

@@ -110,6 +110,23 @@ def fit_ensemble(model_stack: Any, loss_fn: Callable, data: Any, *,
     return model_stack, history
 
 
+def _mesh_spans_processes(mesh) -> bool:
+    pid = jax.process_index()
+    return any(d.process_index != pid for d in mesh.devices.flat)
+
+
+def _put_replicated(x, mesh, repl):
+    """Replicate a host value over the mesh — multi-process-safe: when
+    the mesh spans processes, ``jax.device_put`` cannot target
+    non-addressable devices, but every process holds the same host value
+    (same seed / same config), so the global replicated array is
+    assembled from the process-local copy."""
+    x = jnp.asarray(x)
+    if _mesh_spans_processes(mesh):
+        return jax.make_array_from_process_local_data(repl, np.asarray(x))
+    return jax.device_put(x, repl)
+
+
 def _shard_for_fit(model, opt_state, data, mesh, mesh_axis):
     """Data-parallel placement: model/optimizer replicated, data leaves
     sharded along the sample axis over ``mesh_axis``.  With the loss
@@ -134,9 +151,9 @@ def _shard_for_fit(model, opt_state, data, mesh, mesh_axis):
         return jax.device_put(a, NamedSharding(mesh, P(*spec)))
 
     model = jax.tree_util.tree_map(
-        lambda x: jax.device_put(jnp.asarray(x), repl), model)
+        lambda x: _put_replicated(x, mesh, repl), model)
     opt_state = jax.tree_util.tree_map(
-        lambda x: jax.device_put(jnp.asarray(x), repl), opt_state)
+        lambda x: _put_replicated(x, mesh, repl), opt_state)
     if data is not None:
         data = jax.tree_util.tree_map(put_data, data)
     return model, opt_state, data
@@ -194,6 +211,7 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
         scan_epochs: bool = False,
         mesh=None,
         mesh_axis: str = "batch",
+        process_local_data: bool = False,
         verbose: bool = False) -> Tuple[Any, Dict[str, List[float]]]:
     """Fit ``model`` by minimizing ``loss_fn`` over ``data``.
 
@@ -217,11 +235,44 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
     this is the TPU-native first-class equivalent.)  Batch size must
     divide evenly over the axis.  Results match single-device training
     up to float reduction order.
+
+    ``process_local_data``: multi-process (multi-host) training — every
+    process calls ``fit`` with the SAME model/key/hyperparameters but
+    passes only ITS shard of the dataset; the shards are assembled into
+    globally-sharded arrays (each host feeds its local slice, as on a
+    real pod) and training proceeds SPMD over the process-spanning
+    ``mesh``.  Requires ``scan_epochs=True`` (the epoch, including the
+    global shuffle, must live inside one compiled program — host-side
+    gathers cannot touch non-addressable shards).  Initialize the
+    runtime first with ``parallel.initialize_distributed()``.
     """
     optimizer = optimizer or optax.adam(learning_rate)
     opt_state = optimizer.init(model)
 
     streamed = callable(data)
+    if process_local_data:
+        if mesh is None:
+            raise ValueError("process_local_data needs a process-spanning "
+                             "mesh (parallel.make_mesh after "
+                             "initialize_distributed)")
+        if streamed:
+            raise ValueError("process_local_data takes in-memory local "
+                             "shards; wrap streams per-process upstream")
+        if not scan_epochs:
+            raise ValueError(
+                "multi-process fit requires scan_epochs=True: the global "
+                "shuffle/gather must run inside the compiled SPMD program "
+                "(host-side indexing cannot address remote shards)")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vaemolsim_tpu.parallel.distributed import local_to_global
+
+        def _global_spec(a):
+            spec = [None] * np.asarray(a).ndim
+            spec[0] = mesh_axis
+            return NamedSharding(mesh, P(*spec))
+
+        data = local_to_global(data, _global_spec)
     if streamed:
         if scan_epochs:
             raise ValueError(
@@ -252,13 +303,21 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
             # has) rather than reject real-world dataset sizes.
             n_keep = n - n % mesh.shape[mesh_axis]
             if n_keep != n:
+                if process_local_data:
+                    raise ValueError(
+                        f"global sample count ({n}) must divide evenly "
+                        f"over the {mesh.shape[mesh_axis]}-way "
+                        f"{mesh_axis!r} axis in multi-process mode (pad "
+                        "or trim the per-process shards)")
                 data = jax.tree_util.tree_map(lambda a: a[:n_keep], data)
                 n = n_keep
                 batch_size = min(batch_size, n)
                 n_batches = max(n // batch_size, 1)
+        # process_local_data arrays are already globally sharded.
+        skip_data = streamed or process_local_data
         model, opt_state, placed = _shard_for_fit(
-            model, opt_state, None if streamed else data, mesh, mesh_axis)
-        if not streamed:
+            model, opt_state, None if skip_data else data, mesh, mesh_axis)
+        if not skip_data:
             data = placed
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -271,7 +330,10 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
         data = jax.tree_util.tree_map(jnp.asarray, data)
 
         @jax.jit
-        def run_epoch(model, opt_state, key):
+        def run_epoch(model, opt_state, key, data):
+            # data rides as an ARGUMENT (not a closure): jit cannot
+            # close over multi-process global arrays, and as an argument
+            # the donated/committed sharding is honored either way.
             # Same split order as the host-driven path so both modes see
             # identical PRNG streams (tested).
             k_eps, k_shuf = jax.random.split(key)
@@ -307,7 +369,7 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
         key, k_epoch = jax.random.split(key)
         if scan_epochs:
             model, opt_state, mean_loss, mean_metrics = run_epoch(
-                model, opt_state, k_epoch)
+                model, opt_state, k_epoch, data)
             history["loss"].append(float(mean_loss))
             for name, v in mean_metrics.items():
                 if name not in ("loss", "epoch_time_s"):
