@@ -28,8 +28,8 @@ from vaemolsim_tpu.parallel import (REMCState, make_mesh, make_remc_step,
 
 FULL = "--full" in sys.argv
 R = 6  # temperature replicas
-C = 2_000 if FULL else 512  # chains per replica
-STEPS = 400 if FULL else 200
+C = 2_000 if FULL else 256  # chains per replica
+STEPS = 400 if FULL else 150
 
 
 def main():

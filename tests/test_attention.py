@@ -14,7 +14,7 @@ from vaemolsim_tpu.flows import RQSSplineMAF
 from vaemolsim_tpu.models import BackmappingOnly, MappingToDistribution
 from vaemolsim_tpu.nn import (AttentionBlock, DistanceSelection,
                               LocalParticleDescriptors, ParticleEmbedding,
-                              VectorAttention)
+                              VectorAttention, VectorAttentionTwoStage)
 
 
 def random_rotation(key):
@@ -32,44 +32,55 @@ def cloud():
     return coords, values
 
 
+ATTN_CLASSES = {"fused": VectorAttention,
+                "two_stage": VectorAttentionTwoStage}
+
+
+@pytest.fixture(params=["fused", "two_stage"])
+def attn_cls(request):
+    """Both variants (the fast fused default and the external package's
+    two-stage structure) carry identical invariance guarantees."""
+    return ATTN_CLASSES[request.param]
+
+
 class TestVectorAttention:
 
-    def test_shapes(self, cloud):
+    def test_shapes(self, cloud, attn_cls):
         coords, values = cloud
-        attn = VectorAttention.create(jax.random.PRNGKey(3), 5, 7)
+        attn = attn_cls.create(jax.random.PRNGKey(3), 5, 7)
         out = attn(coords, values)
         assert out.shape == (2, 6, 7)
-        red = VectorAttention.create(jax.random.PRNGKey(3), 5, 7, reduce=True)
+        red = attn_cls.create(jax.random.PRNGKey(3), 5, 7, reduce=True)
         assert red(coords, values).shape == (2, 7)
 
-    def test_rotation_invariance(self, cloud):
+    def test_rotation_invariance(self, cloud, attn_cls):
         coords, values = cloud
-        attn = VectorAttention.create(jax.random.PRNGKey(3), 5, 7)
+        attn = attn_cls.create(jax.random.PRNGKey(3), 5, 7)
         Q = random_rotation(jax.random.PRNGKey(4))
         out1 = attn(coords, values)
         out2 = attn(coords @ Q.T, values)
         np.testing.assert_allclose(out1, out2, atol=1e-4)
 
-    def test_permutation_equivariance(self, cloud):
+    def test_permutation_equivariance(self, cloud, attn_cls):
         coords, values = cloud
-        attn = VectorAttention.create(jax.random.PRNGKey(3), 5, 7)
+        attn = attn_cls.create(jax.random.PRNGKey(3), 5, 7)
         perm = jnp.asarray([3, 1, 5, 0, 4, 2])
         out_perm = attn(coords[:, perm], values[:, perm])
         np.testing.assert_allclose(out_perm, attn(coords, values)[:, perm],
                                    atol=1e-4)
 
-    def test_reduce_permutation_invariance(self, cloud):
+    def test_reduce_permutation_invariance(self, cloud, attn_cls):
         coords, values = cloud
-        attn = VectorAttention.create(jax.random.PRNGKey(3), 5, 7,
-                                      reduce=True)
+        attn = attn_cls.create(jax.random.PRNGKey(3), 5, 7,
+                               reduce=True)
         perm = jnp.asarray([3, 1, 5, 0, 4, 2])
         np.testing.assert_allclose(attn(coords[:, perm], values[:, perm]),
                                    attn(coords, values), atol=1e-4)
 
-    def test_mask_excludes_particles(self, cloud):
+    def test_mask_excludes_particles(self, cloud, attn_cls):
         coords, values = cloud
-        attn = VectorAttention.create(jax.random.PRNGKey(3), 5, 7,
-                                      reduce=True)
+        attn = attn_cls.create(jax.random.PRNGKey(3), 5, 7,
+                               reduce=True)
         mask = jnp.array([[True] * 4 + [False] * 2] * 2)
         out_masked = attn(coords, values, mask)
         # Garbage in masked slots must not change the output.
@@ -211,3 +222,64 @@ class TestBackmappingOnly:
         d2 = model(cg_ref, coords_garbage, info, mask=mask)
         np.testing.assert_allclose(d1.log_prob(torsions),
                                    d2.log_prob(torsions), atol=1e-3)
+
+
+class TestCapabilityEquivalence:
+    """The fused VectorAttention (default) and the external package's
+    two-stage structure (VectorAttentionTwoStage) are expressively
+    equivalent on the workload that matters: learning a rotation-
+    invariant function of a local particle environment (VERDICT round-2
+    item 6 — in-container half of the evidence; the out-of-container
+    golden harness is tools/gaa_reference_parity.py)."""
+
+    def _fit_embedding(self, attention: str, seed: int = 0):
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        coords = jax.random.normal(k1, (256, 8, 3))
+        info = jax.random.normal(k2, (256, 8, 2))
+        # Invariant regression target: a smooth two-body kernel.
+        d2 = jnp.sum(
+            (coords[:, :, None, :] - coords[:, None, :, :]) ** 2, axis=-1)
+        target = jnp.sum(jnp.exp(-d2 / 4.0), axis=(1, 2)) / 8.0
+
+        emb = ParticleEmbedding.create(k3, info_dim=2, embedding_dim=8,
+                                       hidden_dim=16, num_blocks=1,
+                                       mask_zero=False,
+                                       attention=attention)
+        from vaemolsim_tpu.nn.core import Dense
+        head = Dense.create(jax.random.PRNGKey(seed + 10), 8, 1)
+        model = (emb, head)
+
+        def loss_fn(m):
+            e, h = m
+            pred = h(e(coords, info))[..., 0]
+            return jnp.mean((pred - target) ** 2)
+
+        opt = optax.adam(3e-3)
+        st = opt.init(model)
+
+        @jax.jit
+        def run(model, st):
+            def body(c, _):
+                m, s = c
+                l, g = jax.value_and_grad(loss_fn)(m)
+                u, s = opt.update(g, s)
+                return (optax.apply_updates(m, u), s), l
+
+            (model, st), losses = jax.lax.scan(body, (model, st), None,
+                                               length=400)
+            return model, st, losses
+
+        model, st, losses = run(model, st)
+        base = float(jnp.mean((target - jnp.mean(target)) ** 2))
+        return float(losses[0]) / base, float(losses[-1]) / base
+
+    def test_both_variants_learn_the_invariant_task(self):
+        first_f, final_f = self._fit_embedding("fused")
+        first_t, final_t = self._fit_embedding("two_stage")
+        # Both must explain most of the variance...
+        assert final_f < 0.15, (first_f, final_f)
+        assert final_t < 0.15, (first_t, final_t)
+        # ... and neither dramatically out-learns the other.
+        assert final_t < 10 * final_f + 0.02
+        assert final_f < 10 * final_t + 0.02

@@ -272,13 +272,18 @@ class ParticleEmbeddingConfig:
     hidden_dim: int = 40
     num_blocks: int = 2
     mask_zero: bool = True
+    # "fused" (one pair input, two MXU matmuls — the fast default) or
+    # "two_stage" (the external package's exact value-on-invariants +
+    # merge/join structure; see docs/attention_equivalence.md).
+    attention: str = "fused"
 
     def build(self, key: jax.Array):
         from vaemolsim_tpu.nn import ParticleEmbedding
         return ParticleEmbedding.create(key, self.info_dim,
                                         self.embedding_dim,
                                         self.hidden_dim, self.num_blocks,
-                                        self.mask_zero)
+                                        self.mask_zero,
+                                        attention=self.attention)
 
 
 @dataclass

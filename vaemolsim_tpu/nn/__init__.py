@@ -5,6 +5,7 @@ from vaemolsim_tpu.nn.attention import (  # noqa: F401
     LocalParticleDescriptors,
     ParticleEmbedding,
     VectorAttention,
+    VectorAttentionTwoStage,
 )
 from vaemolsim_tpu.nn.core import (  # noqa: F401
     MADE,

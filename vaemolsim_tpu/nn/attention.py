@@ -32,7 +32,7 @@ exact weights.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,8 +43,8 @@ from vaemolsim_tpu.nn.mappings import DistanceSelection
 
 Array = jax.Array
 
-__all__ = ["VectorAttention", "AttentionBlock", "ParticleEmbedding",
-           "LocalParticleDescriptors"]
+__all__ = ["VectorAttention", "VectorAttentionTwoStage", "AttentionBlock",
+           "ParticleEmbedding", "LocalParticleDescriptors"]
 
 _NEG_INF = -1e9
 
@@ -163,11 +163,103 @@ class VectorAttention:
 
 
 @struct.dataclass
+class VectorAttentionTwoStage:
+    """Paper-faithful two-stage GA attention (Spellings 2021 §3 /
+    geometric_algebra_attention's VectorAttention structure, the exact
+    layer the reference configures at vaemolsim/mappings.py:518-525):
+
+    1. ``value_net`` reads the rotation-invariant pair features ALONE
+       (the geometric-product invariants), like the reference's
+       ``value_fun`` (Dense -> LayerNorm -> act -> Dense).
+    2. ``merge_fun='concat'``: node representations combine through a
+       learned projection  m_ij = W_m . concat(v_i, v_j).
+    3. ``join_fun='concat'``: the merged node rep joins the invariant
+       values through a second learned projection
+       j_ij = W_j . concat(m_ij, value_net(q_ij)).
+    4. Scores come from ``score_net(j_ij)``; the output is the
+       attention-weighted sum of the joined representations.
+
+    Same call signature and invariance guarantees as the fused
+    :class:`VectorAttention` (which collapses steps 1-3 into one fused
+    pair input so the whole (N x N) grid is two batched MXU matmuls —
+    the default for speed).  Select with ``attention="two_stage"`` on
+    :class:`AttentionBlock` / :class:`ParticleEmbedding`.  Expressive
+    equivalence of the two variants on the backmapping task is pinned
+    by tests/test_attention.py::TestCapabilityEquivalence; exact
+    numerics vs the external package need the out-of-container harness
+    (tools/gaa_reference_parity.py, docs/attention_equivalence.md).
+    """
+
+    value_net: _ValueNet  # on invariants only
+    merge: Dense  # concat(v_i, v_j) -> working_dim
+    join: Dense  # concat(merged, values(q)) -> working_dim
+    score_net: _ScoreNet  # on the joined rep
+    reduce: bool = struct.field(pytree_node=False, default=False)
+
+    @classmethod
+    def create(cls, key: Array, value_dim: int, out_dim: int,
+               hidden_dim: int = 40, reduce: bool = False,
+               activation: str = "relu") -> "VectorAttentionTwoStage":
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        return cls(
+            value_net=_ValueNet.create(k1, 4, hidden_dim, out_dim,
+                                       activation),
+            merge=Dense.create(k2, 2 * value_dim, out_dim),
+            join=Dense.create(k3, 2 * out_dim, out_dim),
+            score_net=_ScoreNet.create(k4, out_dim, hidden_dim, activation),
+            reduce=reduce)
+
+    def __call__(self, coords: Array, values: Array,
+                 mask: Optional[Array] = None) -> Array:
+        N = coords.shape[-2]
+        q = pair_invariants(coords)  # (..., N, N, 4)
+        inv_vals = self.value_net(q)  # (..., N, N, F_out)
+        v_i = jnp.broadcast_to(values[..., :, None, :],
+                               values.shape[:-2] + (N, N, values.shape[-1]))
+        v_j = jnp.broadcast_to(values[..., None, :, :],
+                               values.shape[:-2] + (N, N, values.shape[-1]))
+        merged = self.merge(jnp.concatenate([v_i, v_j], axis=-1))
+        joined = self.join(jnp.concatenate([merged, inv_vals], axis=-1))
+        scores = self.score_net(joined)  # (..., N, N)
+
+        pair_mask = (None if mask is None
+                     else mask[..., :, None] & mask[..., None, :])
+        if pair_mask is not None:
+            scores = jnp.where(pair_mask, scores, _NEG_INF)
+
+        if self.reduce:
+            flat = scores.reshape(scores.shape[:-2] + (N * N,))
+            alpha = jax.nn.softmax(flat, axis=-1).reshape(scores.shape)
+            out = jnp.einsum("...ij,...ijf->...f", alpha, joined)
+            if mask is not None:
+                any_valid = jnp.any(mask, axis=-1)
+                out = jnp.where(any_valid[..., None], out, 0.0)
+            return out
+        alpha = jax.nn.softmax(scores, axis=-1)  # over j
+        if pair_mask is not None:
+            alpha = jnp.where(pair_mask, alpha, 0.0)
+        return jnp.einsum("...ij,...ijf->...if", alpha, joined)
+
+
+def _make_attention(kind: str, key: Array, value_dim: int, out_dim: int,
+                    hidden_dim: int, reduce: bool, activation: str):
+    if kind == "fused":
+        return VectorAttention.create(key, value_dim, out_dim, hidden_dim,
+                                      reduce=reduce, activation=activation)
+    if kind == "two_stage":
+        return VectorAttentionTwoStage.create(
+            key, value_dim, out_dim, hidden_dim, reduce=reduce,
+            activation=activation)
+    raise ValueError(
+        f"attention must be 'fused' or 'two_stage', got {kind!r}")
+
+
+@struct.dataclass
 class AttentionBlock:
     """One GA-attention block: VectorAttention(reduce=False) + post-MLP
     with residual add (reference vaemolsim/mappings.py:480-561)."""
 
-    attn: VectorAttention
+    attn: Any  # VectorAttention | VectorAttentionTwoStage
     post_d1: Dense
     post_ln: LayerNorm
     post_d2: Dense
@@ -175,12 +267,13 @@ class AttentionBlock:
 
     @classmethod
     def create(cls, key: Array, working_dim: int, hidden_dim: int = 40,
-               activation: str = "relu") -> "AttentionBlock":
+               activation: str = "relu",
+               attention: str = "fused") -> "AttentionBlock":
         k1, k2, k3 = jax.random.split(key, 3)
         return cls(
-            attn=VectorAttention.create(k1, working_dim, working_dim,
-                                        hidden_dim, reduce=False,
-                                        activation=activation),
+            attn=_make_attention(attention, k1, working_dim, working_dim,
+                                 hidden_dim, reduce=False,
+                                 activation=activation),
             post_d1=Dense.create(k2, working_dim, hidden_dim),
             post_ln=LayerNorm.create(hidden_dim),
             post_d2=Dense.create(k3, hidden_dim, working_dim),
@@ -210,25 +303,25 @@ class ParticleEmbedding:
 
     info_net: Dense
     blocks: Tuple[AttentionBlock, ...]
-    final_attn: VectorAttention
+    final_attn: Any  # VectorAttention | VectorAttentionTwoStage
     mask_zero: bool = struct.field(pytree_node=False, default=True)
 
     @classmethod
     def create(cls, key: Array, info_dim: int, embedding_dim: int,
                hidden_dim: int = 40, num_blocks: int = 2,
                mask_zero: bool = True,
-               activation: str = "relu") -> "ParticleEmbedding":
+               activation: str = "relu",
+               attention: str = "fused") -> "ParticleEmbedding":
         keys = jax.random.split(key, num_blocks + 2)
         return cls(
             info_net=Dense.create(keys[0], info_dim, embedding_dim),
             blocks=tuple(
                 AttentionBlock.create(keys[i + 1], embedding_dim, hidden_dim,
-                                      activation)
+                                      activation, attention=attention)
                 for i in range(num_blocks)),
-            final_attn=VectorAttention.create(keys[-1], embedding_dim,
-                                              embedding_dim, hidden_dim,
-                                              reduce=True,
-                                              activation=activation),
+            final_attn=_make_attention(attention, keys[-1], embedding_dim,
+                                       embedding_dim, hidden_dim,
+                                       reduce=True, activation=activation),
             mask_zero=mask_zero)
 
     def __call__(self, coords: Array, particle_info: Array,
