@@ -363,8 +363,12 @@ def bench_statistics(jax, jnp):
     m2 = float(jnp.mean(x0 ** 2))
     want_m2 = float(jnp.mean(
         mix.sample(jax.random.PRNGKey(3), (200_000,)) ** 2))
+    # traj is (T_collected, chains, dofs); potential_scale_reduction
+    # expects (T, n_chains) — no transpose (a swapped orientation makes
+    # the R-hat assertion vacuous: verified that 10k stuck chains read
+    # as 0.9999 through .T but 199.8 in the correct orientation).
     rhat = float(potential_scale_reduction(
-        traj[..., 0].astype(jnp.float32).T))
+        traj[..., 0].astype(jnp.float32)))
     acc = float(st.acceptance_rate)
 
     assert abs(mode_balance - 0.5) < 0.05, f"mode balance {mode_balance}"

@@ -342,6 +342,26 @@ def test_json_roundtrip_preserves_union_tuples():
     assert isinstance(back.periodic_dofs, list)
 
 
+def test_container_of_tuples_keeps_outer_list():
+    """List[Tuple[...]]-style annotations must NOT have their outer
+    list coerced to a tuple just because a tuple appears in the type
+    args (only Union/Optional wrappers are looked through)."""
+    import dataclasses
+    import json
+    from typing import List, Tuple
+
+    @dataclasses.dataclass
+    class _Shapes:
+        shapes: List[Tuple[int, int]] = dataclasses.field(
+            default_factory=list)
+
+    c = _Shapes(shapes=[(1, 2), (3, 4)])
+    back = cfg.from_dict(_Shapes,
+                         json.loads(json.dumps(dataclasses.asdict(c))))
+    assert isinstance(back.shapes, list)
+    back.shapes.append((5, 6))  # must still be mutable
+
+
 def test_static_dist_autosize_clear_error():
     import pytest
     from vaemolsim_tpu.dists import StaticFlowedDistribution

@@ -10,8 +10,6 @@ semantics are covered in-process.
 """
 
 import os
-import socket
-import subprocess
 import sys
 
 import jax
@@ -19,44 +17,17 @@ import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SMOKE = os.path.join(REPO, "tools", "distributed_smoke.py")
-
-
-def _free_port() -> int:
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
+sys.path.insert(0, os.path.join(REPO, "tools"))
 
 
 @pytest.mark.skipif(sys.platform == "win32",
                     reason="gloo cross-process CPU collectives are not "
                            "supported in jaxlib Windows wheels")
 def test_two_process_smoke(tmp_path):
-    """2 processes x 4 CPU devices: the full multi-host workload."""
-    port = _free_port()
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    procs = [
-        subprocess.Popen(
-            [sys.executable, SMOKE, str(i), "2", str(port), "4",
-             str(tmp_path)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env)
-        for i in range(2)
-    ]
-    outs = []
-    try:
-        for p in procs:
-            out, _ = p.communicate(timeout=540)
-            outs.append(out)
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
-        assert f"DISTRIBUTED SMOKE OK {i}" in out
+    """2 processes x 4 CPU devices: the full multi-host workload
+    (spawn harness shared with __graft_entry__ dryrun phase 5)."""
+    from distributed_smoke import spawn
+    spawn(2, 4, str(tmp_path))
 
 
 class TestSingleProcessHelpers:

@@ -359,6 +359,30 @@ class TestCheckpoint:
         assert float(restored.num_acc) == 13.0
         np.testing.assert_array_equal(restored.key, state.key)
 
+    def test_legacy_int_counter_checkpoint_migrates(self, tmp_path):
+        """Checkpoints written before the two-word Counter stored the
+        acceptance counters as single int32 scalars; restoring one into
+        a current-template MCMCState must transparently widen them."""
+        from vaemolsim_tpu.mcmc import Counter
+        from vaemolsim_tpu.train.checkpoint import _legacy_counter_template
+
+        state = MCMCState.create(jnp.ones((8, 2)), jnp.zeros(8),
+                                 jax.random.PRNGKey(3))
+        # Write what the OLD code wrote: int32 scalars in place of the
+        # Counter sub-pytrees.
+        legacy = _legacy_counter_template(state)
+        legacy = legacy.replace(num_trials=jnp.asarray(40, jnp.int32),
+                                num_acc=jnp.asarray(13, jnp.int32))
+        path = str(tmp_path / "legacy_mc")
+        save_checkpoint(path, legacy)
+        template = MCMCState.create(jnp.zeros((8, 2)), jnp.zeros(8),
+                                    jax.random.PRNGKey(0))
+        restored = restore_checkpoint(path, template)
+        assert isinstance(restored.num_trials, Counter)
+        assert int(restored.num_trials) == 40
+        assert int(restored.num_acc) == 13
+        np.testing.assert_array_equal(restored.configs, state.configs)
+
     def test_manager_retention_and_resume(self, tmp_path):
         mgr = CheckpointManager(str(tmp_path / "mgr"), max_to_keep=2)
         flow = make_flow()

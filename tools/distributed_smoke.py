@@ -56,8 +56,7 @@ def main():
     mesh = parallel.make_mesh({"batch": n_global})
 
     # --- per-process data shards -> distributed fit ---
-    sys.path.insert(0, repo)  # __graft_entry__ lives at the repo root
-    from __graft_entry__ import _build_flagship
+    from __graft_entry__ import _build_flagship  # repo root is on sys.path
     from vaemolsim_tpu.train import fit
 
     vae = _build_flagship(jax.random.PRNGKey(0))  # same seed everywhere
@@ -126,6 +125,47 @@ def main():
     np.testing.assert_array_equal(local_back, local_now)
 
     print(f"DISTRIBUTED SMOKE OK {pid}", flush=True)
+
+
+def spawn(num_processes: int, devices_per_proc: int, tmpdir: str,
+          timeout: float = 540.0) -> None:
+    """Spawn ``num_processes`` worker copies of this script on localhost
+    (coordinator on a free port) and verify every one prints its OK
+    marker.  Shared by tests/test_distributed.py and __graft_entry__
+    dryrun phase 5.  Raises RuntimeError on any worker failure."""
+    import socket
+    import subprocess
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    # Strip XLA_FLAGS: the workers set their own device count, and an
+    # inherited --xla_force_host_platform_device_count would override it.
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), str(i),
+             str(num_processes), str(port), str(devices_per_proc),
+             str(tmpdir)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for i in range(num_processes)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0 or f"DISTRIBUTED SMOKE OK {i}" not in out:
+            raise RuntimeError(
+                f"distributed smoke worker {i} failed "
+                f"(rc={p.returncode}):\n{out[-4000:]}")
 
 
 if __name__ == "__main__":

@@ -59,6 +59,11 @@ def _tuple_in_annotation(ann) -> bool:
     ``list``) keeps the list — coercion there would be ambiguous."""
     if typing.get_origin(ann) is tuple:
         return True
+    if typing.get_origin(ann) is not typing.Union:
+        # Only Union/Optional wrappers are looked through: a container
+        # annotation like List[Tuple[int, int]] must NOT have its outer
+        # list coerced just because a tuple appears in its type args.
+        return False
     args = typing.get_args(ann)
     has_tuple = any(typing.get_origin(a) is tuple for a in args)
     has_list = any(a is list or typing.get_origin(a) is list for a in args)

@@ -75,7 +75,15 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         kwargs["process_id"] = process_id
     if local_device_ids is not None:
         kwargs["local_device_ids"] = list(local_device_ids)
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        # Belt-and-braces idempotence: _already_initialized reads a
+        # private jax module that may move between versions; if its
+        # fallback said "not initialized" but the runtime disagrees,
+        # honor the documented idempotence instead of raising.
+        if "already initialized" not in str(e):
+            raise
 
 
 def _already_initialized() -> bool:

@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
+import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 __all__ = ["save_checkpoint", "restore_checkpoint", "CheckpointManager"]
@@ -25,12 +27,61 @@ def save_checkpoint(path: str, tree: Any, force: bool = True) -> None:
         ckptr.save(path, tree, force=force)
 
 
+def _counter_cls():
+    from vaemolsim_tpu.mcmc.engine import Counter
+    return Counter
+
+
+def _has_counters(tree: Any) -> bool:
+    Counter = _counter_cls()
+    found = []
+    jax.tree_util.tree_map(
+        lambda x: found.append(True) if isinstance(x, Counter) else None,
+        tree, is_leaf=lambda x: isinstance(x, Counter))
+    return bool(found)
+
+
+def _legacy_counter_template(tree: Any) -> Any:
+    """Template with each two-word ``Counter`` replaced by the single
+    int32 scalar that pre-Counter checkpoints stored."""
+    Counter = _counter_cls()
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(0, jnp.int32) if isinstance(x, Counter) else x,
+        tree, is_leaf=lambda x: isinstance(x, Counter))
+
+
+def _upgrade_legacy_counters(template: Any, restored: Any) -> Any:
+    """Rebuild ``Counter`` leaves from the restored legacy int32 scalars."""
+    from vaemolsim_tpu.mcmc.engine import _COUNTER_BASE, Counter
+
+    def up(tmpl, rest):
+        if isinstance(tmpl, Counter):
+            v = jnp.asarray(rest, jnp.int32)
+            return Counter(lo=v % _COUNTER_BASE, hi=v // _COUNTER_BASE)
+        return rest
+
+    return jax.tree_util.tree_map(
+        up, template, restored,
+        is_leaf=lambda x: isinstance(x, _counter_cls()))
+
+
 def restore_checkpoint(path: str, template: Any) -> Any:
     """Restore into the structure of ``template`` (an object with the
-    same pytree structure, e.g. a freshly-created model)."""
+    same pytree structure, e.g. a freshly-created model).
+
+    Checkpoints written before the two-word ``Counter`` (which stored
+    acceptance counters as single int32 scalars) are migrated
+    transparently: on a structure mismatch the restore is retried with a
+    legacy template and the scalars are widened into ``Counter``s."""
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(path, template)
+        try:
+            return ckptr.restore(path, template)
+        except Exception:
+            if not _has_counters(template):
+                raise
+            legacy = ckptr.restore(path, _legacy_counter_template(template))
+            return _upgrade_legacy_counters(template, legacy)
 
 
 class CheckpointManager:
@@ -54,8 +105,17 @@ class CheckpointManager:
         if step is None:
             raise ValueError(
                 f"no checkpoints found in {self._mgr.directory}")
-        return self._mgr.restore(step,
-                                 args=ocp.args.StandardRestore(template))
+        try:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template))
+        except Exception:
+            if not _has_counters(template):
+                raise
+            legacy = self._mgr.restore(
+                step,
+                args=ocp.args.StandardRestore(
+                    _legacy_counter_template(template)))
+            return _upgrade_legacy_counters(template, legacy)
 
     def close(self) -> None:
         self._mgr.close()

@@ -115,14 +115,26 @@ def _mesh_spans_processes(mesh) -> bool:
     return any(d.process_index != pid for d in mesh.devices.flat)
 
 
-def _put_replicated(x, mesh, repl):
+def _leading_axis_sharding(mesh, mesh_axis, ndim):
+    """NamedSharding splitting the leading (sample/batch/chain) axis
+    over ``mesh_axis`` and replicating the rest — the one data layout
+    every fit path (model input placement, per-batch constraint,
+    multi-process global view) shares."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = [None] * ndim
+    spec[0] = mesh_axis
+    return NamedSharding(mesh, P(*spec))
+
+
+def _put_replicated(x, repl, spans_processes):
     """Replicate a host value over the mesh — multi-process-safe: when
     the mesh spans processes, ``jax.device_put`` cannot target
     non-addressable devices, but every process holds the same host value
     (same seed / same config), so the global replicated array is
     assembled from the process-local copy."""
     x = jnp.asarray(x)
-    if _mesh_spans_processes(mesh):
+    if spans_processes:
         return jax.make_array_from_process_local_data(repl, np.asarray(x))
     return jax.device_put(x, repl)
 
@@ -139,6 +151,7 @@ def _shard_for_fit(model, opt_state, data, mesh, mesh_axis):
                          f"{mesh_axis!r} (pass mesh_axis=...)")
     n_shards = mesh.shape[mesh_axis]
     repl = NamedSharding(mesh, P())
+    spans = _mesh_spans_processes(mesh)  # once, not per model leaf
 
     def put_data(a):
         a = jnp.asarray(a)
@@ -146,14 +159,13 @@ def _shard_for_fit(model, opt_state, data, mesh, mesh_axis):
             raise ValueError(
                 f"sample axis ({a.shape[0]}) must divide evenly over the "
                 f"{n_shards}-way {mesh_axis!r} mesh axis")
-        spec = [None] * a.ndim
-        spec[0] = mesh_axis
-        return jax.device_put(a, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(
+            a, _leading_axis_sharding(mesh, mesh_axis, a.ndim))
 
     model = jax.tree_util.tree_map(
-        lambda x: _put_replicated(x, mesh, repl), model)
+        lambda x: _put_replicated(x, repl, spans), model)
     opt_state = jax.tree_util.tree_map(
-        lambda x: _put_replicated(x, mesh, repl), opt_state)
+        lambda x: _put_replicated(x, repl, spans), opt_state)
     if data is not None:
         data = jax.tree_util.tree_map(put_data, data)
     return model, opt_state, data
@@ -263,16 +275,11 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
                 "multi-process fit requires scan_epochs=True: the global "
                 "shuffle/gather must run inside the compiled SPMD program "
                 "(host-side indexing cannot address remote shards)")
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         from vaemolsim_tpu.parallel.distributed import local_to_global
 
-        def _global_spec(a):
-            spec = [None] * np.asarray(a).ndim
-            spec[0] = mesh_axis
-            return NamedSharding(mesh, P(*spec))
-
-        data = local_to_global(data, _global_spec)
+        data = local_to_global(
+            data, lambda a: _leading_axis_sharding(
+                mesh, mesh_axis, np.asarray(a).ndim))
     if streamed:
         if scan_epochs:
             raise ValueError(
@@ -319,12 +326,9 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
             model, opt_state, None if skip_data else data, mesh, mesh_axis)
         if not skip_data:
             data = placed
-        from jax.sharding import NamedSharding, PartitionSpec as P
 
         def batch_sharding(a):
-            spec = [None] * a.ndim
-            spec[0] = mesh_axis
-            return NamedSharding(mesh, P(*spec))
+            return _leading_axis_sharding(mesh, mesh_axis, a.ndim)
 
     if scan_epochs:
         data = jax.tree_util.tree_map(jnp.asarray, data)
