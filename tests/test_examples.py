@@ -91,6 +91,12 @@ def test_example_07_mixed_moves():
 
 
 @pytest.mark.slow
+def test_example_10_free_energy():
+    out = run_example("10_free_energy.py", timeout=600)
+    assert "free-energy workflow OK" in out
+    assert "BAR" in out and "flow-FEP" in out
+
+
 def test_example_09_ensemble():
     out = run_example("09_ensemble_training.py")
     assert "one vmapped program" in out

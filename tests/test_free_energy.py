@@ -1,0 +1,152 @@
+"""Free-energy estimators (EXP / BAR / AIS) against analytic targets.
+
+All truths are closed-form Gaussian/mixture normalizing constants; the
+estimators are statistical, so tolerances are several standard errors
+wide but tight enough to catch sign/convention errors (the classic
+failure mode of FEP code) and broken weights.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vaemolsim_tpu.mcmc import (ais, bar_free_energy, exp_free_energy,
+                                work_values)
+
+# --- analytic pair of 1-D states -------------------------------------
+# p~_0 = exp(-x^2/2)                 -> Z_0 = sqrt(2 pi)
+# p~_1 = exp(-(x-1)^2 / (2 s^2))     -> Z_1 = sqrt(2 pi) s,  s = 0.5
+# dF(0->1) = -ln(Z_1/Z_0) = -ln s = ln 2
+S1 = 0.5
+TRUE_DF = -float(np.log(S1))
+
+
+def lp0(x):
+    return -0.5 * jnp.sum(x ** 2, axis=-1)
+
+
+def lp1(x):
+    return -0.5 * jnp.sum((x - 1.0) ** 2, axis=-1) / S1 ** 2
+
+
+@pytest.fixture(scope="module")
+def gaussian_work():
+    k0, k1 = jax.random.split(jax.random.PRNGKey(0))
+    x_a = jax.random.normal(k0, (20_000, 1))            # ~ p_0
+    x_b = 1.0 + S1 * jax.random.normal(k1, (20_000, 1))  # ~ p_1
+    w_f = work_values(lp0, lp1, x_a)
+    w_r = work_values(lp1, lp0, x_b)
+    return w_f, w_r
+
+
+class TestExpBar:
+
+    def test_exp_forward(self, gaussian_work):
+        w_f, _ = gaussian_work
+        df, se = exp_free_energy(w_f)
+        assert float(se) > 0.0
+        assert abs(float(df) - TRUE_DF) < max(5 * float(se), 0.05)
+
+    def test_exp_reverse_negates(self, gaussian_work):
+        _, w_r = gaussian_work
+        df, se = exp_free_energy(w_r)
+        assert abs(float(df) + TRUE_DF) < max(5 * float(se), 0.05)
+
+    def test_bar(self, gaussian_work):
+        w_f, w_r = gaussian_work
+        df, se = bar_free_energy(w_f, w_r)
+        assert 0.0 < float(se) < 0.05
+        assert abs(float(df) - TRUE_DF) < 5 * float(se)
+
+    def test_bar_solves_degenerate_exactly(self):
+        # Constant work c both ways has the exact solution dF = ... the
+        # BAR equation with w_F = c, w_R = -c and n_F = n_R reduces to
+        # sigmoid(c - dF) = sigmoid(-c + dF)  =>  dF = c.
+        c = 1.7
+        df, se = bar_free_energy(jnp.full((100,), c), jnp.full((100,), -c))
+        np.testing.assert_allclose(float(df), c, atol=1e-5)
+        np.testing.assert_allclose(float(se), 0.0, atol=1e-6)
+
+    def test_bar_beats_exp_variance(self, gaussian_work):
+        """Bidirectional BAR must report no worse error than one-sided
+        EXP on the same data (it is the minimum-variance combination)."""
+        w_f, w_r = gaussian_work
+        _, se_exp = exp_free_energy(w_f)
+        _, se_bar = bar_free_energy(w_f, w_r)
+        assert float(se_bar) <= float(se_exp) * 1.05
+
+    def test_jit_and_large_work_no_overflow(self):
+        w = jnp.asarray([1e4, 2e4, -50.0])
+        df, se = jax.jit(exp_free_energy)(w)
+        assert np.isfinite(float(df)) and np.isfinite(float(se))
+        df2, se2 = jax.jit(bar_free_energy)(w, -w)
+        assert np.isfinite(float(df2)) and np.isfinite(float(se2))
+
+
+class TestAIS:
+
+    def test_log_z_gaussian(self):
+        """N(0,1) -> unnormalized scaled Gaussian: ln Z known exactly."""
+        A = 3.7  # p~_1 = A * N(1, 0.5) density  =>  Z_1 = A
+        lp_t = lambda x: jnp.log(A) + lp1(x) - jnp.log(
+            jnp.sqrt(2 * jnp.pi) * S1)
+        res = jax.jit(lambda k, x: ais(
+            lp0_norm, lp_t, x, k, n_stages=48, scale=0.5,
+            sweeps_per_stage=2))(jax.random.PRNGKey(1),
+                                 jax.random.normal(jax.random.PRNGKey(2),
+                                                   (4096, 1)))
+        assert abs(float(res.log_z) - np.log(A)) < 0.05
+        assert 0.2 < float(res.acceptance) < 0.98
+        assert float(res.ess) > 4096 * 0.2
+        assert res.samples.shape == (4096, 1)
+        # Final samples concentrate near the target mode.
+        assert abs(float(jnp.mean(res.samples)) - 1.0) < 0.1
+
+    def test_bimodal_target_log_z(self):
+        """Two-mode target with unequal weights — the case one-sided EXP
+        from a unimodal start badly underestimates; AIS must not."""
+        A = 2.0
+
+        def lp_t(x):
+            x = x[..., 0]
+            comps = jnp.stack([
+                jnp.log(0.3) - 0.5 * (x + 2.0) ** 2 / 0.25,
+                jnp.log(0.7) - 0.5 * (x - 2.0) ** 2 / 0.25,
+            ])
+            norm = jnp.log(jnp.sqrt(2 * jnp.pi) * 0.5)
+            return jnp.log(A) + jax.scipy.special.logsumexp(
+                comps, axis=0) - norm
+
+        res = ais(lp0_norm, lp_t,
+                  jax.random.normal(jax.random.PRNGKey(3), (4096, 1)),
+                  jax.random.PRNGKey(4), n_stages=96, scale=0.4,
+                  sweeps_per_stage=2)
+        assert abs(float(res.log_z) - np.log(A)) < 0.08
+        # Both modes populated roughly per their weights.
+        frac_right = float(jnp.mean(res.samples[:, 0] > 0))
+        assert 0.55 < frac_right < 0.85
+
+    def test_mala_transitions(self):
+        res = ais(lp0_norm, lambda x: jnp.log(2.0) + lp0_norm(x),
+                  jax.random.normal(jax.random.PRNGKey(5), (1024, 2)),
+                  jax.random.PRNGKey(6), n_stages=8, kind="mala",
+                  scale=0.2)
+        # Identical shapes => every weight increment is exactly ln 2.
+        np.testing.assert_allclose(float(res.log_z), np.log(2.0),
+                                   atol=1e-5)
+        assert float(res.acceptance) > 0.3
+
+    def test_custom_betas(self):
+        betas = jnp.concatenate([jnp.zeros(1), jnp.geomspace(0.01, 1.0, 20)])
+        res = ais(lp0_norm, lambda x: lp0_norm(x),
+                  jax.random.normal(jax.random.PRNGKey(7), (256, 1)),
+                  jax.random.PRNGKey(8), betas=betas)
+        np.testing.assert_allclose(float(res.log_z), 0.0, atol=1e-5)
+
+
+def lp0_norm(x):
+    """Normalized standard-normal log density (AIS init must be
+    normalized for log_z to mean ln Z_target)."""
+    d = x.shape[-1]
+    return lp0(x) - 0.5 * d * jnp.log(2 * jnp.pi)

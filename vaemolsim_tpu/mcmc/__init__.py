@@ -15,6 +15,13 @@ from vaemolsim_tpu.mcmc.engine import (  # noqa: F401
     run_mcmc_checkpointed,
     vae_proposal_fns,
 )
+from vaemolsim_tpu.mcmc.free_energy import (  # noqa: F401
+    AISResult,
+    ais,
+    bar_free_energy,
+    exp_free_energy,
+    work_values,
+)
 from vaemolsim_tpu.mcmc.fused import (  # noqa: F401
     UnsupportedModelError,
     make_fused_vae_step,

@@ -1,0 +1,224 @@
+"""Free-energy estimation: EXP (Zwanzig), BAR (Bennett), and annealed
+importance sampling (AIS) — the quantities molecular-simulation MC is
+ultimately run for.
+
+Beyond-reference capability (the reference stops at sampling; its MC
+engine is vaemolsim/mcmc.py): with a trained flow/VAE as the learned
+map these implement targeted free-energy perturbation (Wirnsberger et
+al. 2020) and annealed log-Z estimation as single compiled programs —
+scanned ladders, vmapped chains, exact log-space arithmetic, reusing
+the production local-move trial kernel (mcmc.moves._scaled_trial).
+
+Conventions — REDUCED log-density units, matching the engine
+(mcmc.engine: ``energy_func`` = LOG target density; reference sign
+convention vaemolsim/mcmc.py:116).  For unnormalized log densities
+``log p~_a = log p_a + ln Z_a``:
+
+- dimensionless free-energy difference  ``dF(a->b) = -ln(Z_b / Z_a)``
+- work values for the a->b perturbation, evaluated at samples x ~ p_a:
+  ``w = log p~_a(x) - log p~_b(x)``  (:func:`work_values`)
+
+so EXP reads ``dF = -ln < exp(-w) >_a`` and AIS's ``log_z`` estimates
+``ln(Z_target / Z_init)`` (== ``-dF(init->target)``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+from vaemolsim_tpu.mcmc.moves import _scaled_trial
+
+Array = jax.Array
+
+__all__ = ["work_values", "exp_free_energy", "bar_free_energy", "ais",
+           "AISResult"]
+
+
+def work_values(log_prob_from: Callable[[Array], Array],
+                log_prob_to: Callable[[Array], Array],
+                samples: Array) -> Array:
+    """Reduced work ``w = log p~_from(x) - log p~_to(x)`` at ``samples``
+    (drawn from the *from* state) for the from->to perturbation."""
+    return log_prob_from(samples) - log_prob_to(samples)
+
+
+def _log_mean_exp(a: Array) -> Array:
+    return logsumexp(a) - jnp.log(a.shape[0])
+
+
+def exp_free_energy(work: Array) -> Tuple[Array, Array]:
+    """Zwanzig exponential-averaging (FEP) estimate.
+
+    ``dF = -ln < exp(-w) >`` over the 1-D array of work values, with the
+    delta-method standard error ``sqrt(var(exp(-w)) / (n <exp(-w)>^2))``
+    computed in log space (no overflow for large |w|).
+
+    Returns ``(delta_f, stderr)``.  One-sided: accurate only when the
+    forward distribution overlaps the target; prefer :func:`bar_free_energy`
+    when samples from both states exist.
+    """
+    work = jnp.ravel(work)
+    n = work.shape[0]
+    log_mean = _log_mean_exp(-work)                      # ln<e^-w>
+    log_mean_sq = _log_mean_exp(-2.0 * work)             # ln<e^-2w>
+    delta_f = -log_mean
+    # var(e^-w)/n<e^-w>^2 = (e^{ln<e^-2w> - 2 ln<e^-w>} - 1)/n
+    ratio = jnp.exp(jnp.minimum(log_mean_sq - 2.0 * log_mean, 60.0))
+    stderr = jnp.sqrt(jnp.maximum(ratio - 1.0, 0.0) / n)
+    return delta_f, stderr
+
+
+def bar_free_energy(work_forward: Array, work_reverse: Array,
+                    iters: int = 100) -> Tuple[Array, Array]:
+    """Bennett acceptance ratio estimate from bidirectional work.
+
+    ``work_forward``: w = log p~_0 - log p~_1 at samples x ~ p_0;
+    ``work_reverse``: w = log p~_1 - log p~_0 at samples x ~ p_1.
+    Solves the self-consistent BAR equation
+
+        sum_i sigmoid(-(M + w_F_i - dF)) = sum_j sigmoid(-(-M + w_R_j + dF)),
+        M = ln(n_F / n_R)
+
+    by bisection (the residual is monotone in dF — ``iters`` halvings of
+    a bracket seeded by the two one-sided EXP estimates give full float32
+    precision as one fixed-shape ``fori_loop``, jit/vmap-safe).  Returns
+    ``(delta_f, stderr)`` with Bennett's asymptotic standard error.
+    """
+    w_f = jnp.ravel(work_forward)
+    w_r = jnp.ravel(work_reverse)
+    n_f, n_r = w_f.shape[0], w_r.shape[0]
+    M = jnp.log(jnp.asarray(n_f / n_r, w_f.dtype))
+
+    def residual(df):
+        # log-space sums of Fermi functions: monotone increasing in df.
+        lhs = logsumexp(-jnp.logaddexp(0.0, M + w_f - df))
+        rhs = logsumexp(-jnp.logaddexp(0.0, -M + w_r + df))
+        return lhs - rhs
+
+    # Bracket from the two one-sided EXP estimates (dF truth lies between
+    # them in expectation; pad generously — bisection cost is identical).
+    ef, _ = exp_free_energy(w_f)           # forward EXP: dF estimate
+    er, _ = exp_free_energy(w_r)           # reverse EXP: -dF estimate
+    lo = jnp.minimum(ef, -er) - 50.0
+    hi = jnp.maximum(ef, -er) + 50.0
+
+    def body(_, bounds):
+        lo, hi = bounds
+        mid = 0.5 * (lo + hi)
+        go_up = residual(mid) < 0.0
+        return (jnp.where(go_up, mid, lo), jnp.where(go_up, hi, mid))
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    delta_f = 0.5 * (lo + hi)
+
+    # Bennett asymptotic variance:  (  <f^2>/<f>^2 - 1 ) / n  per leg,
+    # f = sigmoid of the (shifted) work at the solution.
+    f_f = jax.nn.sigmoid(-(M + w_f - delta_f))
+    f_r = jax.nn.sigmoid(-(-M + w_r + delta_f))
+
+    def leg_var(f, n):
+        m1 = jnp.mean(f)
+        m2 = jnp.mean(f ** 2)
+        return (m2 / jnp.maximum(m1 ** 2, 1e-38) - 1.0) / n
+
+    stderr = jnp.sqrt(jnp.maximum(leg_var(f_f, n_f) + leg_var(f_r, n_r),
+                                  0.0))
+    return delta_f, stderr
+
+
+class AISResult(NamedTuple):
+    """Output of :func:`ais`.
+
+    log_z: estimate of ``ln(Z_target / Z_init)`` (log-mean-exp of the
+        per-chain log weights) — a consistent estimator whose
+        expectation-of-exp is unbiased (log is a stochastic lower bound).
+    log_weights: per-chain AIS log importance weights, shape (n_chains,).
+    samples: final chain states (approximately distributed ~ target).
+    ess: effective sample size of the normalized weights,
+        ``(sum w)^2 / sum w^2``  in [1, n_chains].
+    acceptance: mean MH acceptance over all transition sweeps.
+    """
+    log_z: Array
+    log_weights: Array
+    samples: Array
+    ess: Array
+    acceptance: Array
+
+
+def ais(log_prob_init: Callable[[Array], Array],
+        log_prob_target: Callable[[Array], Array],
+        x0: Array,
+        key: Array,
+        *,
+        betas: Optional[Array] = None,
+        n_stages: int = 64,
+        kind: str = "random_walk",
+        scale: float = 0.1,
+        sweeps_per_stage: int = 1) -> AISResult:
+    """Annealed importance sampling from an exactly-sampleable initial
+    distribution to an unnormalized target (Neal 2001).
+
+    ``x0``: (n_chains, dof) exact samples from the (normalized) initial
+    distribution — e.g. a trained flow prior's ``sample`` (flow-annealed
+    AIS: the better the flow fits the target, the shorter the ladder
+    needed).  The annealing path is geometric in density,
+    ``log pi_b = (1 - b) log_prob_init + b log_prob_target``, over
+    ``betas`` (default: linear 0 -> 1 with ``n_stages`` stages).  Each
+    stage adds the weight increment at the current state and then runs
+    ``sweeps_per_stage`` MH transitions targeting ``pi_b`` using the
+    production local-move kernel (``kind`` in {"random_walk", "mala"},
+    mcmc.moves._scaled_trial — the exact kernel run_mcmc uses).
+
+    One ``lax.scan`` over stages (inner ``fori_loop`` over sweeps),
+    vmapped over chains by batching: jit/shard the call as one program.
+    Estimates ``ln(Z_target/Z_init)``; for a *free-energy difference*
+    between two unnormalized states, either run twice against a common
+    reference or note ``dF(init->target) = -log_z`` when the initial
+    log-density is normalized.  Reverse-AIS stochastic upper bounds
+    follow by swapping the roles when exact target samples exist
+    (then ``-log_z`` of the swapped run upper-bounds the original).
+    """
+    if betas is None:
+        betas = jnp.linspace(0.0, 1.0, n_stages + 1)
+    betas = jnp.asarray(betas)
+    d_betas = betas[1:] - betas[:-1]
+
+    x0 = jnp.asarray(x0)
+    n_chains = x0.shape[0]
+
+    def interp(x, b):
+        return (1.0 - b) * log_prob_init(x) + b * log_prob_target(x)
+
+    def stage(carry, inp):
+        x, logw, k = carry
+        b, db = inp
+        # Weight increment: (b_k - b_{k-1}) (log p~_target - log p_init)
+        # at the CURRENT state (distributed ~ pi_{b_{k-1}}).
+        logw = logw + db * (log_prob_target(x) - log_prob_init(x))
+        lt = lambda y: interp(y, b)
+        e = lt(x)
+
+        def sweep(_, c):
+            x, e, k, acc = c
+            k, sub = jax.random.split(k)
+            x, e, accept = _scaled_trial(kind, lt, x, e, scale, sub)
+            return x, e, k, acc + jnp.mean(accept)
+
+        x, e, k, acc = jax.lax.fori_loop(
+            0, sweeps_per_stage, sweep,
+            (x, e, k, jnp.asarray(0.0, jnp.float32)))
+        return (x, logw, k), acc / sweeps_per_stage
+
+    (x, logw, _), accs = jax.lax.scan(
+        stage, (x0, jnp.zeros(n_chains, x0.dtype), key),
+        (betas[1:], d_betas))
+
+    log_z = _log_mean_exp(logw)
+    log_norm = logw - logsumexp(logw)
+    ess = jnp.exp(-logsumexp(2.0 * log_norm))
+    return AISResult(log_z=log_z, log_weights=logw, samples=x,
+                     ess=ess, acceptance=jnp.mean(accs))
