@@ -149,6 +149,19 @@ class AISResult(NamedTuple):
     acceptance: Array
 
 
+def _systematic_resample(log_norm_w: Array, key: Array) -> Array:
+    """Systematic resampling: ancestor indices from one uniform draw.
+
+    Lower variance than multinomial; TPU-friendly as one cumsum + one
+    searchsorted over the fixed chain axis."""
+    n = log_norm_w.shape[0]
+    cdf = jnp.cumsum(jnp.exp(log_norm_w))
+    cdf = cdf / cdf[-1]  # exact 1.0 endpoint despite rounding
+    u = (jax.random.uniform(key, (), dtype=cdf.dtype)
+         + jnp.arange(n, dtype=cdf.dtype)) / n
+    return jnp.clip(jnp.searchsorted(cdf, u), 0, n - 1)
+
+
 def ais(log_prob_init: Callable[[Array], Array],
         log_prob_target: Callable[[Array], Array],
         x0: Array,
@@ -158,7 +171,8 @@ def ais(log_prob_init: Callable[[Array], Array],
         n_stages: int = 64,
         kind: str = "random_walk",
         scale: float = 0.1,
-        sweeps_per_stage: int = 1) -> AISResult:
+        sweeps_per_stage: int = 1,
+        resample_threshold: Optional[float] = None) -> AISResult:
     """Annealed importance sampling from an exactly-sampleable initial
     distribution to an unnormalized target (Neal 2001).
 
@@ -181,6 +195,15 @@ def ais(log_prob_init: Callable[[Array], Array],
     log-density is normalized.  Reverse-AIS stochastic upper bounds
     follow by swapping the roles when exact target samples exist
     (then ``-log_z`` of the swapped run upper-bounds the original).
+
+    ``resample_threshold`` (fraction of n_chains, e.g. 0.5) turns the
+    run into a sequential Monte Carlo sampler: whenever the weight ESS
+    drops below ``threshold * n_chains`` the population is
+    systematically resampled (one cumsum + searchsorted, fixed shapes
+    under ``lax.cond``) and the running ``ln Z`` absorbs the
+    log-mean-weight — the standard cure for AIS weight collapse on
+    hard/multimodal targets.  ``log_weights`` then holds the residual
+    post-resampling weights (``log_z`` remains the total estimate).
     """
     if betas is None:
         betas = jnp.linspace(0.0, 1.0, n_stages + 1)
@@ -193,12 +216,29 @@ def ais(log_prob_init: Callable[[Array], Array],
     def interp(x, b):
         return (1.0 - b) * log_prob_init(x) + b * log_prob_target(x)
 
+    def maybe_resample(x, logw, log_z_acc, k):
+        log_norm = logw - logsumexp(logw)
+        ess = jnp.exp(-logsumexp(2.0 * log_norm))
+
+        def do(_):
+            idx = _systematic_resample(log_norm, k)
+            return (jnp.take(x, idx, axis=0),
+                    jnp.zeros_like(logw),
+                    log_z_acc + _log_mean_exp(logw))
+
+        return jax.lax.cond(
+            ess < resample_threshold * n_chains, do,
+            lambda _: (x, logw, log_z_acc), None)
+
     def stage(carry, inp):
-        x, logw, k = carry
+        x, logw, log_z_acc, k = carry
         b, db = inp
         # Weight increment: (b_k - b_{k-1}) (log p~_target - log p_init)
         # at the CURRENT state (distributed ~ pi_{b_{k-1}}).
         logw = logw + db * (log_prob_target(x) - log_prob_init(x))
+        k, k_rs = jax.random.split(k)
+        if resample_threshold is not None:
+            x, logw, log_z_acc = maybe_resample(x, logw, log_z_acc, k_rs)
         lt = lambda y: interp(y, b)
         e = lt(x)
 
@@ -211,13 +251,15 @@ def ais(log_prob_init: Callable[[Array], Array],
         x, e, k, acc = jax.lax.fori_loop(
             0, sweeps_per_stage, sweep,
             (x, e, k, jnp.asarray(0.0, jnp.float32)))
-        return (x, logw, k), acc / sweeps_per_stage
+        return (x, logw, log_z_acc, k), acc / sweeps_per_stage
 
-    (x, logw, _), accs = jax.lax.scan(
-        stage, (x0, jnp.zeros(n_chains, x0.dtype), key),
+    (x, logw, log_z_acc, _), accs = jax.lax.scan(
+        stage,
+        (x0, jnp.zeros(n_chains, x0.dtype),
+         jnp.asarray(0.0, x0.dtype), key),
         (betas[1:], d_betas))
 
-    log_z = _log_mean_exp(logw)
+    log_z = log_z_acc + _log_mean_exp(logw)
     log_norm = logw - logsumexp(logw)
     ess = jnp.exp(-logsumexp(2.0 * log_norm))
     return AISResult(log_z=log_z, log_weights=logw, samples=x,
