@@ -182,6 +182,87 @@ class TestFit:
         assert len(hist["loss"]) == 2
 
 
+class TestFitValidation:
+    """Held-out evaluation, early stopping, and best-epoch restore."""
+
+    @staticmethod
+    def _mse_loss(m, batch, key):
+        del key
+        return jnp.mean((m - batch) ** 2)
+
+    def test_val_loss_early_stop_and_restore_best(self):
+        """A scalar 'model' driven toward 2.0 passes the validation
+        target 0.5 on the way: val_loss dips then rises, early stopping
+        fires, and restore_best returns the dip-epoch parameters."""
+        import optax
+
+        model = jnp.float32(0.0)
+        train = 2.0 * jnp.ones((8, 1))
+        val = 0.5 * jnp.ones((4, 1))
+        model, hist = fit(model, self._mse_loss, train,
+                          key=jax.random.PRNGKey(0), num_epochs=50,
+                          optimizer=optax.sgd(0.05),
+                          validation_data=val,
+                          early_stopping_patience=2,
+                          restore_best=True)
+        vl = hist["val_loss"]
+        assert len(vl) == len(hist["loss"]) < 50  # stopped early
+        best = int(np.argmin(vl))
+        assert 0 < best < len(vl) - 1  # a genuine interior dip
+        # Two non-improving epochs after the dip, then stop.
+        assert len(vl) == best + 3
+        # Restored model reproduces the best epoch's val loss exactly.
+        assert np.isclose(float(jnp.mean((model - 0.5) ** 2)), vl[best])
+
+    def test_patience_monitors_train_loss_without_validation(self):
+        import optax
+
+        model, hist = fit(jnp.float32(1.0), self._mse_loss,
+                          2.0 * jnp.ones((8, 1)),
+                          key=jax.random.PRNGKey(0), num_epochs=10,
+                          optimizer=optax.sgd(0.0),  # loss never improves
+                          early_stopping_patience=1)
+        assert "val_loss" not in hist
+        assert len(hist["loss"]) == 2  # epoch 0 sets best, epoch 1 stops
+
+    def test_min_delta_requires_meaningful_improvement(self):
+        import optax
+
+        # Improvements exist every epoch but are smaller than min_delta,
+        # so patience still runs out.
+        model, hist = fit(jnp.float32(0.0), self._mse_loss,
+                          2.0 * jnp.ones((8, 1)),
+                          key=jax.random.PRNGKey(0), num_epochs=20,
+                          optimizer=optax.sgd(1e-5),
+                          early_stopping_patience=3, min_delta=1.0)
+        assert len(hist["loss"]) == 4
+
+    def test_validation_works_with_scan_epochs_and_pytrees(self):
+        flow = make_flow()
+        base = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)
+        data = d.Normal(jnp.float32(1.5), jnp.float32(0.5)).sample(
+            jax.random.PRNGKey(1), (256, 1))
+
+        def loss_fn(f, batch, key):
+            del key
+            return -jnp.mean(f(base).log_prob(batch))
+
+        flow, hist = fit(flow, loss_fn, data[:192],
+                         key=jax.random.PRNGKey(2), num_epochs=3,
+                         batch_size=64, scan_epochs=True,
+                         validation_data=data[192:])
+        assert len(hist["val_loss"]) == 3
+        assert hist["val_loss"][-1] < hist["val_loss"][0]
+
+    def test_validation_rejects_process_local_data(self):
+        with pytest.raises(ValueError,
+                           match="not supported with process_local_data"):
+            fit(jnp.float32(0.0), self._mse_loss, jnp.ones((8, 1)),
+                key=jax.random.PRNGKey(0),
+                validation_data=jnp.ones((4, 1)),
+                process_local_data=True)
+
+
 class TestFitEnsemble:
     """vmap-parallel multi-seed training (train.fit_ensemble)."""
 

@@ -224,6 +224,10 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
         mesh=None,
         mesh_axis: str = "batch",
         process_local_data: bool = False,
+        validation_data: Any = None,
+        early_stopping_patience: Optional[int] = None,
+        min_delta: float = 0.0,
+        restore_best: bool = False,
         verbose: bool = False) -> Tuple[Any, Dict[str, List[float]]]:
     """Fit ``model`` by minimizing ``loss_fn`` over ``data``.
 
@@ -257,12 +261,27 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
     global shuffle, must live inside one compiled program — host-side
     gathers cannot touch non-addressable shards).  Initialize the
     runtime first with ``parallel.initialize_distributed()``.
+
+    ``validation_data``: same-structure held-out pytree, evaluated with
+    ``loss_fn`` (no gradient, one fixed eval key for comparable epochs)
+    after every epoch into ``history["val_loss"]`` — the monitored
+    quantity for ``early_stopping_patience`` (stop after N epochs
+    without >``min_delta`` improvement; monitors the training loss when
+    no validation set is given) and ``restore_best`` (return the
+    best-monitored epoch's parameters instead of the last — Keras
+    ``EarlyStopping(restore_best_weights=True)`` analog).  Not
+    supported with ``process_local_data`` (each host would need the
+    full validation set; evaluate after training instead).
     """
     optimizer = optimizer or optax.adam(learning_rate)
     opt_state = optimizer.init(model)
 
     streamed = callable(data)
     if process_local_data:
+        if validation_data is not None:
+            raise ValueError(
+                "validation_data is not supported with process_local_data "
+                "(each host holds only its shard); evaluate after training")
         if mesh is None:
             raise ValueError("process_local_data needs a process-spanning "
                              "mesh (parallel.make_mesh after "
@@ -330,6 +349,33 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
         def batch_sharding(a):
             return _leading_axis_sharding(mesh, mesh_axis, a.ndim)
 
+    eval_step = None
+    if validation_data is not None:
+        validation_data = jax.tree_util.tree_map(jnp.asarray, validation_data)
+        _num_samples(validation_data)  # validate the shared leading axis
+        if mesh is not None:
+            nv = _num_samples(validation_data)
+            nv_keep = nv - nv % mesh.shape[mesh_axis]
+            if nv_keep != nv:
+                validation_data = jax.tree_util.tree_map(
+                    lambda a: a[:nv_keep], validation_data)
+            validation_data = jax.tree_util.tree_map(
+                lambda a: jax.device_put(
+                    a, _leading_axis_sharding(mesh, mesh_axis, a.ndim)),
+                validation_data)
+
+        @jax.jit
+        def eval_step(model, vdata, k):
+            out = loss_fn(model, vdata, k)
+            return out[0] if isinstance(out, tuple) else out
+
+    # One fixed eval key, split only when a validation set is given so
+    # training PRNG streams are unchanged for existing callers; fixed
+    # across epochs so val_loss differences reflect the model, not
+    # fresh loss noise.
+    if eval_step is not None:
+        key, k_eval = jax.random.split(key)
+
     if scan_epochs:
         data = jax.tree_util.tree_map(jnp.asarray, data)
 
@@ -368,6 +414,10 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
         step = make_train_step(loss_fn, optimizer)
 
     history: Dict[str, List[float]] = {"loss": [], "epoch_time_s": []}
+    monitor = "val_loss" if eval_step is not None else "loss"
+    best_monitored = np.inf
+    best_model = None
+    epochs_without_improvement = 0
     for epoch in range(num_epochs):
         t0 = time.perf_counter()
         key, k_epoch = jax.random.split(key)
@@ -413,7 +463,27 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
             for name, vals in epoch_metrics.items():
                 history.setdefault(name, []).append(
                     float(np.mean(jax.device_get(vals))))
+        if eval_step is not None:
+            history.setdefault("val_loss", []).append(
+                float(eval_step(model, validation_data, k_eval)))
         if verbose:
-            print(f"epoch {epoch}: loss {history['loss'][-1]:.4f} "
+            val = (f" val_loss {history['val_loss'][-1]:.4f}"
+                   if eval_step is not None else "")
+            print(f"epoch {epoch}: loss {history['loss'][-1]:.4f}{val} "
                   f"({history['epoch_time_s'][-1]:.2f}s)")
+        monitored = history[monitor][-1]
+        if monitored < best_monitored - min_delta:
+            best_monitored = monitored
+            epochs_without_improvement = 0
+            if restore_best:
+                # Pytrees of immutable jax arrays: keeping the
+                # reference IS a snapshot.
+                best_model = model
+        else:
+            epochs_without_improvement += 1
+            if (early_stopping_patience is not None
+                    and epochs_without_improvement >= early_stopping_patience):
+                break
+    if restore_best and best_model is not None:
+        model = best_model
     return model, history
