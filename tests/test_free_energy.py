@@ -202,3 +202,121 @@ def lp0_norm(x):
     normalized for log_z to mean ln Z_target)."""
     d = x.shape[-1]
     return lp0(x) - 0.5 * d * jnp.log(2 * jnp.pi)
+
+class TestMBAR:
+    """MBAR against analytic Gaussian ladders (and BAR, to which it
+    reduces exactly at K=2)."""
+
+    # K=4 ladder: p~_k = exp(-(x-mu_k)^2/(2 s_k^2)), Z_k = sqrt(2pi) s_k
+    # dF(0->k) = -ln(s_k / s_0)
+    MUS = np.array([0.0, 0.5, 1.0, 1.5])
+    SIGS = np.array([1.0, 0.8, 0.6, 0.5])
+    TRUE_F = -np.log(SIGS / SIGS[0])
+
+    @classmethod
+    def _ladder_result(cls, n_per_state=6000, seed=0):
+        from vaemolsim_tpu.mcmc import mbar_from_samples
+
+        keys = jax.random.split(jax.random.PRNGKey(seed), len(cls.MUS))
+        samples = [m + s * jax.random.normal(k, (n_per_state, 1))
+                   for m, s, k in zip(cls.MUS, cls.SIGS, keys)]
+        fns = [
+            (lambda x, m=m, s=s:
+             -0.5 * jnp.sum((x - m) ** 2, axis=-1) / s ** 2)
+            for m, s in zip(cls.MUS, cls.SIGS)]
+        return fns, samples, mbar_from_samples(fns, samples)
+
+    def test_gaussian_ladder_free_energies(self):
+        _, _, res = self._ladder_result()
+        f = np.asarray(res.free_energies)
+        se = np.asarray(res.stderrs)
+        assert f[0] == 0.0 and se[0] == pytest.approx(0.0, abs=1e-4)
+        for k in range(1, 4):
+            assert se[k] > 0.0
+            assert abs(f[k] - self.TRUE_F[k]) < max(5 * se[k], 0.02)
+
+    def test_reduces_to_bar_at_two_states(self):
+        """Two-state MBAR IS the BAR estimator: point estimate and
+        asymptotic error must both match bar_free_energy."""
+        from vaemolsim_tpu.mcmc import mbar_from_samples
+
+        k0, k1 = jax.random.split(jax.random.PRNGKey(3))
+        x0 = jax.random.normal(k0, (8000, 1))
+        x1 = 1.0 + S1 * jax.random.normal(k1, (8000, 1))
+        res = mbar_from_samples([lp0, lp1], [x0, x1])
+        df_bar, se_bar = bar_free_energy(work_values(lp0, lp1, x0),
+                                         work_values(lp1, lp0, x1))
+        np.testing.assert_allclose(float(res.free_energies[1]),
+                                   float(df_bar), atol=2e-4)
+        np.testing.assert_allclose(float(res.stderrs[1]), float(se_bar),
+                                   rtol=0.1)
+
+    def test_self_consistency_of_weights(self):
+        """At the solution the weight matrix's sampled columns each sum
+        to one (the defining MBAR stationarity condition)."""
+        _, _, res = self._ladder_result(n_per_state=2000)
+        w = np.exp(np.asarray(res.free_energies)[None, :]
+                   + np.asarray(res.log_probs).T
+                   - np.asarray(res.log_denominator)[:, None])
+        np.testing.assert_allclose(w.sum(axis=0), np.ones(4), rtol=1e-4)
+
+    def test_perturbed_state_and_zero_count_agree(self):
+        """An unsampled state evaluated two ways — zero-count column in
+        the solve vs post-hoc perturbation — must agree, and match the
+        analytic answer."""
+        from vaemolsim_tpu.mcmc import (mbar_free_energy,
+                                        mbar_perturbed_free_energy)
+
+        fns, samples, res = self._ladder_result(n_per_state=4000)
+        s_new, mu_new = 0.7, 0.75
+        true_f_new = -np.log(s_new / self.SIGS[0])
+        pooled = jnp.concatenate(samples, axis=0)
+        lnew = -0.5 * jnp.sum((pooled - mu_new) ** 2, axis=-1) / s_new ** 2
+
+        f_p, se_p = mbar_perturbed_free_energy(res, lnew)
+        assert abs(float(f_p) - true_f_new) < max(5 * float(se_p), 0.02)
+
+        L_aug = jnp.concatenate([res.log_probs, lnew[None, :]], axis=0)
+        counts_aug = [len(s) for s in samples] + [0]
+        res_aug = mbar_free_energy(L_aug, counts_aug)
+        np.testing.assert_allclose(float(res_aug.free_energies[-1]),
+                                   float(f_p), atol=1e-4)
+        np.testing.assert_allclose(float(res_aug.stderrs[-1]), float(se_p),
+                                   rtol=0.05)
+
+    def test_expectation_recovers_state_means(self):
+        from vaemolsim_tpu.mcmc import mbar_expectation
+
+        fns, samples, res = self._ladder_result(n_per_state=6000)
+        pooled = np.concatenate([np.asarray(s) for s in samples])[:, 0]
+        for k in (0, 2, 3):
+            mean, se = mbar_expectation(res, pooled, state=k)
+            assert float(se) > 0.0
+            assert abs(float(mean) - self.MUS[k]) < max(6 * float(se), 0.03)
+        # Array-state form: expectation in an unsampled state.
+        lnew = -0.5 * (jnp.asarray(pooled) - 0.25) ** 2 / 0.9 ** 2
+        mean, se = mbar_expectation(res, pooled, state=lnew)
+        assert abs(float(mean) - 0.25) < max(6 * float(se), 0.03)
+
+    def test_input_validation(self):
+        from vaemolsim_tpu.mcmc import mbar_free_energy
+
+        with pytest.raises(ValueError, match="pooled"):
+            mbar_free_energy(jnp.zeros((2, 10)), [4, 4])
+        with pytest.raises(ValueError, match="counts"):
+            mbar_free_energy(jnp.zeros((2, 10)), [10])
+        with pytest.raises(ValueError, match="at least one"):
+            mbar_free_energy(jnp.zeros((2, 0)), [0, 0])
+
+    def test_jit_composes(self):
+        """The solve jits with static counts closed over."""
+        from vaemolsim_tpu.mcmc import mbar_free_energy
+
+        L = jnp.stack([lp0(jnp.linspace(-2, 2, 64)[:, None]),
+                       lp1(jnp.linspace(-2, 2, 64)[:, None])])
+
+        @jax.jit
+        def solve(L):
+            return mbar_free_energy(L, [32, 32]).free_energies
+
+        assert np.isfinite(np.asarray(solve(L))).all()

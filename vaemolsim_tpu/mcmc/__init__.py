@@ -17,9 +17,14 @@ from vaemolsim_tpu.mcmc.engine import (  # noqa: F401
 )
 from vaemolsim_tpu.mcmc.free_energy import (  # noqa: F401
     AISResult,
+    MBARResult,
     ais,
     bar_free_energy,
     exp_free_energy,
+    mbar_expectation,
+    mbar_free_energy,
+    mbar_from_samples,
+    mbar_perturbed_free_energy,
     work_values,
 )
 from vaemolsim_tpu.mcmc.fused import (  # noqa: F401

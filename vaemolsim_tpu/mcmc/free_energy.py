@@ -28,6 +28,7 @@ from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.scipy.special import logsumexp
 
 from vaemolsim_tpu.mcmc.moves import _scaled_trial
@@ -35,7 +36,9 @@ from vaemolsim_tpu.mcmc.moves import _scaled_trial
 Array = jax.Array
 
 __all__ = ["work_values", "exp_free_energy", "bar_free_energy", "ais",
-           "AISResult"]
+           "AISResult", "MBARResult", "mbar_free_energy",
+           "mbar_from_samples", "mbar_perturbed_free_energy",
+           "mbar_expectation"]
 
 
 def work_values(log_prob_from: Callable[[Array], Array],
@@ -128,6 +131,202 @@ def bar_free_energy(work_forward: Array, work_reverse: Array,
     stderr = jnp.sqrt(jnp.maximum(leg_var(f_f, n_f) + leg_var(f_r, n_r),
                                   0.0))
     return delta_f, stderr
+
+
+class MBARResult(NamedTuple):
+    """Output of :func:`mbar_free_energy`.
+
+    free_energies: (K,) dimensionless free energies, gauge
+        ``free_energies[0] == 0`` — entry k is ``dF(0->k)``.
+    stderrs: (K,) asymptotic standard errors of ``dF(0->k)`` (entry 0
+        is 0 by the gauge).
+    theta: (K, K) asymptotic covariance of the free energies; the
+        variance of any difference is
+        ``theta[i,i] + theta[j,j] - 2 theta[i,j]`` (gauge-invariant).
+    log_denominator: (N,) per-sample log MBAR denominator
+        ``ln sum_k N_k exp(f_k + log p~_k(x_n))`` in the output gauge —
+        everything reweighting needs (perturbed states, expectations).
+    counts: (K,) samples drawn from each state.
+    log_probs: (K, N) the input log-density matrix (kept for
+        reweighting).
+    """
+    free_energies: Array
+    stderrs: Array
+    theta: Array
+    log_denominator: Array
+    counts: Array
+    log_probs: Array
+
+
+def _mbar_theta(weights: Array, counts: Array) -> Array:
+    """Asymptotic covariance of MBAR free energies from the (N, K)
+    weight matrix ``W_nk = exp(f_k + log p~_k(x_n) - log_denom_n)``
+    (columns of sampled states sum to 1 at the solution).
+
+    Shirts & Chodera (2008) appendix D, pymbar's ``svd-ew`` form:
+    with ``W^T W = V S^2 V^T`` (eigendecomposition, K x K),
+
+        Theta = V S (I - S V^T diag(N) V S)^+  S V^T.
+    """
+    a = weights.T @ weights                       # (K, K), the only O(N) op
+    lam, v = jnp.linalg.eigh(a)
+    s = jnp.sqrt(jnp.maximum(lam, 0.0))
+    inner = (jnp.eye(a.shape[0], dtype=a.dtype)
+             - s[:, None] * (v.T @ (counts[:, None] * v)) * s[None, :])
+    return (v * s[None, :]) @ jnp.linalg.pinv(inner, hermitian=True) \
+        @ (s[:, None] * v.T)
+
+
+def mbar_free_energy(log_probs: Array, counts,
+                     *, sc_iters: int = 200,
+                     newton_iters: int = 30) -> MBARResult:
+    """Multistate Bennett acceptance ratio (MBAR, Shirts & Chodera 2008)
+    — the statistically-optimal estimator of all pairwise free-energy
+    differences among K states from samples of each.
+
+    ``log_probs``: (K, N) matrix of UNNORMALIZED log densities
+    ``log p~_k(x_n)`` of every state k at every pooled sample x_n (the
+    N samples are the concatenation of each state's draws, any order);
+    ``counts``: (K,) samples contributed by each state (CONCRETE —
+    python ints / numpy, not traced; zero-count entries are allowed and
+    become perturbation estimates).  Sign convention matches the rest of
+    this module (``energy_func`` = log density): for reduced potentials
+    ``u_k``, pass ``-u_k``.
+
+    Solves the self-consistent MBAR equations
+
+        f_k = -ln sum_n exp(log p~_k(x_n)) /
+                         sum_j N_j exp(f_j + log p~_j(x_n))
+
+    by ``sc_iters`` globally-convergent self-consistent sweeps followed
+    by ``newton_iters`` Newton steps on the equivalent convex objective
+    (both as fixed-shape ``fori_loop``s over one (K, N) log-space
+    kernel — jit-safe, fixed cost).  K=2 reduces exactly to
+    :func:`bar_free_energy`'s estimator.  Uncertainties are the
+    Shirts-Chodera asymptotic covariance (pymbar parity).
+    """
+    L = jnp.asarray(log_probs)
+    if L.ndim != 2:
+        raise ValueError(f"log_probs must be (K, N); got shape {L.shape}")
+    counts_np = np.asarray(counts)
+    K, N = L.shape
+    if counts_np.shape != (K,):
+        raise ValueError(f"counts must be ({K},); got {counts_np.shape}")
+    if int(counts_np.sum()) != N:
+        raise ValueError(f"counts sum to {int(counts_np.sum())} but "
+                         f"log_probs has {N} pooled samples")
+    sampled = np.flatnonzero(counts_np > 0)
+    if sampled.size == 0:
+        raise ValueError("at least one state must have samples")
+
+    Ls = L[sampled]                                         # (Ks, N)
+    logNs = jnp.log(jnp.asarray(counts_np[sampled], L.dtype))
+    Ns = jnp.asarray(counts_np[sampled], L.dtype)
+
+    def log_denom(fs):
+        return logsumexp(logNs[:, None] + fs[:, None] + Ls, axis=0)
+
+    def sc_step(_, fs):
+        fs = -logsumexp(Ls - log_denom(fs)[None, :], axis=1)
+        return fs - fs[0]
+
+    fs = jax.lax.fori_loop(0, sc_iters, sc_step,
+                           jnp.zeros(sampled.size, L.dtype))
+
+    if newton_iters and sampled.size > 1:
+        # Convex MBAR objective over the gauge-reduced fs[1:]; Newton
+        # polishes the self-consistent warm start to quadratic
+        # convergence.  Steps are norm-clipped as a trust region (near
+        # the solution they are tiny, so the clip never binds there).
+        def objective(f_free):
+            full = jnp.concatenate([jnp.zeros((1,), L.dtype), f_free])
+            return jnp.sum(log_denom(full)) - jnp.dot(Ns, full)
+
+        def newton_step(_, f_free):
+            g = jax.grad(objective)(f_free)
+            h = jax.hessian(objective)(f_free)
+            h = h + 1e-8 * jnp.eye(h.shape[0], dtype=h.dtype)
+            step = jnp.linalg.solve(h, g)
+            norm = jnp.linalg.norm(step)
+            step = step * jnp.minimum(1.0, 10.0 / jnp.maximum(norm, 1e-30))
+            return f_free - step
+
+        f_free = jax.lax.fori_loop(0, newton_iters, newton_step,
+                                   fs[1:] - fs[0])
+        fs = jnp.concatenate([jnp.zeros((1,), L.dtype), f_free])
+
+    ld = log_denom(fs)                                      # internal gauge
+    f_all = -logsumexp(L - ld[None, :], axis=1)             # all K states
+    # Re-gauge so the OUTPUT reference is state 0 (shifting f and the
+    # denominator together is the MBAR gauge freedom; W is invariant).
+    f_out = f_all - f_all[0]
+    ld_out = ld - f_all[0]
+
+    counts_arr = jnp.asarray(counts_np, L.dtype)
+    weights = jnp.exp(f_out[None, :] + L.T - ld_out[:, None])   # (N, K)
+    theta = _mbar_theta(weights, counts_arr)
+    var = jnp.maximum(
+        jnp.diag(theta) + theta[0, 0] - 2.0 * theta[0, :], 0.0)
+    return MBARResult(free_energies=f_out, stderrs=jnp.sqrt(var),
+                      theta=theta, log_denominator=ld_out,
+                      counts=counts_arr, log_probs=L)
+
+
+def mbar_from_samples(log_prob_fns, samples, **kwargs) -> MBARResult:
+    """Convenience MBAR entry point: K log-density callables + K
+    per-state sample arrays -> pooled (K, N) matrix ->
+    :func:`mbar_free_energy`.  ``samples[k]`` has shape
+    ``(n_k, dof...)``; each callable maps the pooled ``(N, dof...)``
+    array to ``(N,)`` log densities (same contract as the MC engine's
+    ``energy_func``)."""
+    counts = [int(np.asarray(s).shape[0]) for s in samples]
+    pooled = jnp.concatenate([jnp.asarray(s) for s in samples], axis=0)
+    L = jnp.stack([fn(pooled) for fn in log_prob_fns])
+    return mbar_free_energy(L, counts, **kwargs)
+
+
+def mbar_perturbed_free_energy(result: MBARResult,
+                               log_prob_new: Array) -> Tuple[Array, Array]:
+    """Free energy ``dF(0->new)`` of an UNSAMPLED state by MBAR
+    reweighting: ``log_prob_new`` is the new state's unnormalized log
+    density at the pooled samples, shape (N,).  The standard error is
+    the full augmented-state asymptotic covariance (appending the new
+    state with zero counts leaves the solution unchanged but yields its
+    variance — pymbar's ``computePerturbedFreeEnergies``)."""
+    lnew = jnp.asarray(log_prob_new)
+    f_new = -logsumexp(lnew - result.log_denominator)
+    w_new = jnp.exp(f_new + lnew - result.log_denominator)      # (N,)
+    weights = jnp.exp(result.free_energies[None, :] + result.log_probs.T
+                      - result.log_denominator[:, None])
+    w_aug = jnp.concatenate([weights, w_new[:, None]], axis=1)
+    counts_aug = jnp.concatenate(
+        [result.counts, jnp.zeros((1,), result.counts.dtype)])
+    theta = _mbar_theta(w_aug, counts_aug)
+    var = jnp.maximum(theta[-1, -1] + theta[0, 0] - 2.0 * theta[0, -1], 0.0)
+    return f_new, jnp.sqrt(var)
+
+
+def mbar_expectation(result: MBARResult, values: Array,
+                     state=0) -> Tuple[Array, Array]:
+    """Equilibrium expectation ``<A>_state`` by MBAR reweighting of the
+    pooled samples.  ``values``: (N,) observable at the pooled samples;
+    ``state``: sampled-state index, or an (N,) array of a (possibly
+    unsampled) target state's unnormalized log density.  Returns
+    ``(mean, stderr)`` with the importance-sampling delta-method error
+    (weight-variance only; free-energy uncertainty not propagated)."""
+    values = jnp.asarray(values)
+    if isinstance(state, (int, np.integer)):
+        logw = (result.free_energies[state] + result.log_probs[state]
+                - result.log_denominator)
+    else:
+        lnew = jnp.asarray(state)
+        logw = -logsumexp(lnew - result.log_denominator) + lnew \
+            - result.log_denominator
+    logw = logw - logsumexp(logw)                # exact normalization
+    w = jnp.exp(logw)
+    mean = jnp.sum(w * values)
+    stderr = jnp.sqrt(jnp.sum((w * (values - mean)) ** 2))
+    return mean, stderr
 
 
 class AISResult(NamedTuple):
