@@ -320,3 +320,19 @@ class TestMBAR:
             return mbar_free_energy(L, [32, 32]).free_energies
 
         assert np.isfinite(np.asarray(solve(L))).all()
+
+def test_ais_hmc_transitions():
+    """AIS rides the HMC kernel: N(0,1) -> scaled unnormalized Gaussian
+    with known ln Z, shorter ladder than random walk needs."""
+    from vaemolsim_tpu.mcmc import ais
+
+    s = 0.6
+    lp_t = lambda x: -0.5 * jnp.sum(x ** 2, -1) / s ** 2  # noqa: E731
+    # ln Z_t = ln(sqrt(2 pi) s); init normalized => log_z = ln Z_t
+    true = float(np.log(np.sqrt(2 * np.pi) * s))
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (2048, 1))
+    res = jax.jit(lambda x, k: ais(lp0_norm, lp_t, x, k, n_stages=24,
+                                   kind="hmc", scale=0.15, n_leapfrog=5))(
+        x0, jax.random.PRNGKey(1))
+    assert 0.3 < float(res.acceptance) <= 1.0
+    assert abs(float(res.log_z) - true) < 0.05

@@ -367,6 +367,69 @@ class TestMoveComposition:
                                    atol=0.08)
         assert float(st.num_trials) == 2 * 300 * 256
 
+    def test_hmc_recovers_target(self):
+        """HMC (leapfrog + Hamiltonian MH correction) preserves an
+        anisotropic Gaussian target — both the trajectory integrator
+        and the kinetic-energy bookkeeping are load-bearing."""
+        from vaemolsim_tpu.mcmc import make_hmc_step
+        scales = jnp.asarray([0.6, 1.4])
+        target = d.Independent(d.Normal(jnp.asarray([1.0, -1.0]), scales), 1)
+        step = make_hmc_step(target.log_prob, step_size=0.25, n_leapfrog=8)
+        st = MCMCState.create(jnp.zeros((1024, 2)),
+                              target.log_prob(jnp.zeros((1024, 2))),
+                              jax.random.PRNGKey(0))
+        st, _ = jax.jit(lambda s: run_mcmc(step, s, 400))(st)
+        np.testing.assert_allclose(
+            np.asarray(jnp.mean(st.configs, 0)), [1.0, -1.0], atol=0.12)
+        np.testing.assert_allclose(
+            np.asarray(jnp.std(st.configs, 0)), np.asarray(scales),
+            atol=0.12)
+        assert 0.5 < float(st.acceptance_rate) <= 1.0
+
+    def test_hmc_small_step_near_exact_energy(self):
+        """Leapfrog is symplectic: at a small step size the Hamiltonian
+        error is tiny, so acceptance is ~1 while chains still travel
+        (the signature HMC property; a broken integrator fails this)."""
+        from vaemolsim_tpu.mcmc import make_hmc_step
+        target = d.Independent(d.Normal(jnp.zeros(4), jnp.ones(4)), 1)
+        step = make_hmc_step(target.log_prob, step_size=0.01, n_leapfrog=20)
+        x0 = jnp.zeros((256, 4))
+        st = MCMCState.create(x0, target.log_prob(x0), jax.random.PRNGKey(1))
+        st, _ = jax.jit(lambda s: run_mcmc(step, s, 50))(st)
+        assert float(st.acceptance_rate) > 0.99
+        assert float(jnp.mean(jnp.abs(st.configs))) > 0.01  # moved
+
+    def test_hmc_cycles_and_counts(self):
+        from vaemolsim_tpu.mcmc import (cycle_moves, make_hmc_step,
+                                        make_random_walk_step)
+        target = self._target()
+        step = cycle_moves([make_hmc_step(target.log_prob, 0.2, 5),
+                            make_random_walk_step(target.log_prob, 0.5)])
+        st = MCMCState.create(jnp.zeros((256, 1)),
+                              target.log_prob(jnp.zeros((256, 1))),
+                              jax.random.PRNGKey(0))
+        st, _ = jax.jit(lambda s: run_mcmc(step, s, 300))(st)
+        np.testing.assert_allclose(float(jnp.mean(st.configs)), 1.0,
+                                   atol=0.08)
+        assert float(st.num_trials) == 2 * 300 * 256
+
+    def test_tune_scale_hmc(self):
+        from vaemolsim_tpu.mcmc import make_hmc_step, tune_scale
+        target = d.Independent(d.Normal(jnp.zeros(2), jnp.ones(2)), 1)
+        st = MCMCState.create(jnp.zeros((256, 2)),
+                              target.log_prob(jnp.zeros((256, 2))),
+                              jax.random.PRNGKey(0))
+        eps, st = tune_scale(target.log_prob, st, kind="hmc",
+                             init_scale=0.02, n_leapfrog=5)
+        step = make_hmc_step(target.log_prob, step_size=eps, n_leapfrog=5)
+        st, _ = jax.jit(lambda s: run_mcmc(step, s, 200))(st)
+        assert 0.5 < float(st.acceptance_rate) < 0.85
+
+    def test_hmc_validates_n_leapfrog(self):
+        from vaemolsim_tpu.mcmc import make_hmc_step
+        with pytest.raises(ValueError, match="n_leapfrog"):
+            make_hmc_step(lambda x: -jnp.sum(x ** 2, -1), 0.1, 0)
+
     def test_tune_scale_random_walk_hits_target_acceptance(self):
         """Robbins-Monro warmup lands within a band of the 0.234 target;
         the tuned fixed-scale production kernel stays there."""
@@ -412,7 +475,7 @@ class TestMoveComposition:
         st = MCMCState.create(jnp.zeros((8, 1)), jnp.zeros((8,)),
                               jax.random.PRNGKey(0))
         with pytest.raises(ValueError, match="unknown move kind"):
-            tune_scale(lambda x: -jnp.sum(x * x, -1), st, kind="hmc")
+            tune_scale(lambda x: -jnp.sum(x * x, -1), st, kind="nuts")
 
     def test_mixture_recovers_target(self):
         from vaemolsim_tpu.mcmc import make_random_walk_step, mix_moves

@@ -33,6 +33,7 @@ from vaemolsim_tpu.mcmc.fused import (  # noqa: F401
 )
 from vaemolsim_tpu.mcmc.moves import (  # noqa: F401
     cycle_moves,
+    make_hmc_step,
     make_mala_step,
     make_random_walk_step,
     mix_moves,

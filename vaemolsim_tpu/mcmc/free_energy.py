@@ -370,6 +370,7 @@ def ais(log_prob_init: Callable[[Array], Array],
         n_stages: int = 64,
         kind: str = "random_walk",
         scale: float = 0.1,
+        n_leapfrog: int = 10,
         sweeps_per_stage: int = 1,
         resample_threshold: Optional[float] = None) -> AISResult:
     """Annealed importance sampling from an exactly-sampleable initial
@@ -383,8 +384,9 @@ def ais(log_prob_init: Callable[[Array], Array],
     ``betas`` (default: linear 0 -> 1 with ``n_stages`` stages).  Each
     stage adds the weight increment at the current state and then runs
     ``sweeps_per_stage`` MH transitions targeting ``pi_b`` using the
-    production local-move kernel (``kind`` in {"random_walk", "mala"},
-    mcmc.moves._scaled_trial — the exact kernel run_mcmc uses).
+    production local-move kernel (``kind`` in {"random_walk", "mala",
+    "hmc"} — with ``n_leapfrog`` leapfrog steps for HMC —
+    mcmc.moves._scaled_trial, the exact kernel run_mcmc uses).
 
     One ``lax.scan`` over stages (inner ``fori_loop`` over sweeps),
     vmapped over chains by batching: jit/shard the call as one program.
@@ -444,7 +446,8 @@ def ais(log_prob_init: Callable[[Array], Array],
         def sweep(_, c):
             x, e, k, acc = c
             k, sub = jax.random.split(k)
-            x, e, accept = _scaled_trial(kind, lt, x, e, scale, sub)
+            x, e, accept = _scaled_trial(kind, lt, x, e, scale, sub,
+                                         n_leapfrog=n_leapfrog)
             return x, e, k, acc + jnp.mean(accept)
 
         x, e, k, acc = jax.lax.fori_loop(

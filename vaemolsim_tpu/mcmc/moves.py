@@ -19,11 +19,12 @@ from vaemolsim_tpu.mcmc.engine import MCMCState
 
 Array = jax.Array
 
-__all__ = ["make_random_walk_step", "make_mala_step", "mix_moves",
-           "cycle_moves", "tune_scale"]
+__all__ = ["make_random_walk_step", "make_mala_step", "make_hmc_step",
+           "mix_moves", "cycle_moves", "tune_scale"]
 
 
-def _scaled_trial(kind: str, log_target_fn, x1, e1, scale, key):
+def _scaled_trial(kind: str, log_target_fn, x1, e1, scale, key,
+                  n_leapfrog: int = 10):
     """One MH trial of a local-move family.  ``scale`` may be a Python
     float (production kernels — baked into the compiled step) or a
     traced value (the tuner adapts it inside one compiled scan).  The
@@ -57,6 +58,34 @@ def _scaled_trial(kind: str, log_target_fn, x1, e1, scale, key):
             return -jnp.sum((x_to - mean) ** 2, axis=-1) / (4.0 * scale)
 
         log_acc = (e2 - e1) + log_q(x1, x2, g2) - log_q(x2, x1, g1)
+    elif kind == "hmc":
+        def lp_and_grad(x):
+            e, vjp = jax.vjp(log_target_fn, x)
+            (g,) = vjp(jnp.ones_like(e))
+            return e, g
+
+        # Leapfrog with identity mass: initial half kick, n_leapfrog
+        # full (drift, kick) pairs, then back off the surplus half kick
+        # — n_leapfrog + 1 grads total, fixed trip count (fori_loop).
+        p1 = xi                                       # momenta ~ N(0, I)
+        _, g1 = lp_and_grad(x1)
+
+        def leap(_, carry):
+            x, p, _, __ = carry
+            x = x + scale * p
+            e, g = lp_and_grad(x)
+            return x, p + scale * g, e, g
+
+        x2, p, e2, g2 = jax.lax.fori_loop(
+            0, n_leapfrog, leap, (x1, p1 + 0.5 * scale * g1, e1, g1))
+        p = p - 0.5 * scale * g2
+
+        def kinetic(p):
+            return 0.5 * jnp.sum(
+                p.astype(e1.dtype) ** 2, axis=tuple(range(1, p.ndim)))
+
+        # H = -log pi(x) + |p|^2/2; accept on -dH.
+        log_acc = (e2 - e1) + kinetic(p1) - kinetic(p)
     else:
         raise ValueError(f"unknown move kind {kind!r}")
     log_u = jnp.log(jax.random.uniform(k2, e1.shape, dtype=e1.dtype,
@@ -66,12 +95,13 @@ def _scaled_trial(kind: str, log_target_fn, x1, e1, scale, key):
             jnp.where(accept, e2, e1), accept)
 
 
-def _make_local_step(kind: str, log_target_fn, scale
+def _make_local_step(kind: str, log_target_fn, scale, n_leapfrog: int = 10
                      ) -> Callable[[MCMCState], MCMCState]:
     def step(state: MCMCState) -> MCMCState:
         key, sub = jax.random.split(state.key)
         x, e, accept = _scaled_trial(kind, log_target_fn, state.configs,
-                                     state.energies, scale, sub)
+                                     state.energies, scale, sub,
+                                     n_leapfrog=n_leapfrog)
         # _scaled_trial already applied the accept/reject select.
         return state.replace(
             configs=x, energies=e, key=key,
@@ -116,26 +146,56 @@ def make_mala_step(log_target_fn: Callable[[Array], Array],
     return _make_local_step("mala", log_target_fn, float(step_size))
 
 
+def make_hmc_step(log_target_fn: Callable[[Array], Array],
+                  step_size: float = 0.1,
+                  n_leapfrog: int = 10
+                  ) -> Callable[[MCMCState], MCMCState]:
+    """Hamiltonian Monte Carlo move: ``n_leapfrog`` leapfrog steps of
+    size ``step_size`` with identity mass, Metropolis-corrected on the
+    Hamiltonian error (Duane et al. 1987; Neal 2011).
+
+    Long coherent trajectories suppress random-walk diffusion — the
+    strongest local kernel for smooth high-dimensional targets, at
+    ``n_leapfrog + 1`` gradient evaluations per step.  Gradients use the
+    same one-vjp-per-point trick as MALA; the trajectory is a
+    fixed-trip-count ``fori_loop``, so the whole move stays one compiled
+    XLA program (no data-dependent trajectory lengths — for NUTS-style
+    adaptivity, tune ``step_size`` with :func:`tune_scale` (kind
+    ``"hmc"``, optimal acceptance 0.651) and jitter trajectory lengths
+    by composing kernels with different ``n_leapfrog`` via
+    :func:`mix_moves`, which is XLA-friendly where a per-chain dynamic
+    U-turn criterion is not).  Composes with VAE jumps / random walk /
+    MALA through :func:`cycle_moves` / :func:`mix_moves`; drops into
+    ``run_mcmc`` / checkpointing / sharding unchanged.
+    """
+    if n_leapfrog < 1:
+        raise ValueError("n_leapfrog must be >= 1")
+    return _make_local_step("hmc", log_target_fn, float(step_size),
+                            n_leapfrog=int(n_leapfrog))
+
+
 def tune_scale(log_target_fn: Callable[[Array], Array],
                state: MCMCState, *,
                kind: str = "random_walk",
                target_accept: Optional[float] = None,
                init_scale: float = 0.1,
                rounds: int = 30,
-               steps_per_round: int = 20) -> Tuple[float, MCMCState]:
+               steps_per_round: int = 20,
+               n_leapfrog: int = 10) -> Tuple[float, MCMCState]:
     """Adapt a local move's step size to a target acceptance rate —
     Robbins-Monro on the log-scale, the whole warmup as ONE jitted
     ``lax.scan`` (no per-round host round trips or recompiles).
 
     Defaults target the theoretical optima (0.234 random walk, 0.574
-    MALA).  Returns ``(scale, warmed_state)``; build the production
-    kernel with :func:`make_random_walk_step` /
-    :func:`make_mala_step` at the returned scale (adaptation stops
+    MALA, 0.651 HMC; ``n_leapfrog`` applies to HMC only).  Returns
+    ``(scale, warmed_state)``; build the production kernel with
+    :func:`make_random_walk_step` / :func:`make_mala_step` /
+    :func:`make_hmc_step` at the returned scale (adaptation stops
     there, so the production chain is exactly Markovian).
     """
     if target_accept is None:
-        target_accept = 0.574 if kind == "mala" else 0.234
-    if kind not in ("random_walk", "mala"):
+        target_accept = {"mala": 0.574, "hmc": 0.651}.get(kind, 0.234)
+    if kind not in ("random_walk", "mala", "hmc"):
         raise ValueError(f"unknown move kind {kind!r}")
 
     def one_round(carry, r):
@@ -145,7 +205,8 @@ def tune_scale(log_target_fn: Callable[[Array], Array],
             x, e, key, acc_sum = c
             key, sub = jax.random.split(key)
             x, e, accept = _scaled_trial(kind, log_target_fn, x, e,
-                                         jnp.exp(log_s), sub)
+                                         jnp.exp(log_s), sub,
+                                         n_leapfrog=n_leapfrog)
             return (x, e, key,
                     acc_sum + jnp.mean(accept.astype(jnp.float32))), None
 
