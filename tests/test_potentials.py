@@ -1,0 +1,276 @@
+"""Molecular potential terms against hand-computed geometries, numeric
+gradients, and equilibrium statistics from the production HMC kernel."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vaemolsim_tpu.potentials import (as_log_prob, com_restraint, composite,
+                                      exclusions_from_bonds, harmonic_angles,
+                                      harmonic_bonds, lennard_jones,
+                                      periodic_torsions)
+
+
+class TestBonded:
+
+    def test_bond_energy_hand_computed(self):
+        u = harmonic_bonds([[0, 1]], k=10.0, r0=1.0)
+        x = jnp.asarray([[0.0, 0.0, 0.0], [1.5, 0.0, 0.0]])
+        np.testing.assert_allclose(float(u(x)), 0.5 * 10.0 * 0.25, atol=1e-6)
+        # Batched: leading axes broadcast.
+        xb = jnp.stack([x, x * 2.0])
+        assert u(xb).shape == (2,)
+        np.testing.assert_allclose(float(u(xb)[1]), 0.5 * 10.0 * 4.0,
+                                   atol=1e-5)
+
+    def test_bond_per_term_constants(self):
+        u = harmonic_bonds([[0, 1], [1, 2]], k=[2.0, 4.0], r0=[1.0, 2.0])
+        x = jnp.asarray([[0.0, 0, 0], [1.0, 0, 0], [1.0, 3.0, 0]])
+        np.testing.assert_allclose(float(u(x)), 0.5 * 4.0 * 1.0, atol=1e-6)
+
+    def test_angle_right_angle(self):
+        u = harmonic_angles([[0, 1, 2]], k=2.0, theta0=np.pi)
+        x = jnp.asarray([[1.0, 0, 0], [0.0, 0, 0], [0.0, 1.0, 0]])  # 90 deg
+        np.testing.assert_allclose(float(u(x)), 0.5 * 2.0 * (np.pi / 2) ** 2,
+                                   rtol=1e-5)
+
+    def test_angle_gradient_stable_near_linear(self):
+        """atan2 form: finite gradients where arccos' derivative blows
+        up (the near-linear geometry every polymer passes through)."""
+        u = harmonic_angles([[0, 1, 2]], k=1.0, theta0=2.0)
+        x = jnp.asarray([[1.0, 1e-4, 0.0], [0.0, 0.0, 0.0],
+                         [-1.0, 1e-4, 0.0]])
+        g = jax.grad(lambda x: u(x))(x)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_torsion_trans_and_cis(self):
+        # Planar zig-zag: phi = pi (trans); mirrored last atom: phi = 0.
+        u = periodic_torsions([[0, 1, 2, 3]], k=1.5, n=1, phase=0.0)
+        trans = jnp.asarray([[0.0, 1, 0], [0, 0, 0], [1, 0, 0], [1, -1, 0]])
+        cis = jnp.asarray([[0.0, 1, 0], [0, 0, 0], [1, 0, 0], [1, 1, 0]])
+        # U = k (1 + cos(phi)): trans -> 0, cis -> 2k
+        np.testing.assert_allclose(float(u(trans)), 0.0, atol=1e-5)
+        np.testing.assert_allclose(float(u(cis)), 3.0, atol=1e-5)
+
+    def test_torsion_matches_coords_convention(self):
+        """The dihedral underlying the energy is exactly coords.dihedrals
+        (one sign convention everywhere — load-bearing for phases)."""
+        from vaemolsim_tpu.coords import dihedrals
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (5, 4, 3))
+        phase = 0.7
+        u = periodic_torsions([[0, 1, 2, 3]], k=1.0, n=1.0, phase=phase)
+        phi = dihedrals(x, [[0, 1, 2, 3]])[:, 0]
+        np.testing.assert_allclose(np.asarray(u(x)),
+                                   np.asarray(1.0 + jnp.cos(phi - phase)),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_index_shape_validation(self):
+        with pytest.raises(ValueError, match="bonds"):
+            harmonic_bonds([0, 1], 1.0, 1.0)
+        with pytest.raises(ValueError, match="angles"):
+            harmonic_angles([[0, 1]], 1.0, 1.0)
+        with pytest.raises(ValueError, match="torsions"):
+            periodic_torsions([[0, 1, 2]], 1.0, 1, 0.0)
+
+
+class TestLennardJones:
+
+    def test_dimer_minimum(self):
+        """Two atoms at r = 2^(1/6) sigma sit at exactly -epsilon."""
+        u = lennard_jones(sigma=1.0, epsilon=2.5)
+        r_min = 2.0 ** (1.0 / 6.0)
+        x = jnp.asarray([[0.0, 0, 0], [r_min, 0, 0]])
+        np.testing.assert_allclose(float(u(x)), -2.5, rtol=1e-6)
+
+    def test_cutoff_shift_continuity(self):
+        """Shifted truncation: energy -> 0 continuously at the cutoff."""
+        u = lennard_jones(cutoff=2.5)
+        just_in = jnp.asarray([[0.0, 0, 0], [2.4999, 0, 0]])
+        outside = jnp.asarray([[0.0, 0, 0], [2.5001, 0, 0]])
+        assert abs(float(u(just_in))) < 1e-3
+        assert float(u(outside)) == 0.0
+
+    def test_minimum_image(self):
+        """Atoms across a periodic boundary interact at the wrapped
+        distance (same convention as nn.mappings DistanceSelection)."""
+        u = lennard_jones(sigma=1.0, epsilon=1.0, box=[10.0, 10.0, 10.0])
+        r_min = 2.0 ** (1.0 / 6.0)
+        x = jnp.asarray([[0.1, 0, 0], [10.1 - r_min, 0, 0]])
+        np.testing.assert_allclose(float(u(x)), -1.0, rtol=1e-5)
+
+    def test_per_atom_lorentz_berthelot(self):
+        sig = jnp.asarray([1.0, 3.0])   # -> sig_ij = 2.0
+        eps = jnp.asarray([1.0, 4.0])   # -> eps_ij = 2.0
+        u = lennard_jones(sigma=sig, epsilon=eps)
+        x = jnp.asarray([[0.0, 0, 0], [2.0 * 2 ** (1 / 6), 0, 0]])
+        np.testing.assert_allclose(float(u(x)), -2.0, rtol=1e-6)
+
+    def test_exclusions(self):
+        bonds = [[0, 1], [1, 2]]
+        excl = exclusions_from_bonds(3, bonds)
+        # 1-2 and 1-3 all excluded in a 3-chain => no pairs left.
+        u = lennard_jones(exclude=excl)
+        x = jnp.asarray([[0.0, 0, 0], [1.0, 0, 0], [2.0, 0, 0]])
+        assert float(u(x)) == 0.0
+        # Without through-angle exclusion the 0-2 pair survives.
+        u13 = lennard_jones(exclude=exclusions_from_bonds(
+            3, bonds, through_angles=False))
+        assert float(u13(x)) != 0.0
+
+    def test_masked_pairs_do_not_poison_gradients(self):
+        """Coincident EXCLUDED atoms must not NaN the force."""
+        excl = exclusions_from_bonds(2, [[0, 1]])
+        u = lennard_jones(exclude=excl)
+        x = jnp.zeros((2, 3))  # both atoms at the origin
+        g = jax.grad(lambda x: u(x))(x)
+        assert np.isfinite(np.asarray(g)).all()
+
+
+class TestComposition:
+
+    def test_composite_sums_and_jits(self):
+        bonds = [[0, 1], [1, 2]]
+        ff = composite(
+            harmonic_bonds(bonds, 100.0, 1.0),
+            lennard_jones(exclude=exclusions_from_bonds(3, bonds)),
+            com_restraint(5.0))
+        x = jax.random.normal(jax.random.PRNGKey(0), (7, 3, 3))
+        e = jax.jit(ff)(x)
+        assert e.shape == (7,)
+        assert np.isfinite(np.asarray(e)).all()
+
+    def test_numeric_gradient(self):
+        """Forces agree with central finite differences (the quantity
+        MALA/HMC consume)."""
+        ff = composite(
+            harmonic_bonds([[0, 1], [1, 2]], 10.0, 1.0),
+            harmonic_angles([[0, 1, 2]], 3.0, 1.9),
+            lennard_jones(exclude=exclusions_from_bonds(
+                3, [[0, 1], [1, 2]], through_angles=False)))
+        x = np.asarray([[0.0, 0.1, 0], [1.1, 0, 0], [1.9, 0.9, 0.2]],
+                       np.float64)
+        g = np.asarray(jax.grad(lambda x: ff(x))(jnp.asarray(x, jnp.float32)))
+        h = 1e-4
+        for a in range(3):
+            for d in range(3):
+                xp, xm = x.copy(), x.copy()
+                xp[a, d] += h
+                xm[a, d] -= h
+                fd = (float(ff(jnp.asarray(xp, jnp.float32)))
+                      - float(ff(jnp.asarray(xm, jnp.float32)))) / (2 * h)
+                np.testing.assert_allclose(g[a, d], fd, rtol=2e-2, atol=2e-3)
+
+    def test_as_log_prob_convention_and_beta(self):
+        u = harmonic_bonds([[0, 1]], 2.0, 0.0)
+        lp = as_log_prob(u, beta=0.5)
+        x = jnp.asarray([[0.0, 0, 0], [1.0, 0, 0]])
+        np.testing.assert_allclose(float(lp(x)), -0.5 * float(u(x)),
+                                   atol=1e-6)
+
+    def test_composite_empty_raises(self):
+        with pytest.raises(ValueError, match="at least one"):
+            composite()
+
+
+class TestEquilibrium:
+
+    def test_hmc_bond_distribution(self):
+        """Sample a stiff harmonic dimer with the production HMC kernel:
+        the bond-length distribution must match the analytic radial
+        Boltzmann result (mean and width) — potentials, gradients, and
+        sampler agreeing end-to-end."""
+        from vaemolsim_tpu.mcmc import MCMCState, make_hmc_step, run_mcmc
+
+        k_spring, r0 = 200.0, 1.0
+        pot = composite(harmonic_bonds([[0, 1]], k_spring, r0),
+                        com_restraint(10.0))
+        lp = as_log_prob(pot)
+        x0 = jnp.asarray([[0.0, 0, 0], [r0, 0, 0]])[None].repeat(512, 0)
+        st = MCMCState.create(x0, lp(x0), jax.random.PRNGKey(0))
+        step = make_hmc_step(lp, step_size=0.05, n_leapfrog=10)
+        st, _ = jax.jit(lambda s: run_mcmc(step, s, 800))(st)
+        assert 0.6 < float(st.acceptance_rate) <= 1.0
+        r = np.asarray(jnp.linalg.norm(st.configs[:, 0] - st.configs[:, 1],
+                                       axis=-1))
+        # Radial density r^2 exp(-k(r-r0)^2/2): mean = r0 + 2/(k r0) + ...
+        sig = 1.0 / np.sqrt(k_spring)
+        assert abs(r.mean() - (r0 + 2 * sig ** 2 / r0)) < 4 * sig / np.sqrt(
+            len(r) / 10) + 0.01
+        assert abs(r.std() - sig) < 0.02
+
+    def test_all_local_kernels_accept_molecular_rank(self):
+        """random_walk / MALA / HMC all run on (chains, atoms, 3)
+        configurations (the event axes are inferred from the energy
+        rank — regression for the flat-dof-only assumption)."""
+        from vaemolsim_tpu.mcmc import (MCMCState, make_hmc_step,
+                                        make_mala_step,
+                                        make_random_walk_step, run_mcmc)
+
+        lp = as_log_prob(composite(harmonic_bonds([[0, 1]], 50.0, 1.0),
+                                   com_restraint(5.0)))
+        x0 = jnp.asarray([[0.0, 0, 0], [1.0, 0, 0]])[None].repeat(64, 0)
+        for make in (lambda f: make_random_walk_step(f, 0.1),
+                     lambda f: make_mala_step(f, 0.005),
+                     lambda f: make_hmc_step(f, 0.05, 5)):
+            st = MCMCState.create(x0, lp(x0), jax.random.PRNGKey(0))
+            st, _ = jax.jit(lambda s, step=make(lp): run_mcmc(step, s, 50))(st)
+            assert st.configs.shape == (64, 2, 3)
+            assert 0.0 < float(st.acceptance_rate) <= 1.0
+            assert np.isfinite(np.asarray(st.energies)).all()
+
+
+class TestMinimize:
+
+    def test_dimer_relaxes_to_lj_minimum(self):
+        from vaemolsim_tpu.potentials import minimize_energy
+
+        u = lennard_jones(sigma=1.0, epsilon=1.0)
+        x0 = jnp.asarray([[0.0, 0, 0], [0.8, 0, 0]])  # compressed
+        x = minimize_energy(u, x0, steps=2000, lr=0.01)
+        r = float(jnp.linalg.norm(x[0] - x[1]))
+        np.testing.assert_allclose(r, 2.0 ** (1 / 6), rtol=1e-3)
+        np.testing.assert_allclose(float(u(x)), -1.0, rtol=1e-5)
+
+    def test_overlapping_cluster_becomes_sane_and_batched(self):
+        """Random overlapping placements (astronomical r^-12 energies)
+        relax to negative cluster energies — the clip keeps the first
+        steps from catapulting atoms."""
+        from vaemolsim_tpu.potentials import minimize_energy
+
+        pot = composite(lennard_jones(), com_restraint(1.0))
+        x0 = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (16, 7, 3))
+        assert float(jnp.max(pot(x0))) > 1e6  # genuinely pathological
+        x = minimize_energy(pot, x0, steps=2000, lr=0.1)
+        e = np.asarray(pot(x))
+        assert (e < -14.0).all()  # LJ7 minima (global is -16.5)
+
+    def test_linear_core_continuity_and_finite_forces(self):
+        """The linear core continuation is value/slope-matched at
+        0.3 sigma, and energies/forces stay finite even at r = 1e-4
+        (where bare r^-12 gradients overflow float32)."""
+        from vaemolsim_tpu.potentials import lennard_jones
+
+        u = lennard_jones(sigma=1.0, epsilon=1.0)
+
+        def pair(r):
+            return u(jnp.asarray([[0.0, 0, 0], [r, 0, 0]]))
+
+        # Continuity across the switch.
+        below, above = float(pair(0.3 - 1e-4)), float(pair(0.3 + 1e-4))
+        assert abs(below - above) / abs(above) < 1e-2
+        # Slope match: the (constant) core slope equals the analytic LJ
+        # derivative at the switch radius.
+        h = 1e-4
+        d_core = (float(pair(0.2 + h)) - float(pair(0.2 - h))) / (2 * h)
+        rc = 0.3
+        d_lj_rc = 24.0 / rc * ((1 / rc) ** 6 - 2.0 * (1 / rc) ** 12)
+        assert abs(d_core - d_lj_rc) / abs(d_lj_rc) < 1e-3
+        # Deep overlap: finite and strongly repulsive force.
+        x = jnp.asarray([[0.0, 0, 0], [1e-4, 0, 0]])
+        g = np.asarray(jax.grad(lambda x: u(x))(x))
+        assert np.isfinite(g).all() and np.abs(g).max() > 1e6
+        # Coincident unmasked atoms: zero (not NaN) force.
+        g0 = np.asarray(jax.grad(lambda x: u(x))(jnp.zeros((2, 3))))
+        assert np.isfinite(g0).all()

@@ -32,10 +32,16 @@ def _scaled_trial(kind: str, log_target_fn, x1, e1, scale, key,
     exactly the production kernel.
 
     Returns ``(x_new, e_new, accept)`` with per-chain accept decisions.
+
+    Configurations may have ANY event rank — ``(chains, dof)`` flat or
+    ``(chains, atoms, 3)`` molecular; the event axes are the trailing
+    axes beyond the energy's shape.
     """
     k1, k2 = jax.random.split(key)
     xi = jax.random.normal(k1, x1.shape, x1.dtype)
     scale = jnp.asarray(scale, x1.dtype)
+    event_axes = tuple(range(e1.ndim, x1.ndim))
+    ev = (None,) * len(event_axes)
     if kind == "random_walk":
         x2 = x1 + scale * xi
         e2 = log_target_fn(x2)
@@ -55,7 +61,8 @@ def _scaled_trial(kind: str, log_target_fn, x1, e1, scale, key,
 
         def log_q(x_to, x_from, g_from):
             mean = x_from + scale * g_from
-            return -jnp.sum((x_to - mean) ** 2, axis=-1) / (4.0 * scale)
+            return -jnp.sum((x_to - mean) ** 2,
+                            axis=event_axes) / (4.0 * scale)
 
         log_acc = (e2 - e1) + log_q(x1, x2, g2) - log_q(x2, x1, g1)
     elif kind == "hmc":
@@ -81,8 +88,7 @@ def _scaled_trial(kind: str, log_target_fn, x1, e1, scale, key,
         p = p - 0.5 * scale * g2
 
         def kinetic(p):
-            return 0.5 * jnp.sum(
-                p.astype(e1.dtype) ** 2, axis=tuple(range(1, p.ndim)))
+            return 0.5 * jnp.sum(p.astype(e1.dtype) ** 2, axis=event_axes)
 
         # H = -log pi(x) + |p|^2/2; accept on -dH.
         log_acc = (e2 - e1) + kinetic(p1) - kinetic(p)
@@ -91,7 +97,7 @@ def _scaled_trial(kind: str, log_target_fn, x1, e1, scale, key,
     log_u = jnp.log(jax.random.uniform(k2, e1.shape, dtype=e1.dtype,
                                        minval=1e-38))
     accept = log_acc >= log_u
-    return (jnp.where(accept[..., None], x2, x1),
+    return (jnp.where(accept[(..., *ev)], x2, x1),
             jnp.where(accept, e2, e1), accept)
 
 

@@ -1,0 +1,300 @@
+"""Molecular potential-energy functions — differentiable, batched, jit-safe.
+
+The reference's ``PotentialEnergyLogProbLoss`` and its MC engine take a
+user-supplied potential callable but ship none
+(/root/reference/vaemolsim/losses.py:69-120 expects ``potential(samples)``
+over batched configurations; in practice users bring OpenMM/TF wrappers).
+This module provides first-party TPU-native potentials so the full
+molecular workflow — Boltzmann-distribution training, gradient-based MC
+(MALA/HMC need ``grad U``), and free-energy ladders — runs as one
+compiled XLA program with no host callbacks:
+
+- every term is a pure function ``energy(coords) -> (...,)`` over
+  ``coords`` of shape ``(..., n_atoms, dim)`` (leading batch axes map
+  straight onto chains/devices),
+- interaction topology (bond/angle/torsion index lists, exclusion
+  masks) is STATIC — fixed shapes, no ragged structures, gathers compile
+  to one-hot/dynamic-slice XLA ops,
+- the nonbonded term is the dense all-pairs O(N^2) form with masking —
+  on TPU a (N, N, dim) broadcast feeding reductions beats scatter-based
+  neighbor lists up to thousands of atoms, and it is exact,
+- energies are in REDUCED units (kT = 1); :func:`as_log_prob` adapts a
+  potential to the MC engine's log-density convention
+  (``energy_func`` = log target, mcmc/engine.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+__all__ = ["harmonic_bonds", "harmonic_angles", "periodic_torsions",
+           "lennard_jones", "com_restraint", "composite", "as_log_prob",
+           "exclusions_from_bonds", "minimize_energy"]
+
+_EPS = 1e-12  # guards sqrt/atan2 gradients at coincident points
+
+
+def _norm(d: Array) -> Array:
+    return jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), _EPS))
+
+
+def harmonic_bonds(bonds, k, r0) -> Callable[[Array], Array]:
+    """Harmonic bond-stretch term ``sum_b k_b/2 (|r_i - r_j| - r0_b)^2``.
+
+    ``bonds``: (B, 2) static atom-index pairs; ``k``/``r0``: scalars or
+    (B,) per-bond constants.  Returns ``energy(coords)`` reducing the
+    last two axes of ``(..., n_atoms, dim)`` to ``(...,)``.
+    """
+    bonds = np.asarray(bonds, np.int32)
+    if bonds.ndim != 2 or bonds.shape[1] != 2:
+        raise ValueError(f"bonds must be (B, 2); got {bonds.shape}")
+    i, j = bonds[:, 0], bonds[:, 1]
+    k = jnp.asarray(k, jnp.float32)
+    r0 = jnp.asarray(r0, jnp.float32)
+
+    def energy(x: Array) -> Array:
+        r = _norm(x[..., i, :] - x[..., j, :])
+        return jnp.sum(0.5 * k * (r - r0) ** 2, axis=-1)
+
+    return energy
+
+
+def harmonic_angles(angles, k, theta0) -> Callable[[Array], Array]:
+    """Harmonic angle-bend term ``sum_a k_a/2 (theta - theta0_a)^2`` with
+    ``theta`` the i-j-k angle at the center atom j.
+
+    ``angles``: (A, 3) static index triples; ``k``/``theta0`` (radians):
+    scalars or (A,).  The angle comes from ``atan2(|u x v|, u . v)``
+    (full 3-D cross magnitude), which is gradient-stable at 0 and pi
+    where the arccos form's derivative blows up.
+    """
+    angles = np.asarray(angles, np.int32)
+    if angles.ndim != 2 or angles.shape[1] != 3:
+        raise ValueError(f"angles must be (A, 3); got {angles.shape}")
+    i, j, c = angles[:, 0], angles[:, 1], angles[:, 2]
+    k = jnp.asarray(k, jnp.float32)
+    theta0 = jnp.asarray(theta0, jnp.float32)
+
+    def energy(x: Array) -> Array:
+        u = x[..., i, :] - x[..., j, :]
+        v = x[..., c, :] - x[..., j, :]
+        cross = jnp.cross(u, v)
+        sin_t = _norm(cross) if cross.shape[-1] == 3 else jnp.abs(cross)
+        cos_t = jnp.sum(u * v, axis=-1)
+        theta = jnp.arctan2(sin_t, cos_t)
+        return jnp.sum(0.5 * k * (theta - theta0) ** 2, axis=-1)
+
+    return energy
+
+
+def periodic_torsions(torsions, k, n, phase) -> Callable[[Array], Array]:
+    """Periodic (cosine) dihedral term
+    ``sum_t k_t (1 + cos(n_t phi - phase_t))`` over proper dihedrals
+    i-j-k-l (3-D only).  ``phi`` IS ``coords.dihedrals`` — the same
+    praxeolitic ``atan2`` dihedral the BAT transform produces, so
+    torsion ENERGIES and torsion COORDINATES share one sign convention
+    (a phase term would silently flip otherwise).
+
+    ``torsions``: (T, 4) static index quadruples; ``k``/``phase``
+    (radians): scalars or (T,); ``n``: integer multiplicities, scalar or
+    (T,).
+    """
+    from vaemolsim_tpu.coords import dihedrals
+
+    torsions = np.asarray(torsions, np.int32)
+    if torsions.ndim != 2 or torsions.shape[1] != 4:
+        raise ValueError(f"torsions must be (T, 4); got {torsions.shape}")
+    k = jnp.asarray(k, jnp.float32)
+    n = jnp.asarray(n, jnp.float32)
+    phase = jnp.asarray(phase, jnp.float32)
+
+    def energy(x: Array) -> Array:
+        phi = dihedrals(x, torsions)
+        return jnp.sum(k * (1.0 + jnp.cos(n * phi - phase)), axis=-1)
+
+    return energy
+
+
+def exclusions_from_bonds(n_atoms: int, bonds,
+                          through_angles: bool = True) -> np.ndarray:
+    """Static (n_atoms, n_atoms) bool mask of nonbonded EXCLUSIONS: 1-2
+    pairs (bonded) and, with ``through_angles``, 1-3 pairs (two bonds
+    apart) — the conventional molecular-mechanics exclusion rule.
+    Feed to :func:`lennard_jones`'s ``exclude``."""
+    adj = np.zeros((n_atoms, n_atoms), bool)
+    for a, b in np.asarray(bonds, np.int64):
+        adj[a, b] = adj[b, a] = True
+    excl = adj.copy()
+    if through_angles:
+        two = (adj.astype(np.int32) @ adj.astype(np.int32)) > 0
+        excl |= two
+    np.fill_diagonal(excl, True)
+    return excl
+
+
+def lennard_jones(sigma=1.0, epsilon=1.0, *,
+                  exclude: Optional[np.ndarray] = None,
+                  box: Optional[Sequence[float]] = None,
+                  cutoff: Optional[float] = None,
+                  shift: bool = True) -> Callable[[Array], Array]:
+    """Lennard-Jones 12-6 nonbonded term
+    ``sum_{i<j} 4 eps_ij [ (sig_ij/r)^12 - (sig_ij/r)^6 ]``.
+
+    Dense all-pairs with a static mask (upper triangle minus
+    ``exclude``) — the TPU-native form: one broadcast difference tensor
+    and two reductions, no scatter.  ``sigma``/``epsilon``: scalars,
+    (n,) per-atom (combined by Lorentz-Berthelot: arithmetic sigma,
+    geometric epsilon), or (n, n) per-pair matrices.  ``box``: periodic
+    box lengths per dimension — minimum-image convention (same wrapping
+    rule as nn.mappings' DistanceSelection).  ``cutoff``: truncation
+    radius; with ``shift`` the potential is shifted to 0 at the cutoff
+    (continuous energies — the form HMC/MALA need; set ``shift=False``
+    for bare truncation).  The pair mask is data-INdependent, so the
+    compiled program has fixed shapes regardless of configuration.
+
+    Below ``r = 0.3 sigma_ij`` the r^-12 wall is continued LINEARLY
+    (value- and slope-matched): that region is Boltzmann-impossible
+    (U > 2e6 eps) so sampling is unaffected, but bare r^-12 gradients
+    overflow float32 near r ~ 1e-3 sigma and strand overlapped chains
+    in :func:`minimize_energy` with inf/NaN forces; the linear core
+    keeps a finite, strongly repulsive force everywhere.
+    """
+    sigma = jnp.asarray(sigma, jnp.float32)
+    epsilon = jnp.asarray(epsilon, jnp.float32)
+    if sigma.ndim == 1:
+        sigma = 0.5 * (sigma[:, None] + sigma[None, :])
+    if epsilon.ndim == 1:
+        epsilon = jnp.sqrt(epsilon[:, None] * epsilon[None, :])
+    box_arr = None if box is None else jnp.asarray(box, jnp.float32)
+
+    def energy(x: Array) -> Array:
+        n = x.shape[-2]
+        pair_mask = np.triu(np.ones((n, n), bool), k=1)
+        if exclude is not None:
+            pair_mask &= ~np.asarray(exclude, bool)
+        mask = jnp.asarray(pair_mask)
+
+        d = x[..., :, None, :] - x[..., None, :, :]
+        if box_arr is not None:
+            d = d - box_arr * jnp.round(d / box_arr)
+        r2 = jnp.sum(d * d, axis=-1)
+        if cutoff is not None:
+            mask = mask & (r2 < cutoff * cutoff)
+        # Masked-out pairs get r2 = 1 so the powers stay finite (their
+        # energy is zeroed below; NaN would still poison gradients).
+        r2 = jnp.where(mask, r2, 1.0)
+        # Floor before sqrt: at EXACT coincidence the max() picks its
+        # constant branch, so the force is 0 (symmetric) instead of NaN.
+        r = jnp.sqrt(jnp.maximum(r2, _EPS))
+        rc = 0.3 * sigma                      # linear-core switch radius
+        r_eff = jnp.maximum(r, rc)
+        sr6 = (sigma / r_eff) ** 6
+        u = 4.0 * epsilon * (sr6 * sr6 - sr6)
+        # Value/slope-matched linear continuation inside the core.
+        src6 = (sigma / rc) ** 6
+        slope = 24.0 * epsilon / rc * (src6 - 2.0 * src6 * src6)
+        u = u + jnp.where(r < rc, slope * (r - rc), 0.0)
+        if cutoff is not None and shift:
+            sc6 = (sigma / cutoff) ** 6
+            u = u - 4.0 * epsilon * (sc6 * sc6 - sc6)
+        return jnp.sum(jnp.where(mask, u, 0.0), axis=(-2, -1))
+
+    return energy
+
+
+def com_restraint(k: float = 1.0, center=0.0) -> Callable[[Array], Array]:
+    """Harmonic restraint on the center of mass,
+    ``k/2 |mean_atoms(x) - center|^2`` — removes the translational zero
+    mode when sampling gas-phase clusters (without it, unrestrained MC
+    drifts freely and positional observables never converge)."""
+    center = jnp.asarray(center, jnp.float32)
+
+    def energy(x: Array) -> Array:
+        com = jnp.mean(x, axis=-2)
+        return 0.5 * k * jnp.sum((com - center) ** 2, axis=-1)
+
+    return energy
+
+
+def composite(*terms: Callable[[Array], Array]) -> Callable[[Array], Array]:
+    """Sum of potential terms (a force field): each term maps
+    ``(..., n_atoms, dim) -> (...,)`` and XLA fuses the whole sum into
+    one program."""
+    if not terms:
+        raise ValueError("composite needs at least one term")
+
+    def energy(x: Array) -> Array:
+        total = terms[0](x)
+        for t in terms[1:]:
+            total = total + t(x)
+        return total
+
+    return energy
+
+
+def minimize_energy(potential: Callable[[Array], Array], x0: Array, *,
+                    steps: int = 500, lr: float = 0.01,
+                    clip: float = 1.0) -> Array:
+    """Relax configurations to a local energy minimum — the standard
+    prelude to MC/MD (random initial placements overlap, and r^-12
+    energies at overlap are astronomically outside every sampler's
+    reach; tuners adapt to the blow-up landscape and chains never
+    equilibrate).
+
+    Two-phase per-coordinate-normalized descent (Adam), with per-atom
+    displacement clipping (``clip``, in length units — the steepest
+    r^-12 gradients otherwise catapult atoms): a coarse phase at ``lr``
+    escapes overlaps, then a fine phase at ``lr/10`` with FRESH
+    optimizer moments settles into the basin (the restart kills the
+    coarse phase's accumulated momentum, which otherwise oscillates
+    around steep LJ walls; measured on batched LJ7 from overlapping
+    starts: single-schedule Adam leaves stragglers at +hundreds, the
+    restart lands all chains within 1 eps of the funnel minima).  Both
+    phases are jitted ``lax.fori_loop``s over ``steps // 2``; batched —
+    every leading-axis configuration minimizes independently in the
+    same compiled program.  Returns the relaxed coordinates.
+    """
+    import optax
+
+    def phase(x0, opt, n):
+        def body(_, carry):
+            x, opt_state = carry
+            g = jax.grad(lambda x: jnp.sum(potential(x)))(x)
+            # optax updates are the signed step (already descent).
+            updates, opt_state = opt.update(g, opt_state)
+            d = jnp.asarray(updates)
+            norm = jnp.sqrt(jnp.maximum(
+                jnp.sum(d * d, axis=-1, keepdims=True), _EPS))
+            d = d * jnp.minimum(1.0, clip / norm)
+            return x + d, opt_state
+
+        x, _ = jax.lax.fori_loop(0, n, body, (x0, opt.init(x0)))
+        return x
+
+    @jax.jit
+    def run(x0):
+        x = phase(x0, optax.adam(lr), steps // 2)
+        return phase(x, optax.adam(lr / 10.0), steps - steps // 2)
+
+    return run(jnp.asarray(x0))
+
+
+def as_log_prob(potential: Callable[[Array], Array],
+                beta: float = 1.0) -> Callable[[Array], Array]:
+    """Adapt a potential to the MC engine's convention:
+    ``log p~(x) = -beta U(x)`` (engine ``energy_func`` = log target
+    density, mcmc/engine.py; reference sign convention
+    /root/reference/vaemolsim/mcmc.py:116).  ``beta`` is the inverse
+    temperature in the potential's reduced units — free-energy ladders
+    over temperature are ``[as_log_prob(U, b) for b in betas]``."""
+
+    def log_prob(x: Array) -> Array:
+        return -beta * potential(x)
+
+    return log_prob
