@@ -1,6 +1,6 @@
-"""Example-workflow smoke tests: ALL nine user-facing scripts must run
+"""Example-workflow smoke tests: ALL eleven user-facing scripts must run
 end to end at their CI scale (the reference's four notebooks are
-executable documents — examples 01-04 are their ports, 05-09 the
+executable documents — examples 01-04 are their ports, 05-11 the
 beyond-reference workflows).  Wall-clock is compile-dominated on CPU;
 the --full scales are exercised manually / on hardware."""
 
@@ -112,3 +112,14 @@ def test_example_06_full_workflow():
     m = re.search(r"data ([0-9.]+), generated ([0-9.]+)", out)
     assert m is not None
     assert abs(float(m.group(1)) - float(m.group(2))) < 0.25
+
+
+@pytest.mark.slow
+def test_example_11_boltzmann_generator():
+    out = run_example("11_boltzmann_generator.py", timeout=900)
+    assert "Boltzmann-generator workflow OK" in out
+    import re
+    m = re.search(r"flow-MCMC: acceptance ([0-9.]+)", out)
+    assert m is not None and float(m.group(1)) > 0.2
+    m = re.search(r"well balance ([0-9.]+)", out)
+    assert m is not None and 0.2 < float(m.group(1)) < 0.8
