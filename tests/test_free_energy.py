@@ -336,3 +336,22 @@ def test_ais_hmc_transitions():
         x0, jax.random.PRNGKey(1))
     assert 0.3 < float(res.acceptance) <= 1.0
     assert abs(float(res.log_z) - true) < 0.05
+
+def test_mbar_expectation_jax_integer_index_and_bad_shape():
+    """A 0-d jax/numpy integer is a state INDEX (regression: it used to
+    fall into the log-density-array branch and silently return a wrong
+    expectation); a wrong-shaped array state raises."""
+    from vaemolsim_tpu.mcmc import mbar_expectation, mbar_from_samples
+
+    k0, k1 = jax.random.split(jax.random.PRNGKey(0))
+    x0 = jax.random.normal(k0, (2000, 1))
+    x1 = 1.0 + S1 * jax.random.normal(k1, (2000, 1))
+    res = mbar_from_samples([lp0, lp1], [x0, x1])
+    vals = jnp.concatenate([x0, x1])[:, 0]
+    m_int, _ = mbar_expectation(res, vals, state=1)
+    m_jax, _ = mbar_expectation(res, vals, state=jnp.asarray(1))
+    m_np, _ = mbar_expectation(res, vals, state=np.int64(1))
+    np.testing.assert_allclose(float(m_jax), float(m_int), atol=1e-6)
+    np.testing.assert_allclose(float(m_np), float(m_int), atol=1e-6)
+    with pytest.raises(ValueError, match="log-density"):
+        mbar_expectation(res, vals, state=jnp.zeros(7))

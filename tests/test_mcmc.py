@@ -537,3 +537,20 @@ def test_counters_are_exact_integers():
     assert int(Counter.of(3 * 10 ** 12)) == 3 * 10 ** 12
     rate = Counter.of(10 ** 10).to_float() / Counter.of(4 * 10 ** 10).to_float()
     np.testing.assert_allclose(float(rate), 0.25, rtol=1e-6)
+
+
+def test_hmc_zero_leapfrog_rejected_everywhere():
+    """n_leapfrog < 1 is the identity kernel (acceptance 1, no motion,
+    diverging tuner) — every HMC entry point must reject it."""
+    import pytest
+    from vaemolsim_tpu.mcmc import ais, make_hmc_step, tune_scale
+    lt = lambda x: -0.5 * jnp.sum(x * x, -1)  # noqa: E731
+    st = MCMCState.create(jnp.zeros((8, 1)), jnp.zeros((8,)),
+                          jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="n_leapfrog"):
+        make_hmc_step(lt, 0.1, 0)
+    with pytest.raises(ValueError, match="n_leapfrog"):
+        tune_scale(lt, st, kind="hmc", n_leapfrog=0)
+    with pytest.raises(ValueError, match="n_leapfrog"):
+        ais(lt, lt, jnp.zeros((8, 1)), jax.random.PRNGKey(0),
+            n_stages=2, kind="hmc", n_leapfrog=0)

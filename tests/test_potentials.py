@@ -274,3 +274,16 @@ class TestMinimize:
         # Coincident unmasked atoms: zero (not NaN) force.
         g0 = np.asarray(jax.grad(lambda x: u(x))(jnp.zeros((2, 3))))
         assert np.isfinite(g0).all()
+
+
+class TestReviewRegressions:
+
+    def test_angles_2d_with_three_triples(self):
+        """2-D coords with exactly 3 angle triples: the 3-D/2-D cross
+        dispatch must key on the coordinate dim, not the triple count."""
+        triples = [[0, 1, 2], [1, 2, 3], [2, 3, 4]]
+        u = harmonic_angles(triples, k=1.0, theta0=1.0)
+        x2 = jnp.asarray([[0.0, 0], [1, 0], [1, 1], [2, 1], [2, 2]])
+        # Same chain embedded in 3-D must give the identical energy.
+        x3 = jnp.concatenate([x2, jnp.zeros((5, 1))], axis=-1)
+        np.testing.assert_allclose(float(u(x2)), float(u(x3)), rtol=1e-6)

@@ -619,3 +619,17 @@ def test_checked_fires_user_checks():
     safe(jnp.asarray([1.0, 4.0]))  # passes
     with pytest.raises(Exception, match="positive"):
         safe(jnp.asarray([-1.0, 4.0]))
+
+
+def test_validation_smaller_than_mesh_axis_raises():
+    """A validation set smaller than the mesh axis would trim to zero
+    samples and make val_loss NaN — must raise instead."""
+    import optax
+    from vaemolsim_tpu.parallel import make_mesh
+
+    mesh = make_mesh({"batch": -1})
+    with pytest.raises(ValueError, match="validation_data"):
+        fit(jnp.float32(0.0), lambda m, b, k: jnp.mean((m - b) ** 2),
+            jnp.ones((16, 1)), key=jax.random.PRNGKey(0),
+            optimizer=optax.sgd(0.1), mesh=mesh, batch_size=16,
+            validation_data=jnp.ones((4, 1)))

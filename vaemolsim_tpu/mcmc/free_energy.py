@@ -315,11 +315,21 @@ def mbar_expectation(result: MBARResult, values: Array,
     ``(mean, stderr)`` with the importance-sampling delta-method error
     (weight-variance only; free-energy uncertainty not propagated)."""
     values = jnp.asarray(values)
-    if isinstance(state, (int, np.integer)):
+    # Integer scalars of any flavor (python int, numpy, 0-d jax array)
+    # are state INDICES; only a (N,) array is a log-density.
+    is_index = isinstance(state, (int, np.integer)) or (
+        hasattr(state, "ndim") and state.ndim == 0
+        and jnp.issubdtype(jnp.asarray(state).dtype, jnp.integer))
+    if is_index:
         logw = (result.free_energies[state] + result.log_probs[state]
                 - result.log_denominator)
     else:
         lnew = jnp.asarray(state)
+        if lnew.shape != result.log_denominator.shape:
+            raise ValueError(
+                f"state must be an integer index or a per-pooled-sample "
+                f"log-density array of shape "
+                f"{result.log_denominator.shape}; got {lnew.shape}")
         logw = -logsumexp(lnew - result.log_denominator) + lnew \
             - result.log_denominator
     logw = logw - logsumexp(logw)                # exact normalization

@@ -42,19 +42,24 @@ def _scaled_trial(kind: str, log_target_fn, x1, e1, scale, key,
     scale = jnp.asarray(scale, x1.dtype)
     event_axes = tuple(range(e1.ndim, x1.ndim))
     ev = (None,) * len(event_axes)
+    if kind == "hmc" and n_leapfrog < 1:
+        raise ValueError("n_leapfrog must be >= 1 (0 leapfrog steps is "
+                         "the identity kernel: acceptance 1.0, no "
+                         "movement, and a diverging tuner)")
+
+    def lp_and_grad(x):
+        # vjp gives per-chain energies AND gradients in one
+        # forward+backward per proposal point (chains are independent,
+        # so the ones-seeded cotangent IS the per-chain gradient).
+        e, vjp = jax.vjp(log_target_fn, x)
+        (g,) = vjp(jnp.ones_like(e))
+        return e, g
+
     if kind == "random_walk":
         x2 = x1 + scale * xi
         e2 = log_target_fn(x2)
         log_acc = e2 - e1
     elif kind == "mala":
-        # vjp gives per-chain energies AND gradients in one
-        # forward+backward per proposal point (chains are independent,
-        # so the ones-seeded cotangent IS the per-chain gradient).
-        def lp_and_grad(x):
-            e, vjp = jax.vjp(log_target_fn, x)
-            (g,) = vjp(jnp.ones_like(e))
-            return e, g
-
         _, g1 = lp_and_grad(x1)  # log pi(x1) already in state.energies
         x2 = x1 + scale * g1 + jnp.sqrt(2.0 * scale) * xi
         e2, g2 = lp_and_grad(x2)
@@ -66,11 +71,6 @@ def _scaled_trial(kind: str, log_target_fn, x1, e1, scale, key,
 
         log_acc = (e2 - e1) + log_q(x1, x2, g2) - log_q(x2, x1, g1)
     elif kind == "hmc":
-        def lp_and_grad(x):
-            e, vjp = jax.vjp(log_target_fn, x)
-            (g,) = vjp(jnp.ones_like(e))
-            return e, g
-
         # Leapfrog with identity mass: initial half kick, n_leapfrog
         # full (drift, kick) pairs, then back off the surplus half kick
         # — n_leapfrog + 1 grads total, fixed trip count (fori_loop).

@@ -85,7 +85,10 @@ def harmonic_angles(angles, k, theta0) -> Callable[[Array], Array]:
         u = x[..., i, :] - x[..., j, :]
         v = x[..., c, :] - x[..., j, :]
         cross = jnp.cross(u, v)
-        sin_t = _norm(cross) if cross.shape[-1] == 3 else jnp.abs(cross)
+        # Dispatch on the COORDINATE dim (3-D cross is a vector, 2-D a
+        # scalar) — cross.shape[-1] would misfire when there happen to
+        # be exactly 3 angle triples in 2-D.
+        sin_t = _norm(cross) if x.shape[-1] == 3 else jnp.abs(cross)
         cos_t = jnp.sum(u * v, axis=-1)
         theta = jnp.arctan2(sin_t, cos_t)
         return jnp.sum(0.5 * k * (theta - theta0) ** 2, axis=-1)

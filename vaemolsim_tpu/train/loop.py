@@ -356,6 +356,11 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
         if mesh is not None:
             nv = _num_samples(validation_data)
             nv_keep = nv - nv % mesh.shape[mesh_axis]
+            if nv_keep == 0:
+                raise ValueError(
+                    f"validation_data has {nv} samples, fewer than the "
+                    f"{mesh.shape[mesh_axis]}-way {mesh_axis!r} mesh axis "
+                    "(an empty trimmed set would make val_loss NaN)")
             if nv_keep != nv:
                 validation_data = jax.tree_util.tree_map(
                     lambda a: a[:nv_keep], validation_data)
