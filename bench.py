@@ -397,6 +397,44 @@ def bench_statistics(jax, jnp):
             "thresholds_asserted": True}
 
 
+def bench_molecular_hmc(jax, jnp, n_chains=8192, n_atoms=7, n_steps=200,
+                        n_leapfrog=10):
+    """Molecular-sampling throughput: tuned HMC on an LJ cluster (the
+    round-3 potentials + HMC capability on chip).  Rate counts GRADIENT
+    evaluations of the full N^2 potential — the unit molecular MC cost
+    scales in — i.e. chains * steps * (n_leapfrog + 1) / s."""
+    from vaemolsim_tpu.mcmc import MCMCState, make_hmc_step, run_mcmc, \
+        tune_scale
+    from vaemolsim_tpu.potentials import (as_log_prob, com_restraint,
+                                          composite, lennard_jones,
+                                          minimize_energy)
+
+    pot = composite(lennard_jones(sigma=1.0, epsilon=1.0),
+                    com_restraint(2.0))
+    lp = as_log_prob(pot, beta=2.0)
+    x0 = 0.7 * jax.random.normal(jax.random.PRNGKey(0),
+                                 (n_chains, n_atoms, 3))
+    x0 = minimize_energy(pot, x0, steps=1000, lr=0.1)
+    st = MCMCState.create(x0, lp(x0), jax.random.PRNGKey(1))
+    eps, st = tune_scale(lp, st, kind="hmc", init_scale=0.05, rounds=15,
+                         n_leapfrog=n_leapfrog)
+    step = make_hmc_step(lp, step_size=eps, n_leapfrog=n_leapfrog)
+    run = jax.jit(lambda s: run_mcmc(step, s, n_steps)[0])
+
+    def rep():
+        out = run(st)
+        jax.block_until_ready(out.configs)
+        return out
+
+    best, median, times = _time_reps(rep)
+    out = rep()
+    acc = float(out.acceptance_rate)
+    assert 0.3 < acc <= 1.0, f"HMC acceptance {acc}"
+    grads = n_chains * n_steps * (n_leapfrog + 1)
+    return {"rate": grads / best, "median_rate": grads / median,
+            "times": times, "acceptance": acc, "tuned_eps": round(eps, 4)}
+
+
 def bench_pallas_backends(jax, jnp):
     """Compile-and-golden-check the TPU-only Pallas paths so Mosaic/jax
     upgrades can't rot them silently (they are kept as measured-slower
@@ -652,6 +690,20 @@ def main():
         })
     except Exception as e:
         extras.append({"metric": "backmapping_embed_dense_frames_per_sec",
+                       "error": repr(e)})
+    try:
+        mol = bench_molecular_hmc(jax, jnp)
+        extras.append({
+            "metric": "molecular_hmc_potential_grads_per_sec",
+            "value": round(mol["rate"], 1),
+            "unit": "full-N^2 LJ7 potential gradients/sec (8192 chains, "
+                    "tuned HMC, 10 leapfrog)",
+            "median": round(mol["median_rate"], 1),
+            "acceptance": mol["acceptance"],
+            "tuned_eps": mol["tuned_eps"],
+        })
+    except Exception as e:
+        extras.append({"metric": "molecular_hmc_potential_grads_per_sec",
                        "error": repr(e)})
     try:
         stats = bench_statistics(jax, jnp)

@@ -255,3 +255,72 @@ class TestVAEDualELBO:
         assert out.decode_sample.shape == (8, 2)
         assert np.isfinite(float(out.regularizer_loss_forward))
         assert np.isfinite(float(out.regularizer_loss_reverse))
+
+
+class TestHVAE:
+    """Hamiltonian-refined ELBO (hvae_elbo_loss, arXiv:1805.11328)."""
+
+    def test_zero_leapfrog_is_exact_one_sample_elbo(self):
+        """K=0: the momentum terms cancel pointwise and the bound is the
+        one-sample ELBO computed by hand with the same keys."""
+        vae = make_vae(jax.random.PRNGKey(0))
+        x = toy_data(64)
+        key = jax.random.PRNGKey(1)
+        loss, _ = vae.hvae_elbo_loss(x, key, n_leapfrog=0, train=False)
+
+        k_enc, _ = jax.random.split(key)
+        enc = vae.encoder(x, train=False)
+        z0 = enc.sample(k_enc)
+        prior = d.Independent(d.Normal(jnp.zeros(1), jnp.ones(1)), 1)
+        manual = -(vae.decoder(z0, train=False).log_prob(x)
+                   + prior.log_prob(z0) - enc.log_prob(z0))
+        np.testing.assert_allclose(float(loss), float(jnp.mean(manual)),
+                                   rtol=2e-5)
+
+    def test_leapfrog_tightens_bound_for_bad_encoder(self):
+        """With a deliberately mis-trained encoder, Hamiltonian
+        refinement toward the true posterior must RAISE the bound
+        (averaged over many draws) — the point of the HVAE."""
+        vae = make_vae(jax.random.PRNGKey(0))
+        x = toy_data(512)
+        # Train decoder+prior a little so the joint is meaningful.
+        vae, _, _ = fit(vae, lambda m, b: m.elbo_loss(b,
+                        jax.random.PRNGKey(9))[0], x, steps=60)
+
+        def mean_bound(n_leap):
+            vals = []
+            for s in range(8):
+                loss, _ = vae.hvae_elbo_loss(
+                    x, jax.random.PRNGKey(100 + s), n_leapfrog=n_leap,
+                    step_size=0.05, train=False)
+                vals.append(-float(loss))
+            return np.mean(vals)
+
+        b0, b5 = mean_bound(0), mean_bound(5)
+        assert b5 > b0 - 1e-3, (b0, b5)
+
+    def test_trains_and_gradients_finite(self):
+        vae = make_vae(jax.random.PRNGKey(2))
+        x = toy_data(128)
+
+        def loss_fn(m, b):
+            return m.hvae_elbo_loss(b, jax.random.PRNGKey(3),
+                                    n_leapfrog=3, step_size=0.05)[0]
+
+        vae2, l0, l1 = fit(vae, loss_fn, x, steps=40)
+        assert np.isfinite(l0) and np.isfinite(l1)
+        assert l1 < l0
+        g = jax.grad(loss_fn)(vae, x)
+        finite = jax.tree_util.tree_map(
+            lambda a: bool(jnp.isfinite(a).all()), g)
+        assert all(jax.tree_util.tree_leaves(finite))
+
+    def test_metrics_and_jit(self):
+        vae = make_vae(jax.random.PRNGKey(4))
+        x = toy_data(32)
+        loss, metrics = jax.jit(
+            lambda m, b, k: m.hvae_elbo_loss(b, k, n_leapfrog=2))(
+            vae, x, jax.random.PRNGKey(5))
+        assert set(metrics) >= {"loss", "recon_nll", "hvae_bound"}
+        np.testing.assert_allclose(float(metrics["hvae_bound"]),
+                                   -float(loss), rtol=1e-6)

@@ -221,6 +221,71 @@ class VAE:
                  - jnp.log(float(n_samples)))
         return -jnp.mean(bound)
 
+    def hvae_elbo_loss(self, inputs: Array, key: Array,
+                       n_leapfrog: int = 5, step_size: float = 0.1,
+                       train: bool = True) -> Tuple[Array, dict]:
+        """Hamiltonian VAE negative bound (Caterini, Doucet &
+        Sejdinovic 2018, arXiv:1805.11328; extension beyond the
+        reference): refine the encoder sample with ``n_leapfrog``
+        DETERMINISTIC leapfrog steps on the true joint
+        ``U(z) = -[log p(x|z) + log p(z)]`` before scoring.
+
+        The flow (z0, rho0) -> (z_K, rho_K) is volume-preserving, so
+        the augmented importance weight needs no Jacobian:
+
+            ELBO_H = E[ log p(x, z_K) + log N(rho_K; 0, I)
+                        - log q(z_0|x) - log N(rho_0; 0, I) ]
+
+        — a valid lower bound that approaches log p(x) as the leapfrog
+        flow carries q's samples to the true posterior; at
+        ``n_leapfrog=0`` it is EXACTLY the one-sample ELBO (the
+        momentum terms cancel pointwise).  Gradients flow through the
+        trajectory (decoder/prior grads per step), so training sharpens
+        both the encoder and the refinement.  ``step_size`` may be a
+        scalar or per-dimension array.  TPU shape: one ``fori_loop`` of
+        fused decoder+prior vjps, everything batched over the batch
+        axis.
+        """
+        k_enc, k_mom = jax.random.split(key)
+        encode_dist = self.encoder(inputs, train=train)
+        z0 = encode_dist.sample(k_enc)
+        prior_dist = self._prior_dist(z0, train)
+        eps = jnp.asarray(step_size, z0.dtype)
+
+        def neg_u(z):  # log p(x, z) per batch element
+            return (self.decoder(z, train=train).log_prob(inputs)
+                    + prior_dist.log_prob(z))
+
+        def grad_neg_u(z):
+            e, vjp = jax.vjp(neg_u, z)
+            (g,) = vjp(jnp.ones_like(e))
+            return e, g
+
+        rho0 = jax.random.normal(k_mom, z0.shape, z0.dtype)
+        lp0, g = grad_neg_u(z0)
+
+        def leap(_, carry):
+            z, rho, _, g = carry
+            z = z + eps * rho
+            lp, g = grad_neg_u(z)
+            return z, rho + eps * g, lp, g
+
+        zk, rho, lp_joint, g = jax.lax.fori_loop(
+            0, n_leapfrog, leap, (z0, rho0 + 0.5 * eps * g, lp0, g))
+        rho = rho - 0.5 * eps * g
+        if n_leapfrog == 0:
+            rho = rho0  # the two half kicks cancel exactly
+
+        def kinetic(p):
+            return 0.5 * jnp.sum(p.astype(lp_joint.dtype) ** 2, axis=-1)
+
+        bound = (lp_joint - kinetic(rho)
+                 - encode_dist.log_prob(z0) + kinetic(rho0))
+        loss = -jnp.mean(bound)
+        recon = -jnp.mean(self.decoder(zk, train=train).log_prob(inputs))
+        return loss, {"loss": loss, "recon_nll": recon,
+                      "hvae_bound": -loss}
+
     def sample(self, key: Array, batch_shape: Tuple[int, ...] = (),
                train: bool = False) -> Array:
         """Generate by sampling the prior then the decoder (reference
