@@ -1,0 +1,172 @@
+"""MD integrators: symplectic energy conservation, Boltzmann sampling,
+and agreement with the analytic harmonic oscillator."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vaemolsim_tpu.md import (baoab, kinetic_energy, temperature,
+                              velocity_verlet)
+from vaemolsim_tpu.potentials import (composite, coulomb,
+                                      exclusions_from_bonds,
+                                      harmonic_bonds, lennard_jones)
+
+
+def dimer_potential(k=100.0, r0=1.0):
+    return harmonic_bonds([[0, 1]], k, r0)
+
+
+class TestVelocityVerlet:
+
+    def test_nve_energy_conservation(self):
+        """Symplectic integration: total energy oscillates but does not
+        drift (relative error bounded over 2000 steps)."""
+        pot = dimer_potential()
+        x0 = jnp.asarray([[0.0, 0, 0], [1.1, 0, 0]])[None].repeat(8, 0)
+        v0 = 0.3 * jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+        e0 = pot(x0) + kinetic_energy(v0)
+        st, _ = jax.jit(lambda x, v: velocity_verlet(
+            pot, x, v, dt=0.005, n_steps=2000))(x0, v0)
+        e1 = pot(st.x) + kinetic_energy(st.v)
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(e0),
+                                   rtol=1e-3)
+
+    def test_harmonic_period(self):
+        """1-D harmonic dimer: the bond oscillates at
+        omega = sqrt(k / mu), mu = m/2 — a full-period integration
+        returns to the start."""
+        k_spring, m = 100.0, 1.0
+        pot = dimer_potential(k=k_spring)
+        omega = np.sqrt(k_spring / (m / 2.0))
+        period = 2 * np.pi / omega
+        n_steps = 2000
+        dt = period / n_steps
+        x0 = jnp.asarray([[0.0, 0, 0], [1.2, 0, 0]])  # stretched
+        v0 = jnp.zeros_like(x0)
+        st, _ = velocity_verlet(pot, x0, v0, dt=dt, n_steps=n_steps)
+        np.testing.assert_allclose(np.asarray(st.x), np.asarray(x0),
+                                   atol=2e-3)
+
+    def test_trajectory_collection_and_validation(self):
+        pot = dimer_potential()
+        x0 = jnp.asarray([[0.0, 0, 0], [1.0, 0, 0]])
+        st, traj = velocity_verlet(pot, x0, jnp.zeros_like(x0),
+                                   dt=0.01, n_steps=100, collect_every=20)
+        assert traj.shape == (5, 2, 3)
+        np.testing.assert_allclose(np.asarray(traj[-1]), np.asarray(st.x))
+        with pytest.raises(ValueError, match="multiple"):
+            velocity_verlet(pot, x0, jnp.zeros_like(x0), dt=0.01,
+                            n_steps=10, collect_every=3)
+
+    def test_masses_change_dynamics(self):
+        pot = dimer_potential()
+        x0 = jnp.asarray([[0.0, 0, 0], [1.2, 0, 0]])
+        v0 = jnp.zeros_like(x0)
+        light, _ = velocity_verlet(pot, x0, v0, dt=0.002, n_steps=200,
+                                   masses=1.0)
+        heavy, _ = velocity_verlet(pot, x0, v0, dt=0.002, n_steps=200,
+                                   masses=jnp.asarray([1.0, 10.0]))
+        assert not np.allclose(np.asarray(light.x), np.asarray(heavy.x))
+        # Energy conserved with per-atom masses too.
+        m = jnp.asarray([1.0, 10.0])
+        e0 = float(pot(x0) + kinetic_energy(v0, m))
+        e1 = float(pot(heavy.x) + kinetic_energy(heavy.v, m))
+        np.testing.assert_allclose(e1, e0, atol=1e-3)
+
+
+class TestBAOAB:
+
+    def test_harmonic_boltzmann_statistics(self):
+        """BAOAB at kT samples the harmonic Boltzmann distribution:
+        bond-length variance kT/k (relative coordinate) and kinetic
+        temperature kT."""
+        k_spring, kT = 100.0, 0.5
+        pot = dimer_potential(k=k_spring)
+        x0 = jnp.asarray([[0.0, 0, 0], [1.0, 0, 0]])[None].repeat(512, 0)
+        v0 = jnp.zeros_like(x0)
+        st, traj = jax.jit(lambda x, v, k: baoab(
+            pot, x, v, k, dt=0.02, n_steps=4000, friction=2.0, kT=kT,
+            collect_every=200))(x0, v0, jax.random.PRNGKey(0))
+        # Discard the first half as equilibration.
+        xs = np.asarray(traj[10:])
+        r = np.linalg.norm(xs[..., 0, :] - xs[..., 1, :], axis=-1)
+        # Radial Boltzmann: Var(r) ~ kT/k_eff with k_eff = k (reduced
+        # coordinate r has mu = m/2 but variance is set by k only).
+        np.testing.assert_allclose(r.var(), kT / k_spring, rtol=0.1)
+        t_inst = float(jnp.mean(temperature(st.v)))
+        np.testing.assert_allclose(t_inst, kT, rtol=0.1)
+
+    def test_zero_friction_matches_verlet(self):
+        pot = dimer_potential()
+        x0 = jnp.asarray([[0.0, 0, 0], [1.15, 0, 0]])
+        v0 = jnp.asarray([[0.1, 0, 0], [-0.1, 0, 0]])
+        nve, _ = velocity_verlet(pot, x0, v0, dt=0.01, n_steps=50)
+        nvt, _ = baoab(pot, x0, v0, jax.random.PRNGKey(0), dt=0.01,
+                       n_steps=50, friction=0.0)
+        np.testing.assert_allclose(np.asarray(nvt.x), np.asarray(nve.x),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(nvt.v), np.asarray(nve.v),
+                                   atol=1e-5)
+
+    def test_lj_cluster_stays_bound_and_thermal(self):
+        """LJ7 at low temperature: BAOAB keeps the cluster bound with
+        negative potential energy and the requested temperature."""
+        from vaemolsim_tpu.potentials import com_restraint, minimize_energy
+
+        pot = composite(lennard_jones(), com_restraint(1.0))
+        x0 = minimize_energy(
+            pot, 0.7 * jax.random.normal(jax.random.PRNGKey(0), (16, 7, 3)),
+            steps=1500, lr=0.1)
+        st, _ = jax.jit(lambda x, k: baoab(
+            pot, x, jnp.zeros_like(x), k, dt=0.005, n_steps=2000,
+            friction=1.0, kT=0.2))(x0, jax.random.PRNGKey(1))
+        assert float(jnp.max(pot(st.x))) < -10.0  # still bound
+        np.testing.assert_allclose(float(jnp.mean(temperature(st.v))),
+                                   0.2, rtol=0.15)
+
+
+class TestCoulomb:
+
+    def test_two_charges_hand_computed(self):
+        u = coulomb(jnp.asarray([1.0, -2.0]))
+        x = jnp.asarray([[0.0, 0, 0], [2.0, 0, 0]])
+        np.testing.assert_allclose(float(u(x)), -1.0, rtol=1e-6)
+
+    def test_minimum_image_and_cutoff_shift(self):
+        u = coulomb(jnp.asarray([1.0, 1.0]), box=[10.0, 10.0, 10.0],
+                    cutoff=4.0)
+        x = jnp.asarray([[0.5, 0, 0], [9.5, 0, 0]])  # wrapped r = 1
+        np.testing.assert_allclose(float(u(x)), 1.0 - 0.25, rtol=1e-5)
+        far = jnp.asarray([[0.0, 0, 0], [5.0, 0, 0]])
+        assert float(u(far)) == 0.0
+
+    def test_exclusions_and_charge_count_validation(self):
+        q3 = jnp.asarray([1.0, -1.0, 1.0])
+        excl = exclusions_from_bonds(3, [[0, 1], [1, 2]],
+                                     through_angles=False)
+        u = coulomb(q3, exclude=excl)
+        x = jnp.asarray([[0.0, 0, 0], [1.0, 0, 0], [2.0, 0, 0]])
+        # Only the 0-2 pair survives: q0 q2 / 2 = 0.5.
+        np.testing.assert_allclose(float(u(x)), 0.5, rtol=1e-6)
+        with pytest.raises(ValueError, match="atoms"):
+            u(jnp.zeros((4, 3)))
+        with pytest.raises(ValueError, match="charges"):
+            coulomb(jnp.zeros((2, 2)))
+
+    def test_md_with_coulomb_conserves_energy(self):
+        """Full composite (bond + LJ + Coulomb) through NVE — the force
+        of every term is consistent with its energy."""
+        bonds = [[0, 1]]
+        pot = composite(
+            harmonic_bonds(bonds, 50.0, 1.0),
+            lennard_jones(sigma=0.8, epsilon=0.2,
+                          exclude=exclusions_from_bonds(3, bonds,
+                                                        through_angles=False)),
+            coulomb(jnp.asarray([0.5, -0.5, 0.2])))
+        x0 = jnp.asarray([[0.0, 0, 0], [1.0, 0, 0], [0.5, 1.5, 0]])
+        v0 = 0.1 * jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+        e0 = float(pot(x0) + kinetic_energy(v0))
+        st, _ = velocity_verlet(pot, x0, v0, dt=0.002, n_steps=2000)
+        e1 = float(pot(st.x) + kinetic_energy(st.v))
+        np.testing.assert_allclose(e1, e0, rtol=2e-3)

@@ -1,0 +1,181 @@
+"""Molecular dynamics: symplectic integrators as compiled scans.
+
+Beyond-reference capability (the reference is MC-only,
+/root/reference/vaemolsim/mcmc.py): with the differentiable force
+fields of :mod:`vaemolsim_tpu.potentials`, classical MD is a
+``lax.scan`` over a force evaluation — thousands of independent
+replicas batch over the leading axis onto one chip, and the chain axis
+shards over a mesh exactly like MC chains.
+
+Integrators:
+
+- :func:`velocity_verlet` — NVE; one force per step (the closing force
+  of step k is reused as the opening force of step k+1).
+- :func:`baoab` — Langevin NVT via the BAOAB splitting (Leimkuhler &
+  Matthews 2013), the low-configurational-bias discretization of
+  ``dv = f/m dt - gamma v dt + sqrt(2 gamma kT / m) dW``; recovers
+  velocity Verlet at ``friction=0``.
+
+Conventions: reduced units (kT enters :func:`baoab` directly),
+``potential(x) -> (...,)`` over ``x`` of shape ``(..., n_atoms, dim)``
+(the :mod:`potentials` contract), per-atom ``masses`` broadcast as
+``(n_atoms, 1)`` against the coordinate axis.  Forces are
+``-grad potential`` via one vjp per step (per-replica gradients, same
+trick as MALA/HMC in mcmc.moves).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+__all__ = ["MDState", "velocity_verlet", "baoab", "kinetic_energy",
+           "temperature"]
+
+
+class MDState(NamedTuple):
+    """Positions/velocities plus the cached force that makes
+    force-reuse across scan steps explicit and restartable."""
+    x: Array
+    v: Array
+    force: Array
+
+
+def _force_fn(potential: Callable[[Array], Array]):
+    def force(x):
+        e, vjp = jax.vjp(potential, x)
+        (g,) = vjp(jnp.ones_like(e))
+        return e, -g
+
+    return force
+
+
+def _masses_arr(masses, x):
+    m = jnp.asarray(masses, x.dtype)
+    if m.ndim == 1:
+        m = m[:, None]                     # (n_atoms, 1) vs (..., n, d)
+    return m
+
+
+def kinetic_energy(v: Array, masses=1.0) -> Array:
+    """``sum_atoms m |v|^2 / 2`` per replica (reduces the last two
+    axes)."""
+    m = _masses_arr(masses, v)
+    return 0.5 * jnp.sum(m * v * v, axis=(-2, -1))
+
+
+def temperature(v: Array, masses=1.0) -> Array:
+    """Instantaneous kinetic temperature ``2 KE / (n_dof)`` per replica
+    (equipartition, all n_atoms * dim momenta counted; subtract
+    constrained modes yourself if you remove the COM drift)."""
+    n_dof = v.shape[-2] * v.shape[-1]
+    return 2.0 * kinetic_energy(v, masses) / n_dof
+
+
+def velocity_verlet(potential: Callable[[Array], Array],
+                    x0: Array, v0: Array, *,
+                    dt: float, n_steps: int,
+                    masses=1.0,
+                    collect_every: int = 0,
+                    unroll: int = 4
+                    ) -> Tuple[MDState, Optional[Array]]:
+    """NVE velocity-Verlet integration: one force evaluation per step,
+    whole trajectory as one ``lax.scan`` dispatch.
+
+    Returns ``(MDState, trajectory)`` where ``trajectory`` stacks every
+    ``collect_every``-th position as ``(n_steps//collect_every, ...)``
+    (None when 0).  Symplectic: total energy oscillates but does not
+    drift (pinned by test at 1e-4 relative over 2000 steps).
+    """
+    if collect_every and n_steps % collect_every != 0:
+        raise ValueError("n_steps must be a multiple of collect_every")
+    force = _force_fn(potential)
+    m = _masses_arr(masses, x0)
+    dt = jnp.asarray(dt, x0.dtype)
+
+    def step(state: MDState) -> MDState:
+        v_half = state.v + 0.5 * dt * state.force / m
+        x = state.x + dt * v_half
+        _, f = force(x)
+        return MDState(x=x, v=v_half + 0.5 * dt * f / m, force=f)
+
+    _, f0 = force(x0)
+    init = MDState(x=jnp.asarray(x0), v=jnp.asarray(v0), force=f0)
+
+    if collect_every:
+        def body(s, _):
+            s = jax.lax.fori_loop(0, collect_every, lambda i, s: step(s), s)
+            return s, s.x
+
+        return jax.lax.scan(body, init, None,
+                            length=n_steps // collect_every)
+
+    def body(s, _):
+        return step(s), None
+
+    out, _ = jax.lax.scan(body, init, None, length=n_steps,
+                          unroll=min(unroll, max(n_steps, 1)))
+    return out, None
+
+
+def baoab(potential: Callable[[Array], Array],
+          x0: Array, v0: Array, key: Array, *,
+          dt: float, n_steps: int,
+          friction: float = 1.0, kT: float = 1.0,
+          masses=1.0,
+          collect_every: int = 0
+          ) -> Tuple[MDState, Optional[Array]]:
+    """Langevin (NVT) dynamics via the BAOAB splitting: B half-kick,
+    A half-drift, O exact Ornstein-Uhlenbeck velocity refresh, A, B.
+
+    Samples the Boltzmann distribution at temperature ``kT`` with
+    leading-order configurational bias O(dt^2) (the best-in-class
+    splitting for sampling accuracy per force evaluation); one force
+    and one Gaussian draw per step, scanned on device.  ``friction`` is
+    the collision rate gamma (units 1/time); ``friction=0`` reduces to
+    velocity Verlet.
+    """
+    if collect_every and n_steps % collect_every != 0:
+        raise ValueError("n_steps must be a multiple of collect_every")
+    force = _force_fn(potential)
+    m = _masses_arr(masses, x0)
+    dt = jnp.asarray(dt, x0.dtype)
+    c1 = jnp.exp(-friction * dt)
+    # O-step noise amplitude per velocity component: sqrt(kT/m (1-c1^2)).
+    c2 = jnp.sqrt(kT * (1.0 - c1 * c1) / m)
+
+    def one(s, k):
+        v = s.v + 0.5 * dt * s.force / m                  # B
+        x = s.x + 0.5 * dt * v                            # A
+        v = c1 * v + c2 * jax.random.normal(k, v.shape, v.dtype)  # O
+        x = x + 0.5 * dt * v                              # A
+        _, f = force(x)
+        v = v + 0.5 * dt * f / m                          # B
+        return MDState(x=x, v=v, force=f)
+
+    _, f0 = force(jnp.asarray(x0))
+    init = MDState(x=jnp.asarray(x0), v=jnp.asarray(v0), force=f0)
+    keys = jax.random.split(key, n_steps)
+
+    if collect_every:
+        keys = keys.reshape(n_steps // collect_every, collect_every,
+                            *keys.shape[1:])
+
+        def body(s, ks):
+            def inner(s, k):
+                return one(s, k), None
+
+            s, _ = jax.lax.scan(inner, s, ks)
+            return s, s.x
+
+        return jax.lax.scan(body, init, keys)
+
+    def body(s, k):
+        return one(s, k), None
+
+    out, _ = jax.lax.scan(body, init, keys)
+    return out, None

@@ -34,8 +34,8 @@ import numpy as np
 Array = jax.Array
 
 __all__ = ["harmonic_bonds", "harmonic_angles", "periodic_torsions",
-           "lennard_jones", "com_restraint", "composite", "as_log_prob",
-           "exclusions_from_bonds", "minimize_energy"]
+           "lennard_jones", "coulomb", "com_restraint", "composite",
+           "as_log_prob", "exclusions_from_bonds", "minimize_energy"]
 
 _EPS = 1e-12  # guards sqrt/atan2 gradients at coincident points
 
@@ -206,6 +206,53 @@ def lennard_jones(sigma=1.0, epsilon=1.0, *,
         if cutoff is not None and shift:
             sc6 = (sigma / cutoff) ** 6
             u = u - 4.0 * epsilon * (sc6 * sc6 - sc6)
+        return jnp.sum(jnp.where(mask, u, 0.0), axis=(-2, -1))
+
+    return energy
+
+
+def coulomb(charges, *, exclude: Optional[np.ndarray] = None,
+            box: Optional[Sequence[float]] = None,
+            cutoff: Optional[float] = None,
+            shift: bool = True) -> Callable[[Array], Array]:
+    """Pairwise Coulomb term ``sum_{i<j} q_i q_j / r_ij`` in reduced
+    units (Coulomb constant = 1; fold ``1/(4 pi eps_0 eps_r kT)`` into
+    the charges).
+
+    Same dense-masked all-pairs TPU form as :func:`lennard_jones`, with
+    minimum-image wrapping under ``box``, exclusions, and shifted
+    truncation (``shift`` subtracts the cutoff energy so HMC/MALA see a
+    continuous potential — for bulk electrolytes a proper Ewald/PME sum
+    is the accurate treatment; this direct sum targets gas-phase
+    molecules and the short-range part).  ``charges``: (n,) per-atom
+    values; products ``q_i q_j`` are formed once at build time.
+    """
+    q = jnp.asarray(charges, jnp.float32)
+    if q.ndim != 1:
+        raise ValueError(f"charges must be (n,); got {q.shape}")
+    qq = q[:, None] * q[None, :]
+    box_arr = None if box is None else jnp.asarray(box, jnp.float32)
+
+    def energy(x: Array) -> Array:
+        n = x.shape[-2]
+        if n != q.shape[0]:
+            raise ValueError(f"coords have {n} atoms but charges has "
+                             f"{q.shape[0]}")
+        pair_mask = np.triu(np.ones((n, n), bool), k=1)
+        if exclude is not None:
+            pair_mask &= ~np.asarray(exclude, bool)
+        mask = jnp.asarray(pair_mask)
+
+        d = x[..., :, None, :] - x[..., None, :, :]
+        if box_arr is not None:
+            d = d - box_arr * jnp.round(d / box_arr)
+        r2 = jnp.sum(d * d, axis=-1)
+        if cutoff is not None:
+            mask = mask & (r2 < cutoff * cutoff)
+        r = jnp.sqrt(jnp.maximum(jnp.where(mask, r2, 1.0), _EPS))
+        u = qq / r
+        if cutoff is not None and shift:
+            u = u - qq / cutoff
         return jnp.sum(jnp.where(mask, u, 0.0), axis=(-2, -1))
 
     return energy
