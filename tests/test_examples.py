@@ -1,6 +1,6 @@
-"""Example-workflow smoke tests: ALL eleven user-facing scripts must run
+"""Example-workflow smoke tests: ALL twelve user-facing scripts must run
 end to end at their CI scale (the reference's four notebooks are
-executable documents — examples 01-04 are their ports, 05-11 the
+executable documents — examples 01-04 are their ports, 05-12 the
 beyond-reference workflows).  Wall-clock is compile-dominated on CPU;
 the --full scales are exercised manually / on hardware."""
 
@@ -123,3 +123,12 @@ def test_example_11_boltzmann_generator():
     assert m is not None and float(m.group(1)) > 0.2
     m = re.search(r"well balance ([0-9.]+)", out)
     assert m is not None and 0.2 < float(m.group(1)) < 0.8
+
+
+@pytest.mark.slow
+def test_example_12_md_and_mc():
+    out = run_example("12_md_and_mc.py", timeout=900)
+    assert "MD/MC cross-validation OK" in out
+    import re
+    m = re.search(r"max relative energy drift ([0-9.e-]+)", out)
+    assert m is not None and float(m.group(1)) < 5e-3
