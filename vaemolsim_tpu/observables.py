@@ -1,0 +1,122 @@
+"""Equilibrium / dynamical observables, computed on device.
+
+Companions to :mod:`potentials` and :mod:`md` (beyond-reference: the
+reference ships no analysis tooling): fixed-shape reductions over
+``(..., n_atoms, dim)`` configurations and ``(T, ..., n_atoms, dim)``
+trajectories, so they jit, vmap and shard like everything else —
+histogramming is one ``bucketize`` + ``segment_sum`` per frame, no
+host round trips.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+__all__ = ["radius_of_gyration", "pair_distance_histogram",
+           "radial_distribution", "mean_squared_displacement",
+           "velocity_autocorrelation"]
+
+
+def radius_of_gyration(x: Array) -> Array:
+    """``sqrt(mean_atoms |r - com|^2)`` per configuration (equal
+    masses)."""
+    com = jnp.mean(x, axis=-2, keepdims=True)
+    return jnp.sqrt(jnp.mean(jnp.sum((x - com) ** 2, axis=-1), axis=-1))
+
+
+def _pair_r(x: Array, box) -> Tuple[Array, Array]:
+    n = x.shape[-2]
+    mask = jnp.asarray(np.triu(np.ones((n, n), bool), k=1))
+    d = x[..., :, None, :] - x[..., None, :, :]
+    if box is not None:
+        b = jnp.asarray(box, x.dtype)
+        d = d - b * jnp.round(d / b)
+    r = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-12))
+    return r, mask
+
+
+def pair_distance_histogram(x: Array, *, r_max: float, n_bins: int = 100,
+                            box: Optional[Sequence[float]] = None
+                            ) -> Tuple[Array, Array]:
+    """Probability density of pair distances over all configurations.
+
+    Returns ``(r_centers, pdf)`` with ``pdf`` normalized so
+    ``sum(pdf) * dr = 1`` over [0, r_max] (pairs beyond ``r_max`` are
+    dropped from the normalization).  The gas-phase-friendly primitive
+    :func:`radial_distribution` builds on.
+    """
+    x = jnp.asarray(x)
+    r, mask = _pair_r(x, box)
+    edges = jnp.linspace(0.0, r_max, n_bins + 1)
+    idx = jnp.clip(jnp.searchsorted(edges, r, side="right") - 1,
+                   0, n_bins - 1)
+    in_range = mask & (r < r_max)
+    counts = jnp.zeros(n_bins).at[idx.ravel()].add(
+        in_range.astype(jnp.float32).ravel())
+    dr = r_max / n_bins
+    total = jnp.maximum(jnp.sum(counts), 1.0)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    return centers, counts / (total * dr)
+
+
+def radial_distribution(x: Array, *, box: Sequence[float],
+                        r_max: Optional[float] = None,
+                        n_bins: int = 100) -> Tuple[Array, Array]:
+    """g(r) for a homogeneous periodic system: pair counts normalized by
+    the ideal-gas shell expectation at the system's density, averaged
+    over all leading-axis configurations.  ``r_max`` defaults to half
+    the smallest box length (the minimum-image validity bound); an
+    ideal gas gives g(r) = 1 (pinned by test).  3-D only.
+    """
+    x = jnp.asarray(x)
+    if x.shape[-1] != 3:
+        raise ValueError("radial_distribution is defined for 3-D boxes")
+    box_arr = np.asarray(box, np.float64)
+    if r_max is None:
+        r_max = float(box_arr.min() / 2.0)
+    n = x.shape[-2]
+    n_frames = int(np.prod(x.shape[:-2])) or 1
+
+    r, mask = _pair_r(x, box)
+    edges = jnp.linspace(0.0, float(r_max), n_bins + 1)
+    idx = jnp.clip(jnp.searchsorted(edges, r, side="right") - 1,
+                   0, n_bins - 1)
+    in_range = mask & (r < r_max)
+    counts = jnp.zeros(n_bins).at[idx.ravel()].add(
+        in_range.astype(jnp.float32).ravel()) / n_frames
+
+    vol = float(box_arr.prod())
+    rho_pairs = n * (n - 1) / 2.0 / vol      # unique-pair density
+    shell = (4.0 / 3.0) * jnp.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    return centers, counts / (rho_pairs * shell)
+
+
+def mean_squared_displacement(traj: Array) -> Array:
+    """``MSD(t) = <|x(t) - x(0)|^2>`` over atoms and replicas, from the
+    trajectory origin (single-origin estimator; feed decorrelated
+    segments for production statistics).  ``traj``:
+    ``(T, ..., n_atoms, dim)`` of UNWRAPPED coordinates; returns (T,).
+    """
+    traj = jnp.asarray(traj)
+    d = traj - traj[:1]
+    return jnp.mean(jnp.sum(d * d, axis=-1),
+                    axis=tuple(range(1, traj.ndim - 1)))
+
+
+def velocity_autocorrelation(vtraj: Array, normalize: bool = True) -> Array:
+    """``C(t) = <v(t) . v(0)>`` over atoms and replicas from the origin
+    (normalized by C(0) when ``normalize``).  ``vtraj``:
+    ``(T, ..., n_atoms, dim)``; returns (T,)."""
+    vtraj = jnp.asarray(vtraj)
+    c = jnp.mean(jnp.sum(vtraj * vtraj[:1], axis=-1),
+                 axis=tuple(range(1, vtraj.ndim - 1)))
+    if normalize:
+        c = c / jnp.maximum(c[0], 1e-30)
+    return c
