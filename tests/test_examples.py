@@ -1,6 +1,6 @@
-"""Example-workflow smoke tests: ALL twelve user-facing scripts must run
+"""Example-workflow smoke tests: ALL thirteen user-facing scripts must run
 end to end at their CI scale (the reference's four notebooks are
-executable documents — examples 01-04 are their ports, 05-12 the
+executable documents — examples 01-04 are their ports, 05-13 the
 beyond-reference workflows).  Wall-clock is compile-dominated on CPU;
 the --full scales are exercised manually / on hardware."""
 
@@ -132,3 +132,13 @@ def test_example_12_md_and_mc():
     import re
     m = re.search(r"max relative energy drift ([0-9.e-]+)", out)
     assert m is not None and float(m.group(1)) < 5e-3
+
+
+@pytest.mark.slow
+def test_example_13_alchemical_decoupling():
+    out = run_example("13_alchemical_decoupling.py", timeout=900)
+    assert "alchemical workflow OK" in out
+    import re
+    mbar = float(re.search(r"MBAR: \+?(-?[0-9.]+)", out).group(1))
+    ti = float(re.search(r"TI:   \+?(-?[0-9.]+)", out).group(1))
+    assert mbar > 1.0 and abs(mbar - ti) < 1.0

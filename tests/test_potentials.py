@@ -287,3 +287,70 @@ class TestReviewRegressions:
         # Same chain embedded in 3-D must give the identical energy.
         x3 = jnp.concatenate([x2, jnp.zeros((5, 1))], axis=-1)
         np.testing.assert_allclose(float(u(x2)), float(u(x3)), rtol=1e-6)
+
+
+class TestSoftCore:
+
+    def test_lambda_one_matches_full_lj(self):
+        from vaemolsim_tpu.potentials import lennard_jones_softcore
+
+        alch = np.asarray([True, False, False])
+        u_sc = lennard_jones_softcore(sigma=1.0, epsilon=1.0,
+                                      alchemical=alch)
+        u_lj = lennard_jones(sigma=1.0, epsilon=1.0)
+        x = jnp.asarray([[0.0, 0, 0], [1.3, 0, 0], [0.5, 1.2, 0]])
+        np.testing.assert_allclose(float(u_sc(x, 1.0)), float(u_lj(x)),
+                                   rtol=1e-5)
+
+    def test_lambda_zero_decouples(self):
+        from vaemolsim_tpu.potentials import lennard_jones_softcore
+
+        alch = np.asarray([True, False, False])
+        u_sc = lennard_jones_softcore(alchemical=alch)
+        u_lj = lennard_jones()
+        x = jnp.asarray([[0.0, 0, 0], [1.3, 0, 0], [0.5, 1.2, 0]])
+        # Only the environment pair (1,2) remains.
+        env = u_lj(x[1:])
+        np.testing.assert_allclose(float(u_sc(x, 0.0)), float(env),
+                                   rtol=1e-5)
+
+    def test_finite_at_overlap_for_intermediate_lambda(self):
+        from vaemolsim_tpu.potentials import lennard_jones_softcore
+
+        alch = np.asarray([True, False])
+        u = lennard_jones_softcore(alchemical=alch)
+        x = jnp.asarray([[0.0, 0, 0], [1e-6, 0, 0]])  # inserted inside
+        for lam in (0.1, 0.5, 0.9):
+            e = float(u(x, lam))
+            g = np.asarray(jax.grad(lambda x: u(x, lam))(x))
+            assert np.isfinite(e) and np.isfinite(g).all(), lam
+        # Beutler value at r=0: 4 eps lam (1/(a(1-l))^2 - 1/(a(1-l))).
+        a = 0.5
+        lam = 0.5
+        want = 4 * lam * (1 / (a * (1 - lam)) ** 2 - 1 / (a * (1 - lam)))
+        np.testing.assert_allclose(float(u(jnp.zeros((2, 3)), lam)), want,
+                                   rtol=1e-4)
+
+    def test_dudl_via_autodiff_matches_finite_difference(self):
+        from vaemolsim_tpu.potentials import lennard_jones_softcore
+
+        alch = np.asarray([True, False, False, False])
+        u = lennard_jones_softcore(alchemical=alch)
+        x = jax.random.normal(jax.random.PRNGKey(0), (5, 4, 3)) * 1.5
+        lam = 0.63
+        dudl = np.asarray(jax.grad(
+            lambda l: jnp.sum(u(x, l)))(jnp.float32(lam)))
+        h = 1e-3
+        fd = (np.asarray(jnp.sum(u(x, lam + h)))
+              - np.asarray(jnp.sum(u(x, lam - h)))) / (2 * h)
+        np.testing.assert_allclose(dudl, fd, rtol=1e-2)
+
+    def test_env_pairs_lambda_independent(self):
+        from vaemolsim_tpu.potentials import lennard_jones_softcore
+
+        alch = np.asarray([True, False, False])
+        u = lennard_jones_softcore(alchemical=alch)
+        x = jnp.asarray([[9.0, 9, 9], [1.3, 0, 0], [0.5, 1.2, 0]])
+        # Alchemical atom far away: energy is the env pair at every lam.
+        vals = [float(u(x, l)) for l in (0.0, 0.3, 0.7, 1.0)]
+        np.testing.assert_allclose(vals, vals[0], atol=1e-4)

@@ -34,8 +34,9 @@ import numpy as np
 Array = jax.Array
 
 __all__ = ["harmonic_bonds", "harmonic_angles", "periodic_torsions",
-           "lennard_jones", "coulomb", "com_restraint", "composite",
-           "as_log_prob", "exclusions_from_bonds", "minimize_energy"]
+           "lennard_jones", "lennard_jones_softcore", "coulomb",
+           "com_restraint", "composite", "as_log_prob",
+           "exclusions_from_bonds", "minimize_energy"]
 
 _EPS = 1e-12  # guards sqrt/atan2 gradients at coincident points
 
@@ -207,6 +208,82 @@ def lennard_jones(sigma=1.0, epsilon=1.0, *,
             sc6 = (sigma / cutoff) ** 6
             u = u - 4.0 * epsilon * (sc6 * sc6 - sc6)
         return jnp.sum(jnp.where(mask, u, 0.0), axis=(-2, -1))
+
+    return energy
+
+
+def lennard_jones_softcore(sigma=1.0, epsilon=1.0, *,
+                           alchemical,
+                           alpha: float = 0.5,
+                           exclude: Optional[np.ndarray] = None,
+                           box: Optional[Sequence[float]] = None):
+    """Alchemically-scalable LJ: pairs coupling an ``alchemical`` atom
+    to the environment use the Beutler et al. (1994) soft core
+
+        U(r; lam) = 4 eps lam [ (alpha (1-lam) + (r/sig)^6)^-2
+                              - (alpha (1-lam) + (r/sig)^6)^-1 ],
+
+    which is the exact LJ at ``lam=1``, zero at ``lam=0``, and FINITE
+    at r=0 for every intermediate lam — the endpoint-singularity cure
+    every decoupling free-energy ladder needs (a linearly-scaled r^-12
+    diverges as the particle appears inside another).  Pairs entirely
+    within the environment, and pairs entirely within the alchemical
+    set (intramolecular), stay full LJ, independent of lam.
+
+    ``alchemical``: static (n,) bool mask of the atoms being decoupled.
+    Returns ``energy(x, lam)`` — two-argument so both samplers
+    (``functools.partial(energy, lam=l)``) and exact thermodynamic
+    integration (``jax.grad(energy, argnums=1)`` = dU/dlam) come for
+    free.  sigma/epsilon: scalar, per-atom (Lorentz-Berthelot) or
+    (n, n), as in :func:`lennard_jones`.
+    """
+    sigma = jnp.asarray(sigma, jnp.float32)
+    epsilon = jnp.asarray(epsilon, jnp.float32)
+    if sigma.ndim == 1:
+        sigma = 0.5 * (sigma[:, None] + sigma[None, :])
+    if epsilon.ndim == 1:
+        epsilon = jnp.sqrt(epsilon[:, None] * epsilon[None, :])
+    alch = np.asarray(alchemical, bool)
+    box_arr = None if box is None else jnp.asarray(box, jnp.float32)
+    # Pair classes (static): scaled = exactly one endpoint alchemical.
+    scaled_np = alch[:, None] ^ alch[None, :]
+
+    def energy(x: Array, lam) -> Array:
+        n = x.shape[-2]
+        if alch.shape != (n,):
+            raise ValueError(f"alchemical must be ({n},); got {alch.shape}")
+        lam = jnp.asarray(lam, x.dtype)
+        pair_mask = np.triu(np.ones((n, n), bool), k=1)
+        if exclude is not None:
+            pair_mask &= ~np.asarray(exclude, bool)
+        full_mask = jnp.asarray(pair_mask & ~scaled_np)
+        soft_mask = jnp.asarray(pair_mask & scaled_np)
+
+        d = x[..., :, None, :] - x[..., None, :, :]
+        if box_arr is not None:
+            d = d - box_arr * jnp.round(d / box_arr)
+        r2 = jnp.sum(d * d, axis=-1)
+
+        # Full-LJ pairs: same linear-core guard as lennard_jones.
+        r2f = jnp.where(full_mask, r2, 1.0)
+        r = jnp.sqrt(jnp.maximum(r2f, _EPS))
+        rc = 0.3 * sigma
+        r_eff = jnp.maximum(r, rc)
+        sr6 = (sigma / r_eff) ** 6
+        u_full = 4.0 * epsilon * (sr6 * sr6 - sr6)
+        src6 = (sigma / rc) ** 6
+        slope = 24.0 * epsilon / rc * (src6 - 2.0 * src6 * src6)
+        u_full = u_full + jnp.where(r < rc, slope * (r - rc), 0.0)
+
+        # Soft-core pairs: finite at r=0 by construction for lam < 1;
+        # the tiny floor only guards the exact-overlap lam=1 corner.
+        r6s = (jnp.where(soft_mask, r2, 1.0) / sigma ** 2) ** 3
+        den = jnp.maximum(alpha * (1.0 - lam) + r6s, 1e-12)
+        u_soft = 4.0 * epsilon * lam * (1.0 / den ** 2 - 1.0 / den)
+
+        return (jnp.sum(jnp.where(full_mask, u_full, 0.0), axis=(-2, -1))
+                + jnp.sum(jnp.where(soft_mask, u_soft, 0.0),
+                          axis=(-2, -1)))
 
     return energy
 
