@@ -354,3 +354,60 @@ class TestSoftCore:
         # Alchemical atom far away: energy is the env pair at every lam.
         vals = [float(u(x, l)) for l in (0.0, 0.3, 0.7, 1.0)]
         np.testing.assert_allclose(vals, vals[0], atol=1e-4)
+
+
+class TestCellList:
+
+    def _dense_and_cell(self, cutoff=2.5, box=(10.0, 10.0, 10.0),
+                        capacity=24):
+        dense = lennard_jones(sigma=1.0, epsilon=1.0, box=list(box),
+                              cutoff=cutoff)
+        from vaemolsim_tpu.potentials import lennard_jones_cell
+        cell = lennard_jones_cell(sigma=1.0, epsilon=1.0, box=list(box),
+                                  cutoff=cutoff, capacity=capacity)
+        return dense, cell
+
+    def test_matches_dense_energy_and_forces(self):
+        dense, cell = self._dense_and_cell()
+        x = jax.random.uniform(jax.random.PRNGKey(0), (200, 3)) * 10.0
+        e_d, e_c = float(dense(x)), float(cell(x))
+        np.testing.assert_allclose(e_c, e_d, rtol=1e-5)
+        g_d = np.asarray(jax.grad(lambda x: dense(x))(x))
+        g_c = np.asarray(jax.grad(lambda x: cell(x))(x))
+        np.testing.assert_allclose(g_c, g_d, rtol=1e-4, atol=1e-5)
+
+    def test_matches_dense_batched_and_out_of_box_coords(self):
+        dense, cell = self._dense_and_cell()
+        # Coordinates far outside the box (unwrapped MD output).
+        x = (jax.random.uniform(jax.random.PRNGKey(1), (4, 150, 3))
+             * 10.0 + 37.0)
+        np.testing.assert_allclose(np.asarray(jax.jit(cell)(x)),
+                                   np.asarray(dense(x)), rtol=1e-5)
+
+    def test_overflow_returns_nan(self):
+        from vaemolsim_tpu.potentials import lennard_jones_cell
+        cell = lennard_jones_cell(box=[10.0] * 3, cutoff=2.5, capacity=2)
+        x = jnp.ones((8, 3))  # 8 atoms in one cell > capacity 2
+        assert np.isnan(float(cell(x)))
+
+    def test_small_box_rejected(self):
+        from vaemolsim_tpu.potentials import lennard_jones_cell
+        with pytest.raises(ValueError, match="3 per dimension"):
+            lennard_jones_cell(box=[5.0, 5.0, 5.0], cutoff=2.5)
+
+    def test_md_energy_conservation_cell_backend(self):
+        """NVE through the cell-list force path conserves energy (the
+        sort/gather graph is differentiated — this pins its vjp)."""
+        from vaemolsim_tpu.md import kinetic_energy, velocity_verlet
+        from vaemolsim_tpu.potentials import lennard_jones_cell
+
+        cell = lennard_jones_cell(box=[9.0] * 3, cutoff=2.5)
+        # Loose lattice, thermal kick.
+        g = jnp.stack(jnp.meshgrid(*[jnp.arange(4.0)] * 3,
+                                   indexing="ij"), -1).reshape(-1, 3) * 2.2
+        v0 = 0.2 * jax.random.normal(jax.random.PRNGKey(2), g.shape)
+        e0 = float(cell(g) + kinetic_energy(v0))
+        st, _ = jax.jit(lambda x, v: velocity_verlet(
+            cell, x, v, dt=0.002, n_steps=500))(g, v0)
+        e1 = float(cell(st.x) + kinetic_energy(st.v))
+        np.testing.assert_allclose(e1, e0, rtol=5e-3)
