@@ -39,3 +39,9 @@ from vaemolsim_tpu.mcmc.moves import (  # noqa: F401
     mix_moves,
     tune_scale,
 )
+from vaemolsim_tpu.mcmc.npt import (  # noqa: F401
+    NPTState,
+    make_npt_step,
+    npt_init,
+    run_npt,
+)

@@ -20,7 +20,7 @@ Array = jax.Array
 
 __all__ = ["radius_of_gyration", "pair_distance_histogram",
            "radial_distribution", "mean_squared_displacement",
-           "velocity_autocorrelation"]
+           "velocity_autocorrelation", "virial_pressure"]
 
 
 def radius_of_gyration(x: Array) -> Array:
@@ -120,3 +120,43 @@ def velocity_autocorrelation(vtraj: Array, normalize: bool = True) -> Array:
     if normalize:
         c = c / jnp.maximum(c[0], 1e-30)
     return c
+
+
+def virial_pressure(potential_for_box, x: Array, *, box,
+                    kt: float = 1.0) -> Array:
+    """Instantaneous virial pressure of a periodic configuration,
+
+        ``P = (N kT - (1/d) dU(s x; s L)/ds |_{s=1}) / V``,
+
+    the scaled-coordinate form of the pair virial: one ``jax.jvp``
+    through a uniform dilation of coordinates AND box equals
+    ``sum_{i<j} r_ij . f_ij / d`` for any minimum-image pair potential
+    — no second force loop, and it stays exact for whatever composite
+    the user assembled (the standard NPT estimator; see Frenkel &
+    Smit ch. 5).
+
+    ``potential_for_box``: callable ``box_array -> energy_fn`` built
+    from the :mod:`vaemolsim_tpu.potentials` periodic factories, whose
+    ``box`` argument accepts traced arrays, e.g.
+    ``lambda b: potentials.lennard_jones(box=b, cutoff=2.5)``.  Use the
+    dense forms here — :func:`~vaemolsim_tpu.potentials.lennard_jones_cell`
+    bakes its cell grid at trace time and cannot be dilated.  Keep the
+    potential's ``shift=True`` (default): bare truncation adds an
+    impulsive pressure term at the cutoff that this estimator (like any
+    derivative-based one) cannot see.
+
+    ``x``: ``(..., n_atoms, dim)`` (leading axes batch); ``box``:
+    ``(dim,)`` edge lengths shared by the batch (vmap for per-sample
+    boxes).  Returns pressure of shape ``(...,)`` in reduced units.
+    """
+    x = jnp.asarray(x)
+    box_j = jnp.asarray(box, x.dtype)
+    n, dim = x.shape[-2], x.shape[-1]
+    vol = jnp.prod(box_j)
+
+    def scaled_energy(s):
+        return potential_for_box(s * box_j)(s * x)
+
+    one = jnp.ones((), x.dtype)
+    _, du_ds = jax.jvp(scaled_energy, (one,), (one,))
+    return (n * kt - du_ds / dim) / vol
