@@ -22,7 +22,9 @@ PAGES = [
     ("index.md", "Overview"),
     ("getting_started.md", "Getting started"),
     ("distributed.md", "Distributed execution"),
+    ("molecular.md", "Molecular simulation"),
     ("performance.md", "Performance"),
+    ("attention_equivalence.md", "Attention equivalence study"),
     ("api.md", "API reference"),
     ("migrating_from_vaemolsim.md", "Migrating from vaemolsim"),
 ]
