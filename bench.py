@@ -435,6 +435,51 @@ def bench_molecular_hmc(jax, jnp, n_chains=8192, n_atoms=7, n_steps=200,
             "times": times, "acceptance": acc, "tuned_eps": round(eps, 4)}
 
 
+def bench_cell_list_md(jax, jnp, n_atoms=8192, n_steps=200, rho=0.8,
+                       cutoff=2.5, capacity=64):
+    """Large-system MD throughput through the O(N) cell-list LJ path
+    (the dense N^2 form's (N, N, 3) tensor is ~0.8 GB at this N): BAOAB
+    Langevin on a bulk LJ liquid at reduced density ``rho``.  Rate is
+    atom-steps/sec.  A NaN energy here means a cell overflowed capacity
+    (the loud-failure contract) — asserted against."""
+    import numpy as np
+
+    from vaemolsim_tpu.md import baoab, kinetic_energy
+    from vaemolsim_tpu.potentials import lennard_jones_cell
+
+    L = float((n_atoms / rho) ** (1.0 / 3.0))
+    pot = lennard_jones_cell(box=[L] * 3, cutoff=cutoff, capacity=capacity)
+    # Simple-cubic seed lattice, then a short Langevin equilibration.
+    m = int(np.ceil(n_atoms ** (1.0 / 3.0)))
+    g = np.stack(np.meshgrid(*[np.arange(m)] * 3, indexing="ij"),
+                 -1).reshape(-1, 3)[:n_atoms] * (L / m)
+    x0 = jnp.asarray(g, jnp.float32)
+    v0 = jnp.sqrt(1.0) * jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+
+    run = jax.jit(lambda x, v, k: baoab(pot, x, v, k, dt=0.004,
+                                        friction=1.0, kT=1.0,
+                                        n_steps=n_steps)[0])
+    st = run(x0, v0, jax.random.PRNGKey(1))          # equilibrate+compile
+    jax.block_until_ready(st.x)
+
+    def rep():
+        out = run(st.x, st.v, jax.random.PRNGKey(2))
+        jax.block_until_ready(out.x)
+        return out
+
+    best, median, times = _time_reps(rep)
+    out = rep()
+    e = float(pot(out.x))
+    ke = float(kinetic_energy(out.v))
+    assert np.isfinite(e), "cell-list overflow or blow-up (NaN energy)"
+    assert np.isfinite(ke) and ke > 0.0
+    steps = n_atoms * n_steps
+    return {"rate": steps / best, "median_rate": steps / median,
+            "times": times, "n_atoms": n_atoms, "box": round(L, 3),
+            "final_u_per_atom": round(e / n_atoms, 4),
+            "final_kt": round(2.0 * ke / (3.0 * n_atoms), 4)}
+
+
 def bench_pallas_backends(jax, jnp):
     """Compile-and-golden-check the TPU-only Pallas paths so Mosaic/jax
     upgrades can't rot them silently (they are kept as measured-slower
@@ -704,6 +749,20 @@ def main():
         })
     except Exception as e:
         extras.append({"metric": "molecular_hmc_potential_grads_per_sec",
+                       "error": repr(e)})
+    try:
+        md = bench_cell_list_md(jax, jnp)
+        extras.append({
+            "metric": "cell_list_md_atom_steps_per_sec",
+            "value": round(md["rate"], 1),
+            "unit": f"atom-steps/sec (BAOAB, {md['n_atoms']} atoms, "
+                    "rho 0.8, cutoff 2.5 — O(N) cell-list LJ path)",
+            "median": round(md["median_rate"], 1),
+            "final_u_per_atom": md["final_u_per_atom"],
+            "final_kt": md["final_kt"],
+        })
+    except Exception as e:
+        extras.append({"metric": "cell_list_md_atom_steps_per_sec",
                        "error": repr(e)})
     try:
         stats = bench_statistics(jax, jnp)

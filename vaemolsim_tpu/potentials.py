@@ -235,6 +235,13 @@ def lennard_jones_cell(sigma: float = 1.0, epsilon: float = 1.0, *,
     size ``capacity`` to ~3x the mean atoms/cell
     (``N * cutoff^3 / V``).  Scalar sigma/epsilon only (one species —
     the bulk-fluid case this path exists for).
+
+    Forces come from an analytic ``custom_vjp`` (row-local pair sum —
+    pure gathers, no scatter; pinned against the dense form's AD
+    gradient by test).  First-order reverse-mode only: ``jax.grad``/
+    ``jax.vjp`` (MD, MALA, HMC) work; forward-mode (``jax.jvp``, e.g.
+    :func:`~vaemolsim_tpu.observables.virial_pressure` dilations) and
+    higher-order derivatives need the dense :func:`lennard_jones`.
     """
     box_np = np.asarray(box, np.float64)
     n_grid = np.maximum(np.floor(box_np / cutoff).astype(np.int64), 1)
@@ -254,7 +261,14 @@ def lennard_jones_cell(sigma: float = 1.0, epsilon: float = 1.0, *,
     sigma = float(sigma)
     epsilon = float(epsilon)
 
-    def single(x: Array) -> Array:
+    rcore = 0.3 * sigma
+    src6 = (sigma / rcore) ** 6
+    slope = 24.0 * epsilon / rcore * (src6 - 2.0 * src6 * src6)
+
+    def _neighbors(x):
+        """Cell table -> per-atom candidate lists: wrapped coords,
+        ``cand`` (N, 27*capacity) candidate indices (n = invalid slot),
+        validity mask, and the capacity-overflow flag."""
         n = x.shape[0]
         xw = x - box_j * jnp.floor(x / box_j)            # wrap into box
         c3 = jnp.clip((xw / jnp.asarray(cell_size, x.dtype)).astype(
@@ -277,26 +291,68 @@ def lennard_jones_cell(sigma: float = 1.0, epsilon: float = 1.0, *,
         nb_cid = nb3 @ jnp.asarray(strides, jnp.int32)
         cand = cell_atoms[nb_cid].reshape(n, 27 * capacity)
         mask = (cand < n) & (cand != jnp.arange(n)[:, None])
+        return xw, cell_atoms, nb_cid, mask, overflow
 
-        xc = xw[jnp.clip(cand, 0, n - 1)]                # (N, K, 3)
+    def _pairs(xw, cell_atoms, nb_cid, mask):
+        """Min-image displacements/distances to each candidate, with the
+        cutoff folded into the mask (masked pairs get r = 1).
+
+        Candidate positions come from a TWO-STAGE gather — atoms into
+        per-cell blocks (n_cells*capacity rows), then whole (capacity,
+        3) blocks per neighbor cell — because a flat per-candidate row
+        gather moves 12-byte rows and runs ~180x slower on TPU
+        (measured 37.8 ms vs 0.03 ms at N=8192, capacity=64)."""
+        n = xw.shape[0]
+        cell_x = xw[jnp.clip(cell_atoms, 0, n - 1)]      # (n_cells, C, 3)
+        xc = cell_x[nb_cid].reshape(n, -1, 3)            # (N, K, 3)
         d = xw[:, None, :] - xc
         d = d - box_j * jnp.round(d / box_j)
         r2 = jnp.sum(d * d, axis=-1)
         mask = mask & (r2 < rc2)
         r = jnp.sqrt(jnp.maximum(jnp.where(mask, r2, 1.0), _EPS))
-        rcore = 0.3 * sigma
+        return d, r, mask
+
+    def _single_impl(x):
+        xw, cell_atoms, nb_cid, mask, overflow = _neighbors(x)
+        _, r, mask = _pairs(xw, cell_atoms, nb_cid, mask)
         r_eff = jnp.maximum(r, rcore)
         sr6 = (sigma / r_eff) ** 6
         u = 4.0 * epsilon * (sr6 * sr6 - sr6)
-        src6 = (sigma / rcore) ** 6
-        slope = 24.0 * epsilon / rcore * (src6 - 2.0 * src6 * src6)
         u = u + jnp.where(r < rcore, slope * (r - rcore), 0.0)
         if shift:
             sc6 = (sigma / cutoff) ** 6
             u = u - 4.0 * epsilon * (sc6 * sc6 - sc6)
         # Each pair appears from both sides: halve.
         e = 0.5 * jnp.sum(jnp.where(mask, u, 0.0))
-        return jnp.where(overflow, jnp.nan, e)
+        return (jnp.where(overflow, jnp.nan, e),
+                (xw, cell_atoms, nb_cid, mask, overflow))
+
+    # Analytic reverse rule: AD through the gather graph would turn the
+    # force into one giant scatter-add over N*27*capacity contributions
+    # (measured ~100x slower than the forward on TPU); the row-local
+    # pair force dE/dx_i = sum_j u'(r_ij) d_ij / r_ij needs only the
+    # SAME gathers as the energy (each pair's two half-contributions
+    # land in its two rows).  First-order reverse-mode only — the MD/
+    # MALA/HMC force path; forward-mode AD (jvp) is unsupported here,
+    # so use the dense form for virial_pressure-style dilations.
+    @jax.custom_vjp
+    def single(x: Array) -> Array:
+        return _single_impl(x)[0]
+
+    def _single_fwd(x):
+        return _single_impl(x)
+
+    def _single_bwd(res, ct):
+        xw, cell_atoms, nb_cid, mask, overflow = res
+        d, r, mask = _pairs(xw, cell_atoms, nb_cid, mask)
+        sr6 = (sigma / r) ** 6
+        dudr = 24.0 * epsilon / r * (sr6 - 2.0 * sr6 * sr6)
+        dudr = jnp.where(r < rcore, slope, dudr)
+        dudr = jnp.where(mask, dudr, 0.0)
+        grad = jnp.sum((dudr / r)[..., None] * d, axis=1)
+        return (jnp.where(overflow, jnp.nan, ct) * grad,)
+
+    single.defvjp(_single_fwd, _single_bwd)
 
     def energy(x: Array) -> Array:
         x = jnp.asarray(x)
