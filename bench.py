@@ -436,29 +436,36 @@ def bench_molecular_hmc(jax, jnp, n_chains=8192, n_atoms=7, n_steps=200,
 
 
 def bench_cell_list_md(jax, jnp, n_atoms=8192, n_steps=200, rho=0.8,
-                       cutoff=2.5, capacity=64):
+                       cutoff=2.5, skin=0.4, capacity=48,
+                       rebuild_every=5, backend="pallas"):
     """Large-system MD throughput through the O(N) cell-list LJ path
     (the dense N^2 form's (N, N, 3) tensor is ~0.8 GB at this N): BAOAB
-    Langevin on a bulk LJ liquid at reduced density ``rho``.  Rate is
-    atom-steps/sec.  A NaN energy here means a cell overflowed capacity
-    (the loud-failure contract) — asserted against."""
+    Langevin on a bulk LJ liquid at reduced density ``rho``, with the
+    skin/Verlet neighbor list rebuilt every ``rebuild_every`` steps and
+    forces from the fused Pallas cell-pair kernel (the measured-fastest
+    configuration; docs/performance.md has the study: pallas 7.6M vs
+    xla 1.6M atom-steps/s at these settings).  Rate is atom-steps/sec.
+    A NaN here means a cell overflowed capacity or an atom outran the
+    skin (the loud-failure contract) — asserted against."""
     import numpy as np
 
-    from vaemolsim_tpu.md import baoab, kinetic_energy
-    from vaemolsim_tpu.potentials import lennard_jones_cell
+    from vaemolsim_tpu.md import baoab_neighbor, kinetic_energy
+    from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
 
     L = float((n_atoms / rho) ** (1.0 / 3.0))
-    pot = lennard_jones_cell(box=[L] * 3, cutoff=cutoff, capacity=capacity)
+    build, energy = lennard_jones_cell_neighbor(
+        box=[L] * 3, cutoff=cutoff, skin=skin, capacity=capacity,
+        backend=backend)
     # Simple-cubic seed lattice, then a short Langevin equilibration.
     m = int(np.ceil(n_atoms ** (1.0 / 3.0)))
     g = np.stack(np.meshgrid(*[np.arange(m)] * 3, indexing="ij"),
                  -1).reshape(-1, 3)[:n_atoms] * (L / m)
     x0 = jnp.asarray(g, jnp.float32)
-    v0 = jnp.sqrt(1.0) * jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+    v0 = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
 
-    run = jax.jit(lambda x, v, k: baoab(pot, x, v, k, dt=0.004,
-                                        friction=1.0, kT=1.0,
-                                        n_steps=n_steps)[0])
+    run = jax.jit(lambda x, v, k: baoab_neighbor(
+        build, energy, x, v, k, dt=0.004, friction=1.0, kT=1.0,
+        n_steps=n_steps, rebuild_every=rebuild_every)[0])
     st = run(x0, v0, jax.random.PRNGKey(1))          # equilibrate+compile
     jax.block_until_ready(st.x)
 
@@ -469,13 +476,15 @@ def bench_cell_list_md(jax, jnp, n_atoms=8192, n_steps=200, rho=0.8,
 
     best, median, times = _time_reps(rep)
     out = rep()
-    e = float(pot(out.x))
+    e = float(energy(build(out.x), out.x))
     ke = float(kinetic_energy(out.v))
-    assert np.isfinite(e), "cell-list overflow or blow-up (NaN energy)"
+    assert np.isfinite(e), ("cell overflow, skin outrun, or blow-up "
+                            "(NaN energy)")
     assert np.isfinite(ke) and ke > 0.0
     steps = n_atoms * n_steps
     return {"rate": steps / best, "median_rate": steps / median,
             "times": times, "n_atoms": n_atoms, "box": round(L, 3),
+            "backend": backend, "rebuild_every": rebuild_every,
             "final_u_per_atom": round(e / n_atoms, 4),
             "final_kt": round(2.0 * ke / (3.0 * n_atoms), 4)}
 
@@ -622,6 +631,32 @@ def _pallas_checks(jax, jnp, out):
         out["mcmc_fused_ok"] = False
         out["mcmc_fused_error"] = repr(e)[:300]
         ok = False
+
+    # 4. cell-pair LJ kernel vs the XLA cell path (compiled).
+    try:
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        L = 12.0
+        build, e_x = lennard_jones_cell_neighbor(
+            box=[L] * 3, cutoff=2.5, skin=0.4, capacity=32)
+        _, e_p = lennard_jones_cell_neighbor(
+            box=[L] * 3, cutoff=2.5, skin=0.4, capacity=32,
+            backend="pallas")
+        x = jax.random.uniform(jax.random.PRNGKey(7), (512, 3)) * L
+        nl = build(x)
+        ex_v, gx = jax.jit(jax.value_and_grad(e_x, argnums=1))(nl, x)
+        ep_v, gp = jax.jit(jax.value_and_grad(e_p, argnums=1))(nl, x)
+        e_err = float(jnp.abs(ep_v - ex_v) / jnp.maximum(jnp.abs(ex_v), 1.0))
+        g_err = float(jnp.max(jnp.abs(gp - gx)
+                              / (1.0 + jnp.abs(gx))))
+        out["cell_lj_energy_relerr"] = round(e_err, 9)
+        out["cell_lj_grad_maxrelerr"] = round(g_err, 7)
+        out["cell_lj_ok"] = bool(e_err < 1e-5 and g_err < 1e-3
+                                 and np.isfinite(float(ep_v)))
+        ok &= out["cell_lj_ok"]
+    except Exception as e:
+        out["cell_lj_ok"] = False
+        out["cell_lj_error"] = repr(e)[:300]
+        ok = False
     return out, ok
 
 
@@ -756,8 +791,10 @@ def main():
             "metric": "cell_list_md_atom_steps_per_sec",
             "value": round(md["rate"], 1),
             "unit": f"atom-steps/sec (BAOAB, {md['n_atoms']} atoms, "
-                    "rho 0.8, cutoff 2.5 — O(N) cell-list LJ path)",
+                    "rho 0.8, cutoff 2.5 — skin neighbor list + fused "
+                    "Pallas cell-pair kernel)",
             "median": round(md["median_rate"], 1),
+            "backend": md["backend"],
             "final_u_per_atom": md["final_u_per_atom"],
             "final_kt": md["final_kt"],
         })

@@ -170,3 +170,59 @@ class TestCoulomb:
         st, _ = velocity_verlet(pot, x0, v0, dt=0.002, n_steps=2000)
         e1 = float(pot(st.x) + kinetic_energy(st.v))
         np.testing.assert_allclose(e1, e0, rtol=2e-3)
+
+
+class TestNeighborMD:
+    """Chunked integrators over the reusable cell neighbor list."""
+
+    def _sys(self, **kw):
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        build, energy = lennard_jones_cell_neighbor(
+            box=[9.0] * 3, cutoff=2.5, skin=0.5, capacity=32, **kw)
+        g = jnp.stack(jnp.meshgrid(*[jnp.arange(4.0)] * 3,
+                                   indexing="ij"), -1).reshape(-1, 3) * 2.2
+        v0 = 0.2 * jax.random.normal(jax.random.PRNGKey(2), g.shape)
+        return build, energy, g, v0
+
+    def test_nve_conserves_energy(self):
+        from vaemolsim_tpu.md import velocity_verlet_neighbor
+        build, energy, x0, v0 = self._sys()
+        e0 = float(energy(build(x0), x0) + kinetic_energy(v0))
+        st, _ = jax.jit(lambda x, v: velocity_verlet_neighbor(
+            build, energy, x, v, dt=0.002, n_steps=400,
+            rebuild_every=10))(x0, v0)
+        e1 = float(energy(build(st.x), st.x) + kinetic_energy(st.v))
+        np.testing.assert_allclose(e1, e0, rtol=5e-3)
+
+    def test_nve_pallas_backend(self):
+        from vaemolsim_tpu.md import velocity_verlet_neighbor
+        build, energy, x0, v0 = self._sys(backend="pallas",
+                                          interpret=True)
+        e0 = float(energy(build(x0), x0) + kinetic_energy(v0))
+        st, _ = velocity_verlet_neighbor(build, energy, x0, v0,
+                                         dt=0.002, n_steps=50,
+                                         rebuild_every=10)
+        e1 = float(energy(build(st.x), st.x) + kinetic_energy(st.v))
+        np.testing.assert_allclose(e1, e0, rtol=5e-3)
+
+    def test_baoab_thermalizes(self):
+        from vaemolsim_tpu.md import baoab_neighbor, temperature
+        build, energy, x0, v0 = self._sys()
+        st, _ = jax.jit(lambda x, v, k: baoab_neighbor(
+            build, energy, x, v, k, dt=0.004, n_steps=600,
+            rebuild_every=10, friction=2.0, kT=0.7))(
+                x0, v0, jax.random.PRNGKey(3))
+        assert np.isfinite(np.asarray(st.x)).all()
+        assert abs(float(temperature(st.v)) - 0.7) < 0.25
+
+    def test_rebuild_every_validated(self):
+        from vaemolsim_tpu.md import (baoab_neighbor,
+                                      velocity_verlet_neighbor)
+        build, energy, x0, v0 = self._sys()
+        with pytest.raises(ValueError, match="rebuild_every"):
+            velocity_verlet_neighbor(build, energy, x0, v0, dt=0.01,
+                                     n_steps=10, rebuild_every=3)
+        with pytest.raises(ValueError, match="rebuild_every"):
+            baoab_neighbor(build, energy, x0, v0,
+                           jax.random.PRNGKey(0), dt=0.01, n_steps=10,
+                           rebuild_every=0)

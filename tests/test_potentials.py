@@ -411,3 +411,69 @@ class TestCellList:
             cell, x, v, dt=0.002, n_steps=500))(g, v0)
         e1 = float(cell(st.x) + kinetic_energy(st.v))
         np.testing.assert_allclose(e1, e0, rtol=5e-3)
+
+
+class TestCellNeighbor:
+    """Skin/Verlet neighbor-list API: (build, energy) pair, both
+    backends, against the exact dense form."""
+
+    def _dense(self, L=10.0, cutoff=2.5):
+        return lennard_jones(sigma=1.0, epsilon=1.0, box=[L] * 3,
+                             cutoff=cutoff)
+
+    def _pair(self, L=10.0, cutoff=2.5, **kw):
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        return lennard_jones_cell_neighbor(box=[L] * 3, cutoff=cutoff,
+                                           skin=0.5, capacity=32, **kw)
+
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_matches_dense_at_and_near_build(self, backend):
+        dense = self._dense()
+        kw = {"interpret": True} if backend == "pallas" else {}
+        build, energy = self._pair(backend=backend, **kw)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (180, 3)) * 10.0
+        nl = build(x)
+        np.testing.assert_allclose(float(energy(nl, x)), float(dense(x)),
+                                   rtol=1e-5)
+        # Displaced within skin/2: frozen list still exact.
+        x2 = x + 0.1 * jax.random.normal(jax.random.PRNGKey(1),
+                                         x.shape) / np.sqrt(3.0)
+        np.testing.assert_allclose(float(energy(nl, x2)),
+                                   float(dense(x2)), rtol=1e-5)
+        g_d = np.asarray(jax.grad(dense)(x2))
+        g_n = np.asarray(jax.grad(lambda y: energy(nl, y))(x2))
+        np.testing.assert_allclose(g_n, g_d, rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_drift_past_half_skin_is_nan(self, backend):
+        kw = {"interpret": True} if backend == "pallas" else {}
+        build, energy = self._pair(backend=backend, **kw)
+        x = jax.random.uniform(jax.random.PRNGKey(2), (64, 3)) * 10.0
+        nl = build(x)
+        x_far = x.at[5].add(jnp.asarray([0.6, 0.0, 0.0]))  # > skin/2
+        assert np.isnan(float(energy(nl, x_far)))
+
+    def test_backends_agree_exactly_enough(self):
+        build, e_x = self._pair()
+        _, e_p = self._pair(backend="pallas", interpret=True)
+        x = jax.random.uniform(jax.random.PRNGKey(3), (128, 3)) * 10.0
+        nl = build(x)
+        np.testing.assert_allclose(float(e_p(nl, x)), float(e_x(nl, x)),
+                                   rtol=1e-6)
+        g_x = np.asarray(jax.grad(e_x, argnums=1)(nl, x))
+        g_p = np.asarray(jax.grad(e_p, argnums=1)(nl, x))
+        np.testing.assert_allclose(g_p, g_x, rtol=1e-5, atol=1e-5)
+
+    def test_bad_backend_rejected(self):
+        with pytest.raises(ValueError, match="backend"):
+            self._pair(backend="cuda")
+
+    def test_overflow_is_nan_pallas(self):
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        build, energy = lennard_jones_cell_neighbor(
+            box=[10.0] * 3, cutoff=2.5, skin=0.0, capacity=2,
+            backend="pallas", interpret=True)
+        x = jnp.ones((8, 3)) * 5.0  # 8 atoms in one cell > capacity 2
+        nl = build(x)
+        assert bool(nl.overflow)
+        assert np.isnan(float(energy(nl, x)))

@@ -33,8 +33,9 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-__all__ = ["MDState", "velocity_verlet", "baoab", "kinetic_energy",
-           "temperature"]
+__all__ = ["MDState", "velocity_verlet", "baoab",
+           "velocity_verlet_neighbor", "baoab_neighbor",
+           "kinetic_energy", "temperature"]
 
 
 class MDState(NamedTuple):
@@ -178,4 +179,64 @@ def baoab(potential: Callable[[Array], Array],
         return one(s, k), None
 
     out, _ = jax.lax.scan(body, init, keys)
+    return out, None
+
+
+def velocity_verlet_neighbor(build, energy, x0: Array, v0: Array, *,
+                             dt: float, n_steps: int,
+                             rebuild_every: int,
+                             masses=1.0
+                             ) -> Tuple[MDState, None]:
+    """NVE velocity Verlet with an amortized neighbor list: the outer
+    scan rebuilds via ``build`` every ``rebuild_every`` steps, the
+    inner :func:`velocity_verlet` runs with the frozen list.
+
+    ``(build, energy)`` is the pair from
+    :func:`~vaemolsim_tpu.potentials.lennard_jones_cell_neighbor` (or
+    anything matching its contract); size its ``skin`` so that no atom
+    moves more than ``skin/2`` in ``rebuild_every`` steps — violations
+    surface as NaN coordinates, never silently-wrong forces.
+    """
+    if rebuild_every < 1 or n_steps % rebuild_every:
+        raise ValueError(
+            f"rebuild_every={rebuild_every} must be >= 1 and divide "
+            f"n_steps={n_steps}")
+
+    def chunk(s: MDState, _):
+        nl = build(s.x)
+        out, _ = velocity_verlet(lambda x: energy(nl, x), s.x, s.v,
+                                 dt=dt, n_steps=rebuild_every,
+                                 masses=masses)
+        return out, None
+
+    init = MDState(x=jnp.asarray(x0), v=jnp.asarray(v0),
+                   force=jnp.zeros_like(jnp.asarray(x0)))
+    out, _ = jax.lax.scan(chunk, init, None,
+                          length=n_steps // rebuild_every)
+    return out, None
+
+
+def baoab_neighbor(build, energy, x0: Array, v0: Array, key: Array, *,
+                   dt: float, n_steps: int, rebuild_every: int,
+                   friction: float = 1.0, kT: float = 1.0,
+                   masses=1.0) -> Tuple[MDState, None]:
+    """Langevin NVT :func:`baoab` with an amortized neighbor list (see
+    :func:`velocity_verlet_neighbor` for the contract)."""
+    if rebuild_every < 1 or n_steps % rebuild_every:
+        raise ValueError(
+            f"rebuild_every={rebuild_every} must be >= 1 and divide "
+            f"n_steps={n_steps}")
+
+    def chunk(carry, k):
+        s = carry
+        nl = build(s.x)
+        out, _ = baoab(lambda x: energy(nl, x), s.x, s.v, k, dt=dt,
+                       n_steps=rebuild_every, friction=friction, kT=kT,
+                       masses=masses)
+        return out, None
+
+    init = MDState(x=jnp.asarray(x0), v=jnp.asarray(v0),
+                   force=jnp.zeros_like(jnp.asarray(x0)))
+    keys = jax.random.split(key, n_steps // rebuild_every)
+    out, _ = jax.lax.scan(chunk, init, keys)
     return out, None

@@ -1,0 +1,155 @@
+"""Fused Pallas TPU kernel for cell-list Lennard-Jones energy + force.
+
+The winning kernel of the molecular stack (unlike the MAF/proposal
+fusions, which XLA beat — see docs/performance.md): the XLA cell-list
+force path materializes ~0.5 GB of (N, 27*capacity) pair tensors in
+HBM per evaluation, while the whole working set (positions ~100 KB,
+cell tables ~1 MB) fits in VMEM.  This kernel computes, per grid step
+(= one cell), the (capacity, 27*capacity) pair interactions of the
+cell's atoms against its 27 pre-gathered neighbor blocks and emits the
+per-cell energy AND per-atom force in one VMEM pass — pair tensors
+never touch HBM.
+
+Measured on TPU v5e (N=8192, rho=0.8, cutoff 2.5, capacity 48), real
+velocity-Verlet chains: 9.75M atom-steps/s vs 1.76M for the XLA path
+(5.5x); force evaluation ~0.7 ms vs ~4 ms.
+
+Design notes:
+- Neighbor-cell positions are PRE-GATHERED outside the kernel into
+  ``(n_cells, 3, 27*capacity)`` blocks (a block gather XLA does well),
+  so the kernel needs no dynamic gathers.  Min-image wrapping happens
+  IN the kernel (one round per axis against the static box) — a static
+  per-(cell, neighbor) image shift is NOT sufficient, because an atom
+  that wraps across a box face between build and evaluation would
+  invalidate it (caught by test: dropped pairs, wrong forces).
+- Transposed ``(3, capacity)`` layouts keep the per-axis pair
+  differences as (capacity, 27*capacity) VPU ops (center coordinates
+  broadcast from sublanes, neighbors from lanes).
+- Transcendental-light math: one reciprocal + one rsqrt per pair
+  (``w = du/dr / r = 24 eps ir2 (ir6 - 2 ir6^2)`` needs no sqrt; the
+  sqrt only feeds the linear-core branch).
+- The returned force is in CELL layout ``(n_cells, 3, capacity)``;
+  the caller maps it back to atom order with the neighbor list's
+  ``atom_slot`` index (one small row gather).
+
+Used by ``potentials.lennard_jones_cell_neighbor(backend="pallas")``;
+parity with the XLA path (and transitively the dense form) is pinned
+by tests/test_potentials.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+Array = jax.Array
+
+__all__ = ["cell_pair_energy_force"]
+
+
+def _make_kernel(n_atoms: int, sigma: float, epsilon: float,
+                 cutoff: float, shift: bool, box: Tuple[float, ...]):
+    inv_box = tuple(1.0 / b for b in box)
+    rc2 = float(cutoff) * float(cutoff)
+    rcore = 0.3 * sigma
+    rcore2 = rcore * rcore
+    src6 = (sigma / rcore) ** 6
+    slope = 24.0 * epsilon / rcore * (src6 - 2.0 * src6 * src6)
+    sig2 = sigma * sigma
+    if shift:
+        sc6 = (sigma / cutoff) ** 6
+        e_shift = 4.0 * epsilon * (sc6 * sc6 - sc6)
+    else:
+        e_shift = 0.0
+
+    def kernel(cxt_ref, nxt_ref, cid_ref, nid_ref, e_ref, ft_ref):
+        cT = cxt_ref[0]                     # (3, C)
+        nT = nxt_ref[0]                     # (3, 27C)
+        ci = cid_ref[0]                     # (1, C)
+        ni = nid_ref[0]                     # (1, 27C)
+
+        ci_t = jnp.transpose(ci)            # (C, 1)
+        d0 = jnp.transpose(cT[0:1, :]) - nT[0:1, :]   # (C, 27C)
+        d1 = jnp.transpose(cT[1:2, :]) - nT[1:2, :]
+        d2 = jnp.transpose(cT[2:3, :]) - nT[2:3, :]
+        # Min image against the static box (wrap-crossing atoms make
+        # any build-time image shift stale).
+        d0 = d0 - box[0] * jnp.round(d0 * inv_box[0])
+        d1 = d1 - box[1] * jnp.round(d1 * inv_box[1])
+        d2 = d2 - box[2] * jnp.round(d2 * inv_box[2])
+        r2 = d0 * d0 + d1 * d1 + d2 * d2
+
+        mask = ((ci_t < n_atoms) & (ni < n_atoms) & (ci_t != ni)
+                & (r2 < rc2))
+        r2s = jnp.where(mask, r2, 1.0)
+        # r_eff = max(r, rcore) via the squared form: one reciprocal.
+        ir2 = sig2 / jnp.maximum(r2s, rcore2)
+        ir6 = ir2 * ir2 * ir2
+        u = 4.0 * epsilon * (ir6 * ir6 - ir6) - e_shift
+        w = 24.0 * epsilon / sig2 * ir2 * (ir6 - 2.0 * ir6 * ir6)
+        in_core = r2s < rcore2
+        rs = jax.lax.rsqrt(r2s)
+        u = u + jnp.where(in_core, slope * (r2s * rs - rcore), 0.0)
+        w = jnp.where(in_core, slope * rs, w)
+        w = jnp.where(mask, w, 0.0)
+
+        e_ref[0] = (0.5 * jnp.sum(jnp.where(mask, u, 0.0))).reshape(1, 1)
+        ft_ref[0, 0:1, :] = jnp.transpose(
+            jnp.sum(w * d0, axis=1, keepdims=True))
+        ft_ref[0, 1:2, :] = jnp.transpose(
+            jnp.sum(w * d1, axis=1, keepdims=True))
+        ft_ref[0, 2:3, :] = jnp.transpose(
+            jnp.sum(w * d2, axis=1, keepdims=True))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_atoms", "sigma", "epsilon",
+                                             "cutoff", "shift", "box",
+                                             "interpret"))
+def cell_pair_energy_force(cxt: Array, nxt: Array, cid: Array, nid: Array,
+                           *, n_atoms: int, sigma: float, epsilon: float,
+                           cutoff: float, box: Tuple[float, ...],
+                           shift: bool = True,
+                           interpret: bool = False
+                           ) -> Tuple[Array, Array]:
+    """Per-cell LJ energy and per-atom GRADIENT (dU/dx, cell layout).
+
+    Inputs (K = 27 * capacity):
+      cxt: (n_cells, 3, capacity) f32 — wrapped positions per cell;
+      nxt: (n_cells, 3, K) f32 — neighbor-cell positions (wrapped);
+      cid: (n_cells, 1, capacity) int32 — atom ids (n_atoms = padding);
+      nid: (n_cells, 1, K) int32.
+
+    Returns ``(e_cells (n_cells, 1, 1), grad_t (n_cells, 3, capacity))``
+    with every pair's half-energy in its two cells and the full row sum
+    as the gradient (see potentials.py for the derivation).
+    """
+    n_cells, _, cap = cxt.shape
+    kp = nxt.shape[-1]
+    kernel = _make_kernel(n_atoms, float(sigma), float(epsilon),
+                          float(cutoff), bool(shift),
+                          tuple(float(b) for b in box))
+    return pl.pallas_call(
+        kernel,
+        grid=(n_cells,),
+        in_specs=[
+            pl.BlockSpec((1, 3, cap), lambda c: (c, 0, 0)),
+            pl.BlockSpec((1, 3, kp), lambda c: (c, 0, 0)),
+            pl.BlockSpec((1, 1, cap), lambda c: (c, 0, 0)),
+            pl.BlockSpec((1, 1, kp), lambda c: (c, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1), lambda c: (c, 0, 0)),
+            pl.BlockSpec((1, 3, cap), lambda c: (c, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_cells, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_cells, 3, cap), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cxt, nxt, cid, nid)
