@@ -1,6 +1,6 @@
-"""Example-workflow smoke tests: ALL thirteen user-facing scripts must run
+"""Example-workflow smoke tests: ALL fourteen user-facing scripts must run
 end to end at their CI scale (the reference's four notebooks are
-executable documents — examples 01-04 are their ports, 05-13 the
+executable documents — examples 01-04 are their ports, 05-14 the
 beyond-reference workflows).  Wall-clock is compile-dominated on CPU;
 the --full scales are exercised manually / on hardware."""
 
@@ -142,3 +142,9 @@ def test_example_13_alchemical_decoupling():
     mbar = float(re.search(r"MBAR: \+?(-?[0-9.]+)", out).group(1))
     ti = float(re.search(r"TI:   \+?(-?[0-9.]+)", out).group(1))
     assert mbar > 1.0 and abs(mbar - ti) < 1.0
+
+
+@pytest.mark.slow
+def test_example_14_npt_equation_of_state():
+    out = run_example("14_npt_equation_of_state.py", timeout=900)
+    assert "virial pressures reproduce the set pressures: OK" in out
