@@ -477,3 +477,111 @@ class TestCellNeighbor:
         nl = build(x)
         assert bool(nl.overflow)
         assert np.isnan(float(energy(nl, x)))
+
+
+class TestEwald:
+    """Classic Ewald electrostatics against exactly-known lattice
+    constants (the strongest possible goldens for periodic Coulomb)."""
+
+    MADELUNG_NACL = 1.7475645946331822   # Madelung constant, NaCl
+    WIGNER_CUBIC = -2.837297479          # single charge + background
+
+    def test_nacl_madelung_constant(self):
+        from vaemolsim_tpu.potentials import ewald_coulomb
+        g = np.stack(np.meshgrid(*[np.arange(2)] * 3, indexing="ij"),
+                     -1).reshape(-1, 3).astype(np.float64)
+        qs = np.asarray([(-1.0) ** int(s.sum()) for s in g])
+        u = ewald_coulomb(qs, box=[2.0] * 3, r_cutoff=0.99,
+                          tolerance=1e-7)
+        np.testing.assert_allclose(float(u(jnp.asarray(g))),
+                                   -4.0 * self.MADELUNG_NACL, rtol=1e-6)
+
+    def test_wigner_single_charge(self):
+        from vaemolsim_tpu.potentials import ewald_coulomb
+        for L in (1.0, 2.5):
+            u = ewald_coulomb(np.asarray([1.0]), box=[L] * 3,
+                              r_cutoff=0.45 * L, tolerance=1e-7)
+            np.testing.assert_allclose(float(u(jnp.zeros((1, 3)))),
+                                       self.WIGNER_CUBIC / (2 * L),
+                                       rtol=1e-6)
+
+    def test_alpha_invariance(self):
+        from vaemolsim_tpu.potentials import ewald_coulomb
+        x = jnp.asarray(np.random.RandomState(0).uniform(0, 5, (20, 3)),
+                        jnp.float32)
+        q = np.random.RandomState(1).normal(size=20)
+        q -= q.mean()
+        es = [float(ewald_coulomb(q, box=[5.0] * 3, r_cutoff=2.4,
+                                  alpha=a, tolerance=1e-7)(x))
+              for a in (1.2, 1.6, 2.0)]
+        assert max(es) - min(es) < 1e-4 * abs(es[0])
+
+    def test_forces_match_finite_difference(self):
+        from vaemolsim_tpu.potentials import ewald_coulomb
+        x = np.random.RandomState(2).uniform(0, 5, (12, 3))
+        q = np.random.RandomState(3).normal(size=12)
+        u = ewald_coulomb(q, box=[5.0] * 3, r_cutoff=2.4, tolerance=1e-6)
+        g = np.asarray(jax.grad(u)(jnp.asarray(x, jnp.float32)))
+        h = 1e-3
+        for (i, a) in ((0, 0), (7, 2)):
+            xp, xm = x.copy(), x.copy()
+            xp[i, a] += h
+            xm[i, a] -= h
+            fd = (float(u(jnp.asarray(xp, jnp.float32)))
+                  - float(u(jnp.asarray(xm, jnp.float32)))) / (2 * h)
+            np.testing.assert_allclose(g[i, a], fd, rtol=2e-2, atol=2e-3)
+
+    def test_exclusion_removes_direct_interaction(self):
+        """MM convention: excluding (i, j) removes exactly
+        q_i q_j / r_min_image from the total."""
+        from vaemolsim_tpu.potentials import ewald_coulomb
+        x = jnp.asarray([[1.0, 1.0, 1.0], [2.2, 1.0, 1.0],
+                         [4.0, 3.5, 2.0]], jnp.float32)
+        q = np.asarray([0.7, -0.4, -0.3])
+        excl = np.zeros((3, 3), bool)
+        excl[0, 1] = excl[1, 0] = True
+        kw = dict(box=[6.0] * 3, r_cutoff=2.9, tolerance=1e-7)
+        u_plain = ewald_coulomb(q, **kw)
+        u_excl = ewald_coulomb(q, exclude=excl, **kw)
+        r01 = 1.2
+        np.testing.assert_allclose(
+            float(u_plain(x)) - float(u_excl(x)),
+            q[0] * q[1] / r01, rtol=1e-5)
+
+    def test_batched_and_jit(self):
+        from vaemolsim_tpu.potentials import ewald_coulomb
+        q = np.random.RandomState(4).normal(size=8)
+        u = jax.jit(ewald_coulomb(q, box=[4.0] * 3, r_cutoff=1.9))
+        x = jax.random.uniform(jax.random.PRNGKey(0), (5, 2, 8, 3)) * 4.0
+        out = u(x)
+        assert out.shape == (5, 2)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_traced_box_virial_pressure(self):
+        """reference_box enables NPT/virial dilations: dU/ds via jvp
+        must match finite differences of the dilated energy."""
+        from vaemolsim_tpu import observables
+        from vaemolsim_tpu.potentials import ewald_coulomb
+        q = np.random.RandomState(5).normal(size=10)
+        q -= q.mean()
+        x = jnp.asarray(np.random.RandomState(6).uniform(0, 5, (10, 3)),
+                        jnp.float32)
+        box = jnp.asarray([5.0] * 3)
+        fac = lambda b: ewald_coulomb(q, box=b, r_cutoff=2.4,
+                                      reference_box=[5.0] * 3)
+        p = float(observables.virial_pressure(fac, x, box=box))
+        h = 1e-3
+        us = lambda s: float(fac(s * box)(s * x))
+        du_fd = (us(1.0 + h) - us(1.0 - h)) / (2 * h)
+        p_fd = (10 * 1.0 - du_fd / 3.0) / 125.0
+        np.testing.assert_allclose(p, p_fd, rtol=5e-3, atol=1e-4)
+
+    def test_validation(self):
+        from vaemolsim_tpu.potentials import ewald_coulomb
+        with pytest.raises(ValueError, match="r_cutoff"):
+            ewald_coulomb(np.ones(4), box=[4.0] * 3, r_cutoff=2.5)
+        with pytest.raises(ValueError, match="charges"):
+            ewald_coulomb(np.ones((2, 2)), box=[4.0] * 3, r_cutoff=1.0)
+        u = ewald_coulomb(np.ones(2), box=[4.0] * 3, r_cutoff=1.9)
+        with pytest.raises(ValueError, match="atoms"):
+            u(jnp.zeros((3, 3)))

@@ -36,7 +36,7 @@ Array = jax.Array
 __all__ = ["harmonic_bonds", "harmonic_angles", "periodic_torsions",
            "lennard_jones", "lennard_jones_softcore",
            "lennard_jones_cell", "lennard_jones_cell_neighbor",
-           "CellNeighborList", "coulomb",
+           "CellNeighborList", "coulomb", "ewald_coulomb",
            "com_restraint", "composite", "as_log_prob",
            "exclusions_from_bonds", "minimize_energy"]
 
@@ -635,6 +635,141 @@ def coulomb(charges, *, exclude: Optional[np.ndarray] = None,
         if cutoff is not None and shift:
             u = u - qq / cutoff
         return jnp.sum(jnp.where(mask, u, 0.0), axis=(-2, -1))
+
+    return energy
+
+
+def ewald_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
+                  exclude: Optional[np.ndarray] = None,
+                  alpha: Optional[float] = None,
+                  tolerance: float = 1e-5,
+                  k_cutoff: Optional[float] = None,
+                  reference_box: Optional[Sequence[float]] = None
+                  ) -> Callable[[Array], Array]:
+    """EXACT periodic electrostatics by classic Ewald summation — the
+    accurate treatment :func:`coulomb`'s docstring defers to.  Reduced
+    units (Coulomb constant = 1), orthorhombic boxes.
+
+    TPU-native decomposition: the conditionally-convergent lattice sum
+    splits into a short-range erfc part (the same dense minimum-image
+    pair form as every other nonbonded term), a reciprocal-space sum
+    whose structure factors are ONE matmul ``phase = x @ k.T`` feeding
+    cos/sin reductions (MXU work, no FFT scatter/spread as in PME —
+    B-spline charge spreading is scatter-bound on TPU, and for the
+    N <= tens-of-thousands this library targets the O(N^1.5) classic
+    sum is both faster and exact), a self term, and charge corrections:
+
+    - excluded pairs (``exclude``, e.g. bonded 1-2/1-3) contribute
+      nothing in total: their reciprocal-space part is cancelled by an
+      explicit ``-q_i q_j erf(alpha r)/r`` term,
+    - a net-charged system gets the uniform neutralizing-background
+      term ``-pi (sum q)^2 / (2 V alpha^2)``.
+
+    ``alpha``/``k_cutoff`` default from ``tolerance`` by the standard
+    heuristics ``alpha = sqrt(-ln tol)/r_cutoff``,
+    ``k_cutoff = 2 alpha sqrt(-ln tol)``; the result is
+    alpha-independent to ~tolerance (pinned by test, along with the
+    NaCl Madelung constant and the Wigner single-charge constant).
+    ``r_cutoff`` must be < half the smallest box edge (minimum image).
+
+    The integer k-vector set is fixed at build time from
+    ``reference_box`` (default: ``box``), so ``box`` itself may be a
+    traced array — NPT volume moves and ``virial_pressure`` dilations
+    re-evaluate ``k = 2 pi n / box`` under the trace while the SET of
+    modes stays frozen (exact at the reference box; mode-set error
+    O(tolerance) for small volume changes).
+    """
+    q = jnp.asarray(charges, jnp.float32)
+    if q.ndim != 1:
+        raise ValueError(f"charges must be (n,); got {q.shape}")
+    if reference_box is None:
+        reference_box = box
+    try:
+        ref_np = np.asarray(reference_box, np.float64)
+    except Exception as e:  # traced box without a concrete reference
+        raise ValueError(
+            "ewald_coulomb needs a concrete box to build its k-vector "
+            "set; pass reference_box=<build-time box lengths> when box "
+            "is traced (NPT / virial dilations)") from e
+    if ref_np.shape != (3,):
+        raise ValueError(f"box must be 3 lengths; got {ref_np.shape}")
+    if not (r_cutoff * 2.0 <= ref_np.min()):
+        raise ValueError(
+            f"r_cutoff {r_cutoff} must be <= half the smallest box edge "
+            f"({ref_np.min() / 2}) for minimum-image validity")
+    ln_tol = float(np.sqrt(-np.log(tolerance)))
+    alpha_v = float(alpha) if alpha is not None else ln_tol / float(r_cutoff)
+    k_cut = (float(k_cutoff) if k_cutoff is not None
+             else 2.0 * alpha_v * ln_tol)
+
+    # Half-space integer mode set |2 pi n / L_ref| <= k_cut (static).
+    n_max = np.maximum(np.ceil(k_cut * ref_np / (2 * np.pi)), 1).astype(int)
+    axes = [np.arange(-m, m + 1) for m in n_max]
+    nn = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+    half = ((nn[:, 0] > 0)
+            | ((nn[:, 0] == 0) & (nn[:, 1] > 0))
+            | ((nn[:, 0] == 0) & (nn[:, 1] == 0) & (nn[:, 2] > 0)))
+    nn = nn[half]
+    k_ref = 2 * np.pi * nn / ref_np
+    nn = nn[(k_ref ** 2).sum(-1) <= k_cut * k_cut]
+    if nn.shape[0] == 0:
+        raise ValueError("empty k-vector set; increase k_cutoff/tolerance")
+    modes = jnp.asarray(nn, jnp.float32)            # (n_k, 3)
+
+    qq = q[:, None] * q[None, :]
+    excl_np = None if exclude is None else np.asarray(exclude, bool)
+    from jax.scipy.special import erf, erfc
+
+    def energy(x: Array) -> Array:
+        x = jnp.asarray(x)
+        n = x.shape[-2]
+        if n != q.shape[0]:
+            raise ValueError(f"coords have {n} atoms but charges has "
+                             f"{q.shape[0]}")
+        box_arr = jnp.asarray(box, x.dtype)
+        vol = jnp.prod(box_arr)
+        xw = x - box_arr * jnp.floor(x / box_arr)   # bounds f32 phases
+
+        # Reciprocal sum: one matmul + cos/sin reductions.
+        k = 2 * jnp.pi * modes / box_arr            # (n_k, 3)
+        k2 = jnp.sum(k * k, -1)
+        w = (4 * jnp.pi / k2) * jnp.exp(-k2 / (4 * alpha_v * alpha_v))
+        phase = xw @ k.T                            # (..., n, n_k)
+        s_cos = jnp.sum(q[:, None] * jnp.cos(phase), axis=-2)
+        s_sin = jnp.sum(q[:, None] * jnp.sin(phase), axis=-2)
+        # Half set: each +-k pair counted once, factor 2 vs the 1/2V.
+        u_recip = jnp.sum(w * (s_cos ** 2 + s_sin ** 2), axis=-1) / vol
+
+        # Short-range erfc pairs (minimum image, dense masked).
+        pair_mask = np.triu(np.ones((n, n), bool), k=1)
+        if excl_np is not None:
+            pair_mask &= ~excl_np
+        mask = jnp.asarray(pair_mask)
+        d = xw[..., :, None, :] - xw[..., None, :, :]
+        d = d - box_arr * jnp.round(d / box_arr)
+        r2 = jnp.sum(d * d, -1)
+        mask = mask & (r2 < r_cutoff * r_cutoff)
+        r = jnp.sqrt(jnp.maximum(jnp.where(mask, r2, 1.0), _EPS))
+        u_real = jnp.sum(jnp.where(mask, qq * erfc(alpha_v * r) / r, 0.0),
+                         axis=(-2, -1))
+
+        # Self energy + neutralizing background for net charge.
+        u_self = -alpha_v / jnp.sqrt(jnp.pi) * jnp.sum(q * q)
+        u_bg = -jnp.pi / (2 * vol * alpha_v * alpha_v) * jnp.sum(q) ** 2
+
+        # Excluded pairs: remove their reciprocal-space interaction.
+        if excl_np is not None:
+            em = jnp.asarray(np.triu(excl_np, k=1))
+            de = xw[..., :, None, :] - xw[..., None, :, :]
+            de = de - box_arr * jnp.round(de / box_arr)
+            re = jnp.sqrt(jnp.maximum(
+                jnp.where(em, jnp.sum(de * de, -1), 1.0), _EPS))
+            u_excl = -jnp.sum(jnp.where(em, qq * erf(alpha_v * re) / re,
+                                        0.0), axis=(-2, -1))
+        else:
+            u_excl = 0.0
+
+        return u_recip + u_real + u_self + u_bg + u_excl
 
     return energy
 
