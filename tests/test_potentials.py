@@ -585,3 +585,77 @@ class TestEwald:
         u = ewald_coulomb(np.ones(2), box=[4.0] * 3, r_cutoff=1.9)
         with pytest.raises(ValueError, match="atoms"):
             u(jnp.zeros((3, 3)))
+
+
+class TestReviewRegressions:
+    """Pinned fixes from the round-3 session code review."""
+
+    def test_skin_zero_list_reuse_is_nan(self):
+        """skin=0 + any motion must NaN (the drift guard stays live at
+        skin=0; silently-stale candidates would be silently wrong)."""
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        build, energy = lennard_jones_cell_neighbor(
+            box=[10.0] * 3, cutoff=2.5, skin=0.0, capacity=32)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (64, 3)) * 10.0
+        nl = build(x)
+        assert np.isfinite(float(energy(nl, x)))       # exact-x reuse ok
+        x2 = x + 1e-3
+        assert np.isnan(float(energy(nl, x2)))
+
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_coincident_atoms_stay_finite(self, backend):
+        """Exactly duplicated coordinates get the finite linear-core
+        energy and zero (symmetric) force on every backend."""
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        kw = {"interpret": True} if backend == "pallas" else {}
+        build, energy = lennard_jones_cell_neighbor(
+            box=[10.0] * 3, cutoff=2.5, skin=0.4, capacity=32,
+            backend=backend, **kw)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (20, 3)) * 10.0
+        x = x.at[7].set(x[3])                          # exact overlap
+        nl = build(x)
+        e = float(energy(nl, x))
+        g = np.asarray(jax.grad(energy, argnums=1)(nl, x))
+        assert np.isfinite(e)
+        assert np.isfinite(g).all()
+
+    def test_ewald_under_npt_box_convention(self):
+        """ewald_coulomb(reference_box=...) must run under mcmc.npt's
+        (..., 1, 1, 3) per-chain box convention (was a trace-time
+        matmul-shape crash)."""
+        from vaemolsim_tpu.mcmc import make_npt_step, npt_init, run_npt
+        from vaemolsim_tpu.potentials import ewald_coulomb
+        q = np.asarray([1.0, -1.0] * 4)
+        fac = lambda b: ewald_coulomb(q, box=b, r_cutoff=1.4,
+                                      reference_box=[4.0] * 3,
+                                      tolerance=1e-4)
+        x0 = jax.random.uniform(jax.random.PRNGKey(2), (6, 8, 3)) * 4.0
+        st = npt_init(fac, x0, [4.0] * 3, jax.random.PRNGKey(3))
+        step = make_npt_step(fac, pressure=0.3, dx_scale=0.1,
+                             dlnv_scale=0.04, min_box=2.9)
+        st, _ = jax.jit(lambda s: run_npt(step, s, 40))(st)
+        assert np.isfinite(np.asarray(st.energy)).all()
+        # Per-chain energies equal a per-chain recomputation.
+        e_loop = np.asarray([float(fac(b[None, None, :])(x))
+                             for x, b in zip(st.x, st.box)])
+        np.testing.assert_allclose(np.asarray(st.energy), e_loop,
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_npt_min_box_wall(self):
+        """Volume moves never cross the min_box hard wall (minimum-image
+        validity guard for truncated pair potentials)."""
+        from vaemolsim_tpu.mcmc import make_npt_step, npt_init, run_npt
+
+        def fac(b):
+            del b
+            return lambda x: jnp.zeros(x.shape[:-2], x.dtype)
+
+        x0 = jax.random.uniform(jax.random.PRNGKey(4), (32, 4, 3)) * 5.2
+        st = npt_init(fac, x0, [5.2] * 3, jax.random.PRNGKey(5))
+        # Huge pressure pushes the ideal gas toward V -> 0; the wall
+        # must stop every chain at min_box.
+        step = make_npt_step(fac, pressure=50.0, dlnv_scale=0.3,
+                             min_box=5.0)
+        st, _ = run_npt(step, st, 300)
+        assert float(jnp.min(st.box)) >= 5.0
+        assert 0.0 <= float(st.vol_acceptance_rate) < 1.0

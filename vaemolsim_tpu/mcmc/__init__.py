@@ -10,6 +10,7 @@ from vaemolsim_tpu.mcmc.engine import (  # noqa: F401
     Counter,
     MCMCState,
     apply_mh,
+    log_uniform,
     make_mcmc_step,
     run_mcmc,
     run_mcmc_checkpointed,

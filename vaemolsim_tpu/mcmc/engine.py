@@ -32,7 +32,17 @@ from flax import struct
 Array = jax.Array
 
 __all__ = ["Counter", "MCMCState", "apply_mh", "mh_propose",
-           "make_mcmc_step", "run_mcmc", "MCMC"]
+           "make_mcmc_step", "run_mcmc", "MCMC", "log_uniform"]
+
+
+def log_uniform(key: Array, shape, dtype) -> Array:
+    """The MH accept draw ``log U``, ``U ~ Uniform(1e-38, 1)`` — the
+    clamp keeps ``log`` finite in float32 so a zero draw can never
+    force-accept via ``-inf >= -inf``.  ONE implementation shared by
+    every kernel (engine, local moves, fused proposal, NPT) so the
+    clamp semantics cannot diverge."""
+    return jnp.log(jax.random.uniform(key, shape, dtype=dtype,
+                                      minval=1e-38))
 
 _COUNTER_BASE = 1 << 30
 
@@ -157,9 +167,8 @@ def mh_propose(encoder_fn: Callable[[Array], Any],
 
     l2 = log_target_fn(x2)
     log_acc = beta * (l2 - l1) + reverse_log_p - forward_log_p
-    log_u = jnp.log(jax.random.uniform(
-        k4, log_acc.shape, dtype=log_acc.dtype, minval=1e-38))
-    return x2, l2, log_acc >= log_u
+    return x2, l2, log_acc >= log_uniform(k4, log_acc.shape,
+                                          log_acc.dtype)
 
 
 def make_mcmc_step(encoder_fn: Callable[[Array], Any],

@@ -64,7 +64,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vaemolsim_tpu.mcmc.engine import MCMCState
+from vaemolsim_tpu.mcmc.engine import MCMCState, log_uniform
 
 Array = jax.Array
 
@@ -440,9 +440,8 @@ def make_fused_vae_step(vae, log_target_fn: Callable[[Array], Array],
             noise=noise, interpret=interpret)
         e2 = log_target_fn(x2)
         log_acc = (e2 - e1) + rev - fwd
-        log_u = jnp.log(jax.random.uniform(
-            k_acc, log_acc.shape, dtype=log_acc.dtype, minval=1e-38))
-        accept = log_acc >= log_u
+        accept = log_acc >= log_uniform(k_acc, log_acc.shape,
+                                        log_acc.dtype)
         return MCMCState(
             configs=jnp.where(accept[..., None], x2, x1),
             energies=jnp.where(accept, e2, e1), key=key,

@@ -15,7 +15,7 @@ from typing import Callable, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from vaemolsim_tpu.mcmc.engine import MCMCState
+from vaemolsim_tpu.mcmc.engine import MCMCState, log_uniform
 
 Array = jax.Array
 
@@ -94,9 +94,7 @@ def _scaled_trial(kind: str, log_target_fn, x1, e1, scale, key,
         log_acc = (e2 - e1) + kinetic(p1) - kinetic(p)
     else:
         raise ValueError(f"unknown move kind {kind!r}")
-    log_u = jnp.log(jax.random.uniform(k2, e1.shape, dtype=e1.dtype,
-                                       minval=1e-38))
-    accept = log_acc >= log_u
+    accept = log_acc >= log_uniform(k2, e1.shape, e1.dtype)
     return (jnp.where(accept[(..., *ev)], x2, x1),
             jnp.where(accept, e2, e1), accept)
 

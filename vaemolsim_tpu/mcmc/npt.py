@@ -40,7 +40,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from vaemolsim_tpu.mcmc.engine import Counter, _scan_unroll
+from vaemolsim_tpu.mcmc.engine import (Counter, _scan_unroll,
+                                       log_uniform)
 
 Array = jax.Array
 
@@ -103,7 +104,9 @@ def npt_init(potential_for_box, x: Array, box, key: Array) -> NPTState:
 def make_npt_step(potential_for_box: Callable[[Array], Callable],
                   *, pressure: float, beta: float = 1.0,
                   dx_scale: float = 0.1, dlnv_scale: float = 0.02,
-                  n_disp: int = 1) -> Callable[[NPTState], NPTState]:
+                  n_disp: int = 1,
+                  min_box: Optional[float] = None
+                  ) -> Callable[[NPTState], NPTState]:
     """Build one NPT sweep: ``n_disp`` all-atom displacement trials then
     one ``ln V`` volume trial, per chain.
 
@@ -111,15 +114,21 @@ def make_npt_step(potential_for_box: Callable[[Array], Callable],
     per-coordinate Gaussian displacement width; ``dlnv_scale`` the
     Gaussian width in ``ln V`` (typical targets: ~25-40 % displacement
     acceptance, ~30-50 % volume acceptance).
+
+    ``min_box``: hard wall on the smallest box edge — volume proposals
+    shrinking any edge below it are rejected outright (an infinite-
+    energy wall, a valid Boltzmann constraint).  SET THIS to
+    ``2 * cutoff`` when the potential is a truncated minimum-image
+    pair form (the dense :func:`~vaemolsim_tpu.potentials.lennard_jones`
+    etc. are silently wrong below that edge: multiple periodic images
+    of a pair fall inside the cutoff sphere but only the nearest is
+    counted).  High-pressure dense-fluid runs reach that regime.
     """
     pressure = float(pressure)
     beta = float(beta)
     if n_disp < 1:
         raise ValueError(f"n_disp must be >= 1; got {n_disp}")
-
-    def _log_u(key: Array, shape, dtype) -> Array:
-        return jnp.log(jax.random.uniform(key, shape, dtype=dtype,
-                                          minval=1e-38))
+    min_box_v = None if min_box is None else float(min_box)
 
     def step(state: NPTState) -> NPTState:
         key, k_vol = jax.random.split(state.key)
@@ -132,7 +141,7 @@ def make_npt_step(potential_for_box: Callable[[Array], Callable],
             key, k1, k2 = jax.random.split(key, 3)
             x2 = x + dx_scale * jax.random.normal(k1, x.shape, dtype)
             e2 = _energy_at(potential_for_box, x2, state.box)
-            accept = (-beta * (e2 - e)) >= _log_u(k2, e.shape, e2.dtype)
+            accept = (-beta * (e2 - e)) >= log_uniform(k2, e.shape, e2.dtype)
             x = jnp.where(accept[..., None, None], x2, x)
             e = jnp.where(accept, e2, e)
             disp_acc_n = disp_acc_n + jnp.sum(accept, dtype=jnp.int32)
@@ -149,7 +158,10 @@ def make_npt_step(potential_for_box: Callable[[Array], Callable],
         v2 = jnp.exp(ln_v2)
         log_acc = (-beta * (e2 - e) - beta * pressure * (v2 - v1)
                    + (n + 1) * (ln_v2 - ln_v1))
-        accept = log_acc >= _log_u(k4, e.shape, log_acc.dtype)
+        if min_box_v is not None:
+            log_acc = jnp.where(jnp.min(box2, axis=-1) < min_box_v,
+                                -jnp.inf, log_acc)
+        accept = log_acc >= log_uniform(k4, e.shape, log_acc.dtype)
 
         n_chains = int(e.size)
         return NPTState(

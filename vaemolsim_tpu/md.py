@@ -82,7 +82,8 @@ def velocity_verlet(potential: Callable[[Array], Array],
                     dt: float, n_steps: int,
                     masses=1.0,
                     collect_every: int = 0,
-                    unroll: int = 4
+                    unroll: int = 4,
+                    f0: Optional[Array] = None
                     ) -> Tuple[MDState, Optional[Array]]:
     """NVE velocity-Verlet integration: one force evaluation per step,
     whole trajectory as one ``lax.scan`` dispatch.
@@ -91,6 +92,10 @@ def velocity_verlet(potential: Callable[[Array], Array],
     ``collect_every``-th position as ``(n_steps//collect_every, ...)``
     (None when 0).  Symplectic: total energy oscillates but does not
     drift (pinned by test at 1e-4 relative over 2000 steps).
+
+    ``f0``: the force at ``x0`` if already known (e.g. the closing
+    force of a previous segment's ``MDState``) — skips the opening
+    force evaluation on restarts/chunked runs.
     """
     if collect_every and n_steps % collect_every != 0:
         raise ValueError("n_steps must be a multiple of collect_every")
@@ -104,7 +109,8 @@ def velocity_verlet(potential: Callable[[Array], Array],
         _, f = force(x)
         return MDState(x=x, v=v_half + 0.5 * dt * f / m, force=f)
 
-    _, f0 = force(x0)
+    if f0 is None:
+        _, f0 = force(jnp.asarray(x0))
     init = MDState(x=jnp.asarray(x0), v=jnp.asarray(v0), force=f0)
 
     if collect_every:
@@ -128,7 +134,8 @@ def baoab(potential: Callable[[Array], Array],
           dt: float, n_steps: int,
           friction: float = 1.0, kT: float = 1.0,
           masses=1.0,
-          collect_every: int = 0
+          collect_every: int = 0,
+          f0: Optional[Array] = None
           ) -> Tuple[MDState, Optional[Array]]:
     """Langevin (NVT) dynamics via the BAOAB splitting: B half-kick,
     A half-drift, O exact Ornstein-Uhlenbeck velocity refresh, A, B.
@@ -158,7 +165,8 @@ def baoab(potential: Callable[[Array], Array],
         v = v + 0.5 * dt * f / m                          # B
         return MDState(x=x, v=v, force=f)
 
-    _, f0 = force(jnp.asarray(x0))
+    if f0 is None:
+        _, f0 = force(jnp.asarray(x0))
     init = MDState(x=jnp.asarray(x0), v=jnp.asarray(v0), force=f0)
     keys = jax.random.split(key, n_steps)
 
@@ -204,13 +212,18 @@ def velocity_verlet_neighbor(build, energy, x0: Array, v0: Array, *,
 
     def chunk(s: MDState, _):
         nl = build(s.x)
+        # The carried closing force was computed at this same x (with
+        # the previous, still-valid list): reuse it — any valid list
+        # yields the identical force, and an invalid one is already NaN.
         out, _ = velocity_verlet(lambda x: energy(nl, x), s.x, s.v,
                                  dt=dt, n_steps=rebuild_every,
-                                 masses=masses)
+                                 masses=masses, f0=s.force)
         return out, None
 
-    init = MDState(x=jnp.asarray(x0), v=jnp.asarray(v0),
-                   force=jnp.zeros_like(jnp.asarray(x0)))
+    x0 = jnp.asarray(x0)
+    nl0 = build(x0)
+    _, force0 = _force_fn(lambda x: energy(nl0, x))(x0)
+    init = MDState(x=x0, v=jnp.asarray(v0), force=force0)
     out, _ = jax.lax.scan(chunk, init, None,
                           length=n_steps // rebuild_every)
     return out, None
@@ -232,11 +245,13 @@ def baoab_neighbor(build, energy, x0: Array, v0: Array, key: Array, *,
         nl = build(s.x)
         out, _ = baoab(lambda x: energy(nl, x), s.x, s.v, k, dt=dt,
                        n_steps=rebuild_every, friction=friction, kT=kT,
-                       masses=masses)
+                       masses=masses, f0=s.force)
         return out, None
 
-    init = MDState(x=jnp.asarray(x0), v=jnp.asarray(v0),
-                   force=jnp.zeros_like(jnp.asarray(x0)))
+    x0 = jnp.asarray(x0)
+    nl0 = build(x0)
+    _, force0 = _force_fn(lambda x: energy(nl0, x))(x0)
+    init = MDState(x=x0, v=jnp.asarray(v0), force=force0)
     keys = jax.random.split(key, n_steps // rebuild_every)
     out, _ = jax.lax.scan(chunk, init, keys)
     return out, None

@@ -85,7 +85,10 @@ def _make_kernel(n_atoms: int, sigma: float, epsilon: float,
 
         mask = ((ci_t < n_atoms) & (ni < n_atoms) & (ci_t != ni)
                 & (r2 < rc2))
-        r2s = jnp.where(mask, r2, 1.0)
+        # Same 1e-12 floor as the XLA paths: exactly coincident atoms
+        # must get the finite linear-core energy/force (rsqrt(0) = inf
+        # would NaN both), matching the dense form's contract.
+        r2s = jnp.maximum(jnp.where(mask, r2, 1.0), 1e-12)
         # r_eff = max(r, rcore) via the squared form: one reciprocal.
         ir2 = sig2 / jnp.maximum(r2s, rcore2)
         ir6 = ir2 * ir2 * ir2

@@ -234,8 +234,9 @@ class CellNeighborList(NamedTuple):
 
     x_ref: Array       # (n, 3) wrapped build-time positions
     cell_atoms: Array  # (n_cells, capacity) atom ids (n = empty slot)
-    nb_cid: Array      # (n, 27) neighbor-cell ids per atom
-    mask: Array        # (n, 27*capacity) valid & not-self
+    nb_cid: Array      # (n, 27) per-atom cell ids (xla; empty on pallas)
+    mask: Array        # (n, 27*capacity) valid & not-self (xla; empty
+    #                    on pallas builds — the kernel recomputes masks)
     overflow: Array    # () bool — some cell exceeded capacity
     atom_slot: Array   # (n,) flat cell*capacity+slot per atom (pallas)
 
@@ -301,7 +302,7 @@ def lennard_jones_cell_neighbor(
     cell_nb_np = ((raw % n_grid) @ strides).astype(np.int32)
     box_j = jnp.asarray(box_np, jnp.float32)
     rc2 = jnp.float32(cutoff * cutoff)
-    drift2_max = jnp.float32((skin / 2.0) ** 2) if skin else None
+    drift2_max = jnp.float32((skin / 2.0) ** 2)
     sigma = float(sigma)
     epsilon = float(epsilon)
 
@@ -332,12 +333,20 @@ def lennard_jones_cell_neighbor(
         valid = jnp.arange(capacity)[None, :] < count[:, None]
         cell_atoms = jnp.where(valid, order[jnp.clip(slot, 0, n - 1)], n)
 
-        # Neighbor cell ids per atom: (N, 27).
-        nb3 = (c3[:, None, :] + jnp.asarray(offs, jnp.int32)[None]) \
-            % jnp.asarray(n_grid, jnp.int32)
-        nb_cid = nb3 @ jnp.asarray(strides, jnp.int32)
-        cand = cell_atoms[nb_cid].reshape(n, 27 * capacity)
-        mask = (cand < n) & (cand != jnp.arange(n)[:, None])
+        if backend == "pallas":
+            # The kernel path reads only cell_atoms/x_ref/overflow/
+            # atom_slot: skip the per-atom candidate gather and the
+            # (n, 27*capacity) mask (~10 MB at N=8192) that only the
+            # XLA energy consumes.
+            nb_cid = jnp.zeros((0,), jnp.int32)
+            mask = jnp.zeros((0,), bool)
+        else:
+            # Neighbor cell ids per atom: (N, 27).
+            nb3 = (c3[:, None, :] + jnp.asarray(offs, jnp.int32)[None]) \
+                % jnp.asarray(n_grid, jnp.int32)
+            nb_cid = nb3 @ jnp.asarray(strides, jnp.int32)
+            cand = cell_atoms[nb_cid].reshape(n, 27 * capacity)
+            mask = (cand < n) & (cand != jnp.arange(n)[:, None])
         # Atom -> flat (cell*capacity + slot), in atom order: maps the
         # kernel's cell-layout forces back with one row gather.
         slot_sorted = jnp.arange(n, dtype=jnp.int32) - start[cid_sorted]
@@ -369,10 +378,10 @@ def lennard_jones_cell_neighbor(
 
     def _invalid(nl: CellNeighborList, xw):
         """Capacity overflow at build, or some atom drifted past skin/2
-        since build (skipped when skin == 0: build positions ARE the
-        eval positions in the fused path)."""
-        if drift2_max is None:
-            return nl.overflow
+        since build.  The strict ``>`` keeps the check live at skin=0
+        too (any motion invalidates a zero-skin list — reusing one
+        silently would break the loud-failure contract), while the
+        fused build-per-call path passes bitwise-exactly (drift 0)."""
         d = xw - nl.x_ref
         d = d - box_j * jnp.round(d / box_j)
         return nl.overflow | (jnp.max(jnp.sum(d * d, -1)) > drift2_max)
@@ -726,15 +735,24 @@ def ewald_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
         if n != q.shape[0]:
             raise ValueError(f"coords have {n} atoms but charges has "
                              f"{q.shape[0]}")
+        # Canonicalize the box to (..., 3) leading-batch form: NPT's
+        # factory convention passes (..., 1, 1, 3) (pair-tensor
+        # broadcast-ready); squeeze the inserted singleton axes so
+        # volumes/k-vectors align with per-chain energies.
         box_arr = jnp.asarray(box, x.dtype)
-        vol = jnp.prod(box_arr)
-        xw = x - box_arr * jnp.floor(x / box_arr)   # bounds f32 phases
+        squeeze = tuple(i for i in range(box_arr.ndim - 1)
+                        if box_arr.shape[i] == 1)
+        box_sq = jnp.squeeze(box_arr, axis=squeeze)     # (..., 3)
+        box_row = box_sq[..., None, :]                  # vs (..., n, 3)
+        box_pair = box_sq[..., None, None, :]           # vs (..., n, n, 3)
+        vol = jnp.prod(box_sq, axis=-1)
+        xw = x - box_row * jnp.floor(x / box_row)   # bounds f32 phases
 
         # Reciprocal sum: one matmul + cos/sin reductions.
-        k = 2 * jnp.pi * modes / box_arr            # (n_k, 3)
+        k = 2 * jnp.pi * modes / box_row            # (..., n_k, 3)
         k2 = jnp.sum(k * k, -1)
         w = (4 * jnp.pi / k2) * jnp.exp(-k2 / (4 * alpha_v * alpha_v))
-        phase = xw @ k.T                            # (..., n, n_k)
+        phase = jnp.einsum("...nd,...kd->...nk", xw, k)  # (..., n, n_k)
         s_cos = jnp.sum(q[:, None] * jnp.cos(phase), axis=-2)
         s_sin = jnp.sum(q[:, None] * jnp.sin(phase), axis=-2)
         # Half set: each +-k pair counted once, factor 2 vs the 1/2V.
@@ -746,7 +764,7 @@ def ewald_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
             pair_mask &= ~excl_np
         mask = jnp.asarray(pair_mask)
         d = xw[..., :, None, :] - xw[..., None, :, :]
-        d = d - box_arr * jnp.round(d / box_arr)
+        d = d - box_pair * jnp.round(d / box_pair)
         r2 = jnp.sum(d * d, -1)
         mask = mask & (r2 < r_cutoff * r_cutoff)
         r = jnp.sqrt(jnp.maximum(jnp.where(mask, r2, 1.0), _EPS))
@@ -761,7 +779,7 @@ def ewald_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
         if excl_np is not None:
             em = jnp.asarray(np.triu(excl_np, k=1))
             de = xw[..., :, None, :] - xw[..., None, :, :]
-            de = de - box_arr * jnp.round(de / box_arr)
+            de = de - box_pair * jnp.round(de / box_pair)
             re = jnp.sqrt(jnp.maximum(
                 jnp.where(em, jnp.sum(de * de, -1), 1.0), _EPS))
             u_excl = -jnp.sum(jnp.where(em, qq * erf(alpha_v * re) / re,
