@@ -659,3 +659,59 @@ class TestReviewRegressions:
         st, _ = run_npt(step, st, 300)
         assert float(jnp.min(st.box)) >= 5.0
         assert 0.0 <= float(st.vol_acceptance_rate) < 1.0
+
+
+class TestCellSpecies:
+    """Per-atom sigma/epsilon (Lorentz-Berthelot) on the cell paths,
+    against the dense form's existing per-atom support."""
+
+    def _params(self, n=120, seed=0):
+        rs = np.random.RandomState(seed)
+        sig = rs.uniform(0.8, 1.2, n)
+        eps = rs.uniform(0.5, 1.5, n)
+        return sig, eps
+
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_matches_dense_mixture(self, backend):
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        sig, eps = self._params()
+        dense = lennard_jones(sigma=sig, epsilon=eps, box=[10.0] * 3,
+                              cutoff=2.5)
+        kw = {"interpret": True} if backend == "pallas" else {}
+        build, energy = lennard_jones_cell_neighbor(
+            sig, eps, box=[10.0] * 3, cutoff=2.5, skin=0.5,
+            capacity=32, backend=backend, **kw)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (120, 3)) * 10.0
+        nl = build(x)
+        np.testing.assert_allclose(float(energy(nl, x)), float(dense(x)),
+                                   rtol=1e-5)
+        g_d = np.asarray(jax.grad(dense)(x))
+        g_n = np.asarray(jax.grad(energy, argnums=1)(nl, x))
+        np.testing.assert_allclose(g_n, g_d, rtol=1e-4, atol=1e-4)
+
+    def test_scalar_epsilon_with_per_atom_sigma(self):
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        sig, _ = self._params(n=60, seed=1)
+        dense = lennard_jones(sigma=sig, epsilon=0.7, box=[10.0] * 3,
+                              cutoff=2.5)
+        build, energy = lennard_jones_cell_neighbor(
+            sig, 0.7, box=[10.0] * 3, cutoff=2.5, skin=0.4, capacity=32)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (60, 3)) * 10.0
+        np.testing.assert_allclose(float(energy(build(x), x)),
+                                   float(dense(x)), rtol=1e-5)
+
+    def test_atom_count_mismatch_rejected(self):
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        sig, eps = self._params(n=10)
+        build, energy = lennard_jones_cell_neighbor(
+            sig, eps, box=[10.0] * 3, cutoff=2.5)
+        x = jnp.ones((12, 3))
+        nl = build(x)
+        with pytest.raises(ValueError, match="per-atom"):
+            energy(nl, x)
+
+    def test_pair_matrix_rejected(self):
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        with pytest.raises(ValueError, match="pair matrices"):
+            lennard_jones_cell_neighbor(np.ones((4, 4)), 1.0,
+                                        box=[10.0] * 3, cutoff=2.5)

@@ -25,9 +25,13 @@ Design notes:
 - Transposed ``(3, capacity)`` layouts keep the per-axis pair
   differences as (capacity, 27*capacity) VPU ops (center coordinates
   broadcast from sublanes, neighbors from lanes).
-- Transcendental-light math: one reciprocal + one rsqrt per pair
-  (``w = du/dr / r = 24 eps ir2 (ir6 - 2 ir6^2)`` needs no sqrt; the
-  sqrt only feeds the linear-core branch).
+- Transcendental-light math: one reciprocal + two rsqrt per pair
+  (``w = du/dr / r = 24 eps (ir6 - 2 ir6^2) / max(r2, rcore2)`` needs
+  no sqrt; the sqrts only feed the linear-core branch).
+- Per-atom species (Lorentz-Berthelot): sigma_ij is the arithmetic
+  mean of per-slot sigmas, eps_ij the product of per-slot sqrt(eps) —
+  mixing costs multiplies/adds only, riding the same block layout as
+  positions.
 - The returned force is in CELL layout ``(n_cells, 3, capacity)``;
   the caller maps it back to atom order with the neighbor list's
   ``atom_slot`` index (one small row gather).
@@ -40,7 +44,7 @@ by tests/test_potentials.py.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -50,23 +54,22 @@ Array = jax.Array
 
 __all__ = ["cell_pair_energy_force"]
 
+_SRC6 = (1.0 / 0.3) ** 6
+_SLOPE_F = 24.0 / 0.3 * (_SRC6 - 2.0 * _SRC6 * _SRC6)
+
 
 def _make_kernel(n_atoms: int, sigma: float, epsilon: float,
-                 cutoff: float, shift: bool, box: Tuple[float, ...]):
+                 cutoff: float, shift: bool, box: Tuple[float, ...],
+                 species: bool):
     inv_box = tuple(1.0 / b for b in box)
     rc2 = float(cutoff) * float(cutoff)
-    rcore = 0.3 * sigma
-    rcore2 = rcore * rcore
-    src6 = (sigma / rcore) ** 6
-    slope = 24.0 * epsilon / rcore * (src6 - 2.0 * src6 * src6)
-    sig2 = sigma * sigma
-    if shift:
-        sc6 = (sigma / cutoff) ** 6
-        e_shift = 4.0 * epsilon * (sc6 * sc6 - sc6)
-    else:
-        e_shift = 0.0
+    inv_cut6 = 1.0 / float(cutoff) ** 6
 
-    def kernel(cxt_ref, nxt_ref, cid_ref, nid_ref, e_ref, ft_ref):
+    def kernel(cxt_ref, nxt_ref, cid_ref, nid_ref, *refs):
+        if species:
+            csig_ref, nsig_ref, cse_ref, nse_ref, e_ref, ft_ref = refs
+        else:
+            e_ref, ft_ref = refs
         cT = cxt_ref[0]                     # (3, C)
         nT = nxt_ref[0]                     # (3, 27C)
         ci = cid_ref[0]                     # (1, C)
@@ -83,20 +86,37 @@ def _make_kernel(n_atoms: int, sigma: float, epsilon: float,
         d2 = d2 - box[2] * jnp.round(d2 * inv_box[2])
         r2 = d0 * d0 + d1 * d1 + d2 * d2
 
+        if species:
+            sg = 0.5 * (jnp.transpose(csig_ref[0]) + nsig_ref[0])
+            ep = jnp.transpose(cse_ref[0]) * nse_ref[0]   # (C, 27C)
+        else:
+            sg = sigma
+            ep = epsilon
+        sig2 = sg * sg
+
         mask = ((ci_t < n_atoms) & (ni < n_atoms) & (ci_t != ni)
                 & (r2 < rc2))
         # Same 1e-12 floor as the XLA paths: exactly coincident atoms
         # must get the finite linear-core energy/force (rsqrt(0) = inf
         # would NaN both), matching the dense form's contract.
         r2s = jnp.maximum(jnp.where(mask, r2, 1.0), 1e-12)
+        rcore2 = 0.09 * sig2
         # r_eff = max(r, rcore) via the squared form: one reciprocal.
-        ir2 = sig2 / jnp.maximum(r2s, rcore2)
+        irr = 1.0 / jnp.maximum(r2s, rcore2)
+        ir2 = sig2 * irr
         ir6 = ir2 * ir2 * ir2
-        u = 4.0 * epsilon * (ir6 * ir6 - ir6) - e_shift
-        w = 24.0 * epsilon / sig2 * ir2 * (ir6 - 2.0 * ir6 * ir6)
+        u = 4.0 * ep * (ir6 * ir6 - ir6)
+        if shift:
+            s6 = sig2 * sig2 * sig2 * inv_cut6        # (sigma/cutoff)^6
+            u = u - 4.0 * ep * (s6 * s6 - s6)
+        w = 24.0 * ep * (ir6 - 2.0 * ir6 * ir6) * irr
         in_core = r2s < rcore2
         rs = jax.lax.rsqrt(r2s)
-        u = u + jnp.where(in_core, slope * (r2s * rs - rcore), 0.0)
+        if species:
+            slope = _SLOPE_F * ep * jax.lax.rsqrt(sig2)   # /sigma_ij
+        else:
+            slope = _SLOPE_F * epsilon / sigma
+        u = u + jnp.where(in_core, slope * (r2s * rs - 0.3 * sg), 0.0)
         w = jnp.where(in_core, slope * rs, w)
         w = jnp.where(mask, w, 0.0)
 
@@ -115,6 +135,8 @@ def _make_kernel(n_atoms: int, sigma: float, epsilon: float,
                                              "cutoff", "shift", "box",
                                              "interpret"))
 def cell_pair_energy_force(cxt: Array, nxt: Array, cid: Array, nid: Array,
+                           species: Optional[Tuple[Array, Array,
+                                                   Array, Array]] = None,
                            *, n_atoms: int, sigma: float, epsilon: float,
                            cutoff: float, box: Tuple[float, ...],
                            shift: bool = True,
@@ -126,7 +148,10 @@ def cell_pair_energy_force(cxt: Array, nxt: Array, cid: Array, nid: Array,
       cxt: (n_cells, 3, capacity) f32 — wrapped positions per cell;
       nxt: (n_cells, 3, K) f32 — neighbor-cell positions (wrapped);
       cid: (n_cells, 1, capacity) int32 — atom ids (n_atoms = padding);
-      nid: (n_cells, 1, K) int32.
+      nid: (n_cells, 1, K) int32;
+      species: optional (csig, nsig, cse, nse) per-slot sigma and
+        sqrt(epsilon) blocks, shapes (n_cells, 1, capacity) /
+        (n_cells, 1, K) — overrides the scalar sigma/epsilon.
 
     Returns ``(e_cells (n_cells, 1, 1), grad_t (n_cells, 3, capacity))``
     with every pair's half-energy in its two cells and the full row sum
@@ -136,16 +161,27 @@ def cell_pair_energy_force(cxt: Array, nxt: Array, cid: Array, nid: Array,
     kp = nxt.shape[-1]
     kernel = _make_kernel(n_atoms, float(sigma), float(epsilon),
                           float(cutoff), bool(shift),
-                          tuple(float(b) for b in box))
+                          tuple(float(b) for b in box),
+                          species is not None)
+    in_specs = [
+        pl.BlockSpec((1, 3, cap), lambda c: (c, 0, 0)),
+        pl.BlockSpec((1, 3, kp), lambda c: (c, 0, 0)),
+        pl.BlockSpec((1, 1, cap), lambda c: (c, 0, 0)),
+        pl.BlockSpec((1, 1, kp), lambda c: (c, 0, 0)),
+    ]
+    args = [cxt, nxt, cid, nid]
+    if species is not None:
+        in_specs += [
+            pl.BlockSpec((1, 1, cap), lambda c: (c, 0, 0)),
+            pl.BlockSpec((1, 1, kp), lambda c: (c, 0, 0)),
+            pl.BlockSpec((1, 1, cap), lambda c: (c, 0, 0)),
+            pl.BlockSpec((1, 1, kp), lambda c: (c, 0, 0)),
+        ]
+        args += list(species)
     return pl.pallas_call(
         kernel,
         grid=(n_cells,),
-        in_specs=[
-            pl.BlockSpec((1, 3, cap), lambda c: (c, 0, 0)),
-            pl.BlockSpec((1, 3, kp), lambda c: (c, 0, 0)),
-            pl.BlockSpec((1, 1, cap), lambda c: (c, 0, 0)),
-            pl.BlockSpec((1, 1, kp), lambda c: (c, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, 1), lambda c: (c, 0, 0)),
             pl.BlockSpec((1, 3, cap), lambda c: (c, 0, 0)),
@@ -155,4 +191,4 @@ def cell_pair_energy_force(cxt: Array, nxt: Array, cid: Array, nid: Array,
             jax.ShapeDtypeStruct((n_cells, 3, cap), jnp.float32),
         ],
         interpret=interpret,
-    )(cxt, nxt, cid, nid)
+    )(*args)

@@ -264,7 +264,9 @@ def lennard_jones_cell_neighbor(
     overflowed ``capacity`` — loud, never silently wrong.
 
     Single-system shapes ``(n_atoms, 3)`` (vmap both functions for
-    replicas).  Scalar sigma/epsilon.  Forces come from an analytic
+    replicas).  ``sigma``/``epsilon``: scalars or per-atom (n,) arrays
+    (Lorentz-Berthelot mixing — multi-species fluids; (n, n) pair
+    matrices need the dense form).  Forces come from an analytic
     ``custom_vjp`` on ``energy`` (first-order reverse-mode only; see
     :func:`lennard_jones_cell`).
 
@@ -303,12 +305,54 @@ def lennard_jones_cell_neighbor(
     box_j = jnp.asarray(box_np, jnp.float32)
     rc2 = jnp.float32(cutoff * cutoff)
     drift2_max = jnp.float32((skin / 2.0) ** 2)
-    sigma = float(sigma)
-    epsilon = float(epsilon)
 
-    rcore = 0.3 * sigma
-    src6 = (sigma / rcore) ** 6
-    slope = 24.0 * epsilon / rcore * (src6 - 2.0 * src6 * src6)
+    # Scalar or per-atom (n,) sigma/epsilon (Lorentz-Berthelot mixing:
+    # arithmetic sigma, geometric epsilon — the latter as a product of
+    # per-atom sqrt(eps), so mixing costs no per-pair transcendental).
+    sigma_np = np.asarray(sigma, np.float64)
+    epsilon_np = np.asarray(epsilon, np.float64)
+    if sigma_np.ndim > 1 or epsilon_np.ndim > 1:
+        raise ValueError(
+            "cell-list LJ supports scalar or per-atom (n,) sigma/epsilon"
+            " (Lorentz-Berthelot); use the dense lennard_jones for"
+            " (n, n) pair matrices")
+    per_atom = sigma_np.ndim == 1 or epsilon_np.ndim == 1
+    if per_atom:
+        n_spec = max(sigma_np.size if sigma_np.ndim else 1,
+                     epsilon_np.size if epsilon_np.ndim else 1)
+        sig_at = jnp.asarray(np.broadcast_to(sigma_np, (n_spec,)),
+                             jnp.float32)
+        seps_at = jnp.asarray(
+            np.sqrt(np.broadcast_to(epsilon_np, (n_spec,))), jnp.float32)
+        sigma = epsilon = None
+    else:
+        n_spec = None
+        sigma = float(sigma_np)
+        epsilon = float(epsilon_np)
+
+    # Linear-core constants: rcore = 0.3 sigma_ij makes
+    # src6 = (sigma/rcore)^6 a pure number, so the per-pair slope is
+    # just _SLOPE_F * eps_ij / sigma_ij.
+    _SRC6 = (1.0 / 0.3) ** 6
+    _SLOPE_F = 24.0 / 0.3 * (_SRC6 - 2.0 * _SRC6 * _SRC6)
+
+    def _pair_params(nl, n):
+        """Per-pair (sigma_ij, eps_ij) in the XLA candidate layout, or
+        the scalar constants (broadcasting makes one math path serve
+        both).  Per-atom values ride the same two-stage gather as
+        positions."""
+        if not per_atom:
+            return sigma, epsilon
+        cells = jnp.clip(nl.cell_atoms, 0, n - 1)
+        sig_cand = sig_at[cells][nl.nb_cid].reshape(n, -1)
+        se_cand = seps_at[cells][nl.nb_cid].reshape(n, -1)
+        return (0.5 * (sig_at[:, None] + sig_cand),
+                seps_at[:, None] * se_cand)
+
+    def _check_n(n):
+        if per_atom and n != n_spec:
+            raise ValueError(f"coords have {n} atoms but per-atom "
+                             f"sigma/epsilon has {n_spec}")
 
     def _wrap(x):
         return x - box_j * jnp.floor(x / box_j)
@@ -387,15 +431,20 @@ def lennard_jones_cell_neighbor(
         return nl.overflow | (jnp.max(jnp.sum(d * d, -1)) > drift2_max)
 
     def _energy_impl(nl, x):
-        xw = _wrap(jnp.asarray(x))
+        x = jnp.asarray(x)
+        _check_n(x.shape[0])
+        xw = _wrap(x)
         _, r, mask = _pairs(nl, xw)
-        r_eff = jnp.maximum(r, rcore)
-        sr6 = (sigma / r_eff) ** 6
-        u = 4.0 * epsilon * (sr6 * sr6 - sr6)
-        u = u + jnp.where(r < rcore, slope * (r - rcore), 0.0)
+        sig_p, eps_p = _pair_params(nl, xw.shape[0])
+        rcore_p = 0.3 * sig_p
+        slope_p = _SLOPE_F * eps_p / sig_p
+        r_eff = jnp.maximum(r, rcore_p)
+        sr6 = (sig_p / r_eff) ** 6
+        u = 4.0 * eps_p * (sr6 * sr6 - sr6)
+        u = u + jnp.where(r < rcore_p, slope_p * (r - rcore_p), 0.0)
         if shift:
-            sc6 = (sigma / cutoff) ** 6
-            u = u - 4.0 * epsilon * (sc6 * sc6 - sc6)
+            sc6 = (sig_p / cutoff) ** 6
+            u = u - 4.0 * eps_p * (sc6 * sc6 - sc6)
         # Each pair appears from both sides: halve.
         e = 0.5 * jnp.sum(jnp.where(mask, u, 0.0))
         return jnp.where(_invalid(nl, xw), jnp.nan, e), xw
@@ -419,9 +468,12 @@ def lennard_jones_cell_neighbor(
     def _energy_bwd(res, ct):
         nl, xw = res
         d, r, mask = _pairs(nl, xw)
-        sr6 = (sigma / r) ** 6
-        dudr = 24.0 * epsilon / r * (sr6 - 2.0 * sr6 * sr6)
-        dudr = jnp.where(r < rcore, slope, dudr)
+        sig_p, eps_p = _pair_params(nl, xw.shape[0])
+        rcore_p = 0.3 * sig_p
+        slope_p = _SLOPE_F * eps_p / sig_p
+        sr6 = (sig_p / r) ** 6
+        dudr = 24.0 * eps_p / r * (sr6 - 2.0 * sr6 * sr6)
+        dudr = jnp.where(r < rcore_p, slope_p, dudr)
         dudr = jnp.where(mask, dudr, 0.0)
         grad = jnp.sum((dudr / r)[..., None] * d, axis=1)
         grad = jnp.where(_invalid(nl, xw), jnp.nan, ct) * grad
@@ -440,16 +492,31 @@ def lennard_jones_cell_neighbor(
     def _pallas_impl(nl, x):
         x = jnp.asarray(x)
         n = x.shape[0]
+        _check_n(n)
         xw = _wrap(x)
-        cell_x = xw[jnp.clip(nl.cell_atoms, 0, n - 1)]
+        cells = jnp.clip(nl.cell_atoms, 0, n - 1)
+        cell_x = xw[cells]
         nb_x = cell_x[cell_nb_j]
         cxt = jnp.transpose(cell_x, (0, 2, 1))
         nxt = jnp.transpose(nb_x.reshape(n_cells, 27 * capacity, 3),
                             (0, 2, 1))
         nid = nl.cell_atoms[cell_nb_j].reshape(n_cells, 1, 27 * capacity)
         cid = nl.cell_atoms.reshape(n_cells, 1, capacity)
+        if per_atom:
+            sig_cell = sig_at[cells]
+            se_cell = seps_at[cells]
+            species = (sig_cell.reshape(n_cells, 1, capacity),
+                       sig_cell[cell_nb_j].reshape(n_cells, 1,
+                                                   27 * capacity),
+                       se_cell.reshape(n_cells, 1, capacity),
+                       se_cell[cell_nb_j].reshape(n_cells, 1,
+                                                  27 * capacity))
+        else:
+            species = None
         e_cells, grad_t = cell_pair_energy_force(
-            cxt, nxt, cid, nid, n_atoms=n, sigma=sigma, epsilon=epsilon,
+            cxt, nxt, cid, nid, species=species, n_atoms=n,
+            sigma=sigma if sigma is not None else 1.0,
+            epsilon=epsilon if epsilon is not None else 1.0,
             cutoff=float(cutoff), box=tuple(float(b) for b in box_np),
             shift=shift, interpret=interpret)
         bad = _invalid(nl, xw)
@@ -497,8 +564,8 @@ def lennard_jones_cell(sigma: float = 1.0, epsilon: float = 1.0, *,
     ``capacity`` bounds atoms per cell.  If any cell overflows, the
     energy is returned as NaN (loud, composable with utils.checked) —
     size ``capacity`` to ~3x the mean atoms/cell
-    (``N * cutoff^3 / V``).  Scalar sigma/epsilon only (one species —
-    the bulk-fluid case this path exists for).
+    (``N * cutoff^3 / V``).  ``sigma``/``epsilon``: scalars or per-atom
+    (n,) arrays (Lorentz-Berthelot mixing).
 
     Forces come from an analytic ``custom_vjp`` (row-local pair sum —
     pure gathers, no scatter; pinned against the dense form's AD
