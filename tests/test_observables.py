@@ -109,3 +109,69 @@ class TestDynamics:
                                                     normalize=False))
         np.testing.assert_allclose(
             c_raw, float(jnp.mean(jnp.sum(v * v, -1))), rtol=1e-5)
+
+
+class TestStructureFactor:
+
+    def test_ideal_gas_is_one(self):
+        from vaemolsim_tpu.observables import structure_factor
+        x = jax.random.uniform(jax.random.PRNGKey(0), (64, 100, 3)) * 8.0
+        k, s = structure_factor(x, box=[8.0] * 3, k_max=6.0)
+        vals = np.asarray(s)
+        vals = vals[np.isfinite(vals)]
+        np.testing.assert_allclose(vals.mean(), 1.0, atol=0.15)
+
+    def test_crystal_bragg_peak(self):
+        """Simple-cubic lattice: S spikes to ~N at k = 2 pi / a."""
+        from vaemolsim_tpu.observables import structure_factor
+        a, m = 2.0, 4
+        g = np.stack(np.meshgrid(*[np.arange(m)] * 3, indexing="ij"),
+                     -1).reshape(-1, 3) * a
+        n = g.shape[0]
+        k, s = structure_factor(jnp.asarray(g, jnp.float32),
+                                box=[m * a] * 3, k_max=4.0, n_bins=40)
+        s = np.asarray(s)
+        k = np.asarray(k)
+        bragg = 2 * np.pi / a                    # ~3.1416
+        peak_bin = np.nanargmax(s)
+        assert abs(k[peak_bin] - bragg) < 0.2
+        assert s[peak_bin] > 0.5 * n             # near-perfect coherence
+
+    def test_validation(self):
+        from vaemolsim_tpu.observables import structure_factor
+        with pytest.raises(ValueError, match="k_max"):
+            structure_factor(jnp.zeros((4, 3)), box=[100.0] * 3,
+                             k_max=0.01)
+
+
+class TestTailCorrection:
+
+    def test_matches_numeric_integral(self):
+        from vaemolsim_tpu.potentials import lennard_jones_tail
+        import scipy.integrate as si
+        n, L, rc, sig, eps = 50, 8.0, 2.5, 1.1, 0.8
+        u = lennard_jones_tail(sig, eps, box=[L] * 3, cutoff=rc)
+        got = float(u(jnp.zeros((n, 3))))
+        integrand = lambda r: 4 * np.pi * r * r * 4 * eps * (
+            (sig / r) ** 12 - (sig / r) ** 6)
+        integral, _ = si.quad(integrand, rc, np.inf)
+        want = 0.5 * n * (n / L ** 3) * integral
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_npt_and_virial_composition(self):
+        """Box-parametric: composes into NPT factories and the virial
+        dilation picks up the pressure tail (dU/ds through V)."""
+        from vaemolsim_tpu import observables
+        from vaemolsim_tpu.potentials import (composite, lennard_jones,
+                                              lennard_jones_tail)
+        fac = lambda b: composite(
+            lennard_jones(box=b, cutoff=2.5),
+            lennard_jones_tail(box=b, cutoff=2.5))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (40, 3)) * 8.0
+        box = jnp.asarray([8.0] * 3)
+        p = float(observables.virial_pressure(fac, x, box=box))
+        h = 1e-3
+        us = lambda s: float(fac(s * box)(s * x))
+        du_fd = (us(1.0 + h) - us(1.0 - h)) / (2 * h)
+        p_fd = (40 - du_fd / 3.0) / float(jnp.prod(box))
+        np.testing.assert_allclose(p, p_fd, rtol=5e-3, atol=1e-4)

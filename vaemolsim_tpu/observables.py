@@ -20,7 +20,8 @@ Array = jax.Array
 
 __all__ = ["radius_of_gyration", "pair_distance_histogram",
            "radial_distribution", "mean_squared_displacement",
-           "velocity_autocorrelation", "virial_pressure"]
+           "velocity_autocorrelation", "virial_pressure",
+           "structure_factor"]
 
 
 def radius_of_gyration(x: Array) -> Array:
@@ -160,3 +161,57 @@ def virial_pressure(potential_for_box, x: Array, *, box,
     one = jnp.ones((), x.dtype)
     _, du_ds = jax.jvp(scaled_energy, (one,), (one,))
     return (n * kt - du_ds / dim) / vol
+
+
+def structure_factor(x: Array, *, box: Sequence[float],
+                     k_max: float, n_bins: int = 40
+                     ) -> Tuple[Array, Array]:
+    """Static structure factor ``S(k) = <|sum_j exp(i k . r_j)|^2> / N``
+    over the box's reciprocal-lattice modes with ``0 < |k| <= k_max``,
+    averaged within ``n_bins`` equal |k| bins (and over all leading-axis
+    configurations).
+
+    Same TPU decomposition as the Ewald reciprocal sum
+    (:func:`~vaemolsim_tpu.potentials.ewald_coulomb`): phases are one
+    matmul, per-mode |S|^2 one cos/sin reduction, binning one
+    ``searchsorted`` + segment sum.  An ideal gas gives S(k) = 1 and a
+    crystal Bragg peaks at its lattice modes (both pinned by test).
+    Returns ``(k_centers, S)`` of shape (n_bins,); empty bins are NaN.
+    """
+    x = jnp.asarray(x)
+    n = x.shape[-2]
+    box_np = np.asarray(box, np.float64)
+    if box_np.shape != (3,):
+        raise ValueError(f"box must be 3 lengths; got {box_np.shape}")
+    n_max = np.maximum(np.ceil(k_max * box_np / (2 * np.pi)), 1).astype(int)
+    axes = [np.arange(-m, m + 1) for m in n_max]
+    nn = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+    # Half space (S(-k) = conj(S(k)) contributes identically).
+    half = ((nn[:, 0] > 0)
+            | ((nn[:, 0] == 0) & (nn[:, 1] > 0))
+            | ((nn[:, 0] == 0) & (nn[:, 1] == 0) & (nn[:, 2] > 0)))
+    k_all = 2 * np.pi * nn[half] / box_np
+    k_mag = np.sqrt((k_all ** 2).sum(-1))
+    keep = k_mag <= k_max
+    if not keep.any():
+        raise ValueError(f"no reciprocal modes with |k| <= {k_max}; "
+                         "increase k_max")
+    k_modes = jnp.asarray(k_all[keep], jnp.float32)      # (n_k, 3)
+    k_mag = k_mag[keep]
+
+    phase = jnp.einsum("...nd,kd->...nk", x, k_modes)
+    s2 = (jnp.sum(jnp.cos(phase), -2) ** 2
+          + jnp.sum(jnp.sin(phase), -2) ** 2) / n        # (..., n_k)
+    # Average over configurations, then bin by |k|.
+    s2 = jnp.mean(s2.reshape(-1, s2.shape[-1]), axis=0)
+
+    edges = np.linspace(0.0, float(k_max), n_bins + 1)
+    idx = np.clip(np.searchsorted(edges, k_mag, side="right") - 1,
+                  0, n_bins - 1)
+    counts = np.bincount(idx, minlength=n_bins)
+    sums = jnp.zeros(n_bins).at[jnp.asarray(idx)].add(s2)
+    centers = jnp.asarray(0.5 * (edges[:-1] + edges[1:]), jnp.float32)
+    s_binned = jnp.where(jnp.asarray(counts) > 0,
+                         sums / jnp.maximum(jnp.asarray(counts, jnp.float32),
+                                            1.0), jnp.nan)
+    return centers, s_binned

@@ -36,9 +36,19 @@ Array = jax.Array
 __all__ = ["harmonic_bonds", "harmonic_angles", "periodic_torsions",
            "lennard_jones", "lennard_jones_softcore",
            "lennard_jones_cell", "lennard_jones_cell_neighbor",
+           "lennard_jones_tail",
            "CellNeighborList", "coulomb", "ewald_coulomb",
            "com_restraint", "composite", "as_log_prob",
            "exclusions_from_bonds", "minimize_energy"]
+
+
+def _squeeze_box(box_arr: Array) -> Array:
+    """Canonicalize a (possibly NPT-convention ``(..., 1, 1, 3)``) box
+    array to leading-batch ``(..., 3)`` form."""
+    squeeze = tuple(i for i in range(box_arr.ndim - 1)
+                    if box_arr.shape[i] == 1)
+    return jnp.squeeze(box_arr, axis=squeeze)
+
 
 _EPS = 1e-12  # guards sqrt/atan2 gradients at coincident points
 
@@ -592,6 +602,40 @@ def lennard_jones_cell(sigma: float = 1.0, epsilon: float = 1.0, *,
     return energy
 
 
+def lennard_jones_tail(sigma: float = 1.0, epsilon: float = 1.0, *,
+                       box: Sequence[float],
+                       cutoff: float) -> Callable[[Array], Array]:
+    """Standard homogeneous-fluid long-range (tail) correction for a
+    truncated LJ,
+
+        ``U_tail = (8 pi N^2 eps sig^3) / (3 V)
+                   [ (1/3)(sig/rc)^9 - (sig/rc)^3 ]``
+
+    (Frenkel & Smit eq. 3.2.5, assuming g(r) = 1 beyond the cutoff).
+    Compose with :func:`lennard_jones`/:func:`lennard_jones_cell` via
+    :func:`composite`.  ``box`` may be a traced array (the NPT
+    ``(..., 1, 1, 3)`` factory convention included), so the correction
+    participates correctly in volume moves AND the
+    :func:`~vaemolsim_tpu.observables.virial_pressure` dilation picks
+    up the matching pressure tail automatically (dU_tail/dV through
+    the trace).  Scalar sigma/epsilon (one species).
+    """
+    sigma = float(sigma)
+    epsilon = float(epsilon)
+    sr3 = (sigma / float(cutoff)) ** 3
+    coeff = (8.0 / 3.0) * np.pi * epsilon * sigma ** 3 \
+        * (sr3 ** 3 / 3.0 - sr3)
+
+    def energy(x: Array) -> Array:
+        x = jnp.asarray(x)
+        n = x.shape[-2]
+        box_sq = _squeeze_box(jnp.asarray(box, x.dtype))
+        vol = jnp.prod(box_sq, axis=-1)
+        return jnp.broadcast_to(coeff * n * n / vol, x.shape[:-2])
+
+    return energy
+
+
 def lennard_jones_softcore(sigma=1.0, epsilon=1.0, *,
                            alchemical,
                            alpha: float = 0.5,
@@ -806,10 +850,7 @@ def ewald_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
         # factory convention passes (..., 1, 1, 3) (pair-tensor
         # broadcast-ready); squeeze the inserted singleton axes so
         # volumes/k-vectors align with per-chain energies.
-        box_arr = jnp.asarray(box, x.dtype)
-        squeeze = tuple(i for i in range(box_arr.ndim - 1)
-                        if box_arr.shape[i] == 1)
-        box_sq = jnp.squeeze(box_arr, axis=squeeze)     # (..., 3)
+        box_sq = _squeeze_box(jnp.asarray(box, x.dtype))  # (..., 3)
         box_row = box_sq[..., None, :]                  # vs (..., n, 3)
         box_pair = box_sq[..., None, None, :]           # vs (..., n, n, 3)
         vol = jnp.prod(box_sq, axis=-1)
