@@ -143,3 +143,57 @@ class TestNPTValidation:
         step = make_npt_step(_ideal_gas_factory, pressure=1.0)
         with pytest.raises(ValueError, match="divide"):
             run_npt(step, st, 10, collect_every=3)
+
+
+class TestAnisotropicNPT:
+
+    def test_ideal_gas_volume_law(self):
+        """Per-axis ln L moves keep the exact Gamma(N+1, beta P) VOLUME
+        law, while the box shape fluctuates (edges decouple).  Note an
+        ideal gas has no shear restoring force, so its shape marginal
+        is a free random walk — shape stability is an interaction
+        effect, tested on the LJ fluid below."""
+        n_atoms, beta_p = 6, 1.0
+        x0 = jax.random.uniform(jax.random.PRNGKey(0),
+                                (256, n_atoms, 3)) * 2.0
+        st = npt_init(_ideal_gas_factory, x0, [2.0] * 3,
+                      jax.random.PRNGKey(1))
+        step = make_npt_step(_ideal_gas_factory, pressure=beta_p,
+                             dx_scale=0.3, dlnv_scale=0.2,
+                             anisotropic=True)
+        st, collected = jax.jit(
+            lambda s: run_npt(step, s, 3000, collect_every=10))(st)
+        _, boxes = collected
+        boxes = np.asarray(boxes[150:])
+        vols = boxes.prod(-1).ravel()
+        mean = n_atoms + 1.0
+        assert abs(vols.mean() - mean) < 0.15 * mean
+        aspect = boxes.reshape(-1, 3)
+        assert np.std(np.log(aspect[:, 0] / aspect[:, 1])) > 0.05
+
+    def test_lj_fluid_shape_stays_bounded(self):
+        """With interactions + the min_box wall, anisotropic NPT keeps
+        a sensible box and stays finite."""
+        fac = _lj_factory(cutoff=1.9)
+        x0 = jax.random.uniform(jax.random.PRNGKey(6), (16, 12, 3)) * 5.0
+        st = npt_init(fac, x0, [5.0] * 3, jax.random.PRNGKey(7))
+        step = make_npt_step(fac, pressure=0.2, dx_scale=0.15,
+                             dlnv_scale=0.05, min_box=3.9,
+                             anisotropic=True)
+        st, _ = jax.jit(lambda s: run_npt(step, s, 400))(st)
+        assert np.isfinite(np.asarray(st.energy)).all()
+        assert float(jnp.min(st.box)) >= 3.9
+        e_fresh = fac(st.box[..., None, None, :])(st.x)
+        np.testing.assert_allclose(np.asarray(st.energy),
+                                   np.asarray(e_fresh), rtol=2e-4,
+                                   atol=2e-4)
+
+    def test_min_box_applies_per_axis(self):
+        x0 = jax.random.uniform(jax.random.PRNGKey(2), (16, 4, 3)) * 3.0
+        st = npt_init(_ideal_gas_factory, x0, [3.0] * 3,
+                      jax.random.PRNGKey(3))
+        step = make_npt_step(_ideal_gas_factory, pressure=20.0,
+                             dlnv_scale=0.3, min_box=2.5,
+                             anisotropic=True)
+        st, _ = run_npt(step, st, 200)
+        assert float(jnp.min(st.box)) >= 2.5

@@ -105,7 +105,8 @@ def make_npt_step(potential_for_box: Callable[[Array], Callable],
                   *, pressure: float, beta: float = 1.0,
                   dx_scale: float = 0.1, dlnv_scale: float = 0.02,
                   n_disp: int = 1,
-                  min_box: Optional[float] = None
+                  min_box: Optional[float] = None,
+                  anisotropic: bool = False
                   ) -> Callable[[NPTState], NPTState]:
     """Build one NPT sweep: ``n_disp`` all-atom displacement trials then
     one ``ln V`` volume trial, per chain.
@@ -123,6 +124,14 @@ def make_npt_step(potential_for_box: Callable[[Array], Callable],
     etc. are silently wrong below that edge: multiple periodic images
     of a pair fall inside the cutoff sphere but only the nearest is
     counted).  High-pressure dense-fluid runs reach that regime.
+
+    ``anisotropic``: propose independent Gaussian steps in EACH
+    ``ln L_a`` (box shape relaxes — solids/interfaces) instead of one
+    uniform dilation.  The stationary density in ``(ln L_1, ln L_2,
+    ln L_3)`` is ``V^(N+1) exp(-beta U - beta P V)``, so the acceptance
+    exponent is the SAME ``(N+1) ln(V'/V)`` with ``ln V = sum ln L_a``
+    (isotropic-fluid box statistics under both modes are pinned by
+    test).
     """
     pressure = float(pressure)
     beta = float(beta)
@@ -146,14 +155,22 @@ def make_npt_step(potential_for_box: Callable[[Array], Callable],
             e = jnp.where(accept, e2, e)
             disp_acc_n = disp_acc_n + jnp.sum(accept, dtype=jnp.int32)
 
-        # Volume move in ln V.
+        # Volume move in ln V (one dilation, or per-axis ln L steps).
         k3, k4 = jax.random.split(k_vol)
         v1 = jnp.prod(state.box, axis=-1)
         ln_v1 = jnp.log(v1)
-        ln_v2 = ln_v1 + dlnv_scale * jax.random.normal(k3, v1.shape, dtype)
-        s = jnp.exp((ln_v2 - ln_v1) / dim)
-        box2 = s[..., None] * state.box
-        x2 = s[..., None, None] * x
+        if anisotropic:
+            dln = dlnv_scale * jax.random.normal(
+                k3, state.box.shape, dtype)         # (..., dim)
+            box2 = state.box * jnp.exp(dln)
+            x2 = x * jnp.exp(dln)[..., None, :]
+            ln_v2 = ln_v1 + jnp.sum(dln, axis=-1)
+        else:
+            ln_v2 = ln_v1 + dlnv_scale * jax.random.normal(
+                k3, v1.shape, dtype)
+            s = jnp.exp((ln_v2 - ln_v1) / dim)
+            box2 = s[..., None] * state.box
+            x2 = s[..., None, None] * x
         e2 = _energy_at(potential_for_box, x2, box2)
         v2 = jnp.exp(ln_v2)
         log_acc = (-beta * (e2 - e) - beta * pressure * (v2 - v1)
