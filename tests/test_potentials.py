@@ -715,3 +715,41 @@ class TestCellSpecies:
         with pytest.raises(ValueError, match="pair matrices"):
             lennard_jones_cell_neighbor(np.ones((4, 4)), 1.0,
                                         box=[10.0] * 3, cutoff=2.5)
+
+
+class TestShardedCellForce:
+    """Mesh-sharded cell grid (shard_map over the pallas kernel):
+    single-system multi-device MD forces, exact vs the dense form."""
+
+    def test_matches_dense_with_padding_and_species(self):
+        from jax.sharding import Mesh
+
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device CPU mesh")
+        mesh = Mesh(np.array(jax.devices()).reshape(8), ("cells",))
+        L = 10.0
+        sig = np.where(np.random.RandomState(0).rand(150) < 0.5,
+                       0.9, 1.1)
+        dense = lennard_jones(sigma=sig, box=[L] * 3, cutoff=2.5)
+        # 27 real cells pad to 32 over 8 devices (exercises padding).
+        build, energy = lennard_jones_cell_neighbor(
+            sig, 1.0, box=[L] * 3, cutoff=2.5, skin=0.5, capacity=32,
+            backend="pallas", interpret=True, mesh=mesh,
+            mesh_axis="cells")
+        x = jax.random.uniform(jax.random.PRNGKey(0), (150, 3)) * L
+        nl = build(x)
+        np.testing.assert_allclose(float(jax.jit(energy)(nl, x)),
+                                   float(dense(x)), rtol=1e-5)
+        g = np.asarray(jax.jit(jax.grad(energy, argnums=1))(nl, x))
+        np.testing.assert_allclose(g, np.asarray(jax.grad(dense)(x)),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_mesh_requires_pallas(self):
+        from jax.sharding import Mesh
+
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        mesh = Mesh(np.array(jax.devices()[:1]), ("cells",))
+        with pytest.raises(ValueError, match="pallas"):
+            lennard_jones_cell_neighbor(box=[10.0] * 3, cutoff=2.5,
+                                        mesh=mesh, mesh_axis="cells")

@@ -255,7 +255,8 @@ def lennard_jones_cell_neighbor(
         sigma: float = 1.0, epsilon: float = 1.0, *,
         box: Sequence[float], cutoff: float, skin: float = 0.4,
         capacity: int = 24, shift: bool = True,
-        backend: str = "xla", interpret: bool = False
+        backend: str = "xla", interpret: bool = False,
+        mesh=None, mesh_axis: str = "cells"
         ) -> Tuple[Callable[[Array], CellNeighborList],
                    Callable[[CellNeighborList, Array], Array]]:
     """Cell-list Lennard-Jones with an explicit, reusable neighbor
@@ -287,10 +288,25 @@ def lennard_jones_cell_neighbor(
     to float32 summation order.  The kernel computes the force even
     for energy-only evaluations (one fused pass); ``interpret=True``
     runs it in Pallas interpret mode for CPU tests.
+
+    **Multi-chip MD for ONE large system**: pass a
+    ``jax.sharding.Mesh`` (with the axis named ``mesh_axis``) and the
+    pallas kernel's cell grid is partitioned over devices via
+    ``shard_map`` — positions replicate (tiny: N*12 bytes), each device
+    computes its slab of cells' pair blocks with ZERO collectives
+    inside, and the only cross-device traffic is the final energy
+    reduction and force gather XLA inserts.  Cells pad to a multiple of
+    the axis size (padded cells carry only empty slots, contributing
+    nothing).  This is the TPU-native alternative to halo-exchange
+    domain decomposition for the N <= millions regime where replicated
+    positions fit trivially in HBM.
     """
     if backend not in ("xla", "pallas"):
         raise ValueError(f"backend must be 'xla' or 'pallas'; "
                          f"got {backend!r}")
+    if mesh is not None and backend != "pallas":
+        raise ValueError("mesh sharding of the cell grid requires "
+                         "backend='pallas'")
     rc_build = float(cutoff) + float(skin)
     if skin < 0:
         raise ValueError(f"skin must be >= 0; got {skin}")
@@ -312,6 +328,18 @@ def lennard_jones_cell_neighbor(
     g3 = np.stack(np.unravel_index(np.arange(n_cells), n_grid), -1)
     raw = g3[:, None, :] + offs[None, :, :]          # (n_cells, 27, 3)
     cell_nb_np = ((raw % n_grid) @ strides).astype(np.int32)
+    # Mesh sharding pads the cell grid to a device-divisible count;
+    # padded cells hold only empty slots (ids = n) and reference cell 0
+    # as neighbors — fully masked, zero contribution.
+    if mesh is not None:
+        n_shards = int(mesh.shape[mesh_axis])
+        n_cells_p = -(-n_cells // n_shards) * n_shards
+        cell_nb_np = np.concatenate(
+            [cell_nb_np,
+             np.zeros((n_cells_p - n_cells, 27), np.int32)])
+    else:
+        n_cells_p = n_cells
+    pad_cells = n_cells_p - n_cells
     box_j = jnp.asarray(box_np, jnp.float32)
     rc2 = jnp.float32(cutoff * cutoff)
     drift2_max = jnp.float32((skin / 2.0) ** 2)
@@ -386,6 +414,10 @@ def lennard_jones_cell_neighbor(
         slot = start[:, None] + jnp.arange(capacity)[None, :]
         valid = jnp.arange(capacity)[None, :] < count[:, None]
         cell_atoms = jnp.where(valid, order[jnp.clip(slot, 0, n - 1)], n)
+        if pad_cells:
+            cell_atoms = jnp.concatenate(
+                [cell_atoms,
+                 jnp.full((pad_cells, capacity), n, cell_atoms.dtype)])
 
         if backend == "pallas":
             # The kernel path reads only cell_atoms/x_ref/overflow/
@@ -508,30 +540,45 @@ def lennard_jones_cell_neighbor(
         cell_x = xw[cells]
         nb_x = cell_x[cell_nb_j]
         cxt = jnp.transpose(cell_x, (0, 2, 1))
-        nxt = jnp.transpose(nb_x.reshape(n_cells, 27 * capacity, 3),
+        nxt = jnp.transpose(nb_x.reshape(n_cells_p, 27 * capacity, 3),
                             (0, 2, 1))
-        nid = nl.cell_atoms[cell_nb_j].reshape(n_cells, 1, 27 * capacity)
-        cid = nl.cell_atoms.reshape(n_cells, 1, capacity)
+        nid = nl.cell_atoms[cell_nb_j].reshape(n_cells_p, 1,
+                                               27 * capacity)
+        cid = nl.cell_atoms.reshape(n_cells_p, 1, capacity)
+        args = (cxt, nxt, cid, nid)
         if per_atom:
             sig_cell = sig_at[cells]
             se_cell = seps_at[cells]
-            species = (sig_cell.reshape(n_cells, 1, capacity),
-                       sig_cell[cell_nb_j].reshape(n_cells, 1,
-                                                   27 * capacity),
-                       se_cell.reshape(n_cells, 1, capacity),
-                       se_cell[cell_nb_j].reshape(n_cells, 1,
-                                                  27 * capacity))
+            args += (sig_cell.reshape(n_cells_p, 1, capacity),
+                     sig_cell[cell_nb_j].reshape(n_cells_p, 1,
+                                                 27 * capacity),
+                     se_cell.reshape(n_cells_p, 1, capacity),
+                     se_cell[cell_nb_j].reshape(n_cells_p, 1,
+                                                27 * capacity))
+
+        def _kern(*a):
+            return cell_pair_energy_force(
+                a[0], a[1], a[2], a[3],
+                species=a[4:] if per_atom else None, n_atoms=n,
+                sigma=sigma if sigma is not None else 1.0,
+                epsilon=epsilon if epsilon is not None else 1.0,
+                cutoff=float(cutoff),
+                box=tuple(float(b) for b in box_np),
+                shift=shift, interpret=interpret)
+
+        if mesh is None:
+            e_cells, grad_t = _kern(*args)
         else:
-            species = None
-        e_cells, grad_t = cell_pair_energy_force(
-            cxt, nxt, cid, nid, species=species, n_atoms=n,
-            sigma=sigma if sigma is not None else 1.0,
-            epsilon=epsilon if epsilon is not None else 1.0,
-            cutoff=float(cutoff), box=tuple(float(b) for b in box_np),
-            shift=shift, interpret=interpret)
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec
+            spec = PartitionSpec(mesh_axis)
+            e_cells, grad_t = shard_map(
+                _kern, mesh=mesh,
+                in_specs=tuple(spec for _ in args),
+                out_specs=(spec, spec), check_rep=False)(*args)
         bad = _invalid(nl, xw)
         grad = jnp.transpose(grad_t, (0, 2, 1)).reshape(
-            n_cells * capacity, 3)[nl.atom_slot]
+            n_cells_p * capacity, 3)[nl.atom_slot]
         return (jnp.where(bad, jnp.nan, jnp.sum(e_cells)),
                 jnp.where(bad, jnp.nan, 1.0) * grad)
 
