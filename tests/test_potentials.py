@@ -753,3 +753,49 @@ class TestShardedCellForce:
         with pytest.raises(ValueError, match="pallas"):
             lennard_jones_cell_neighbor(box=[10.0] * 3, cutoff=2.5,
                                         mesh=mesh, mesh_axis="cells")
+
+
+class TestLargeNEwald:
+    """Split Ewald for large systems: cell-list erfc real-space +
+    recip-only ewald_coulomb must equal the dense exact sum."""
+
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_split_equals_dense(self, backend):
+        from vaemolsim_tpu.potentials import (composite, ewald_coulomb,
+                                              lennard_jones,
+                                              lennard_jones_cell_neighbor)
+        rs = np.random.RandomState(0)
+        n, L, rc = 128, 10.0, 2.5
+        q = np.asarray([1.0, -1.0] * (n // 2)) * 0.8
+        full_ew = ewald_coulomb(q, box=[L] * 3, r_cutoff=rc,
+                                tolerance=1e-6)
+        dense_total = composite(lennard_jones(box=[L] * 3, cutoff=rc),
+                                full_ew)
+        recip = ewald_coulomb(q, box=[L] * 3, r_cutoff=rc,
+                              tolerance=1e-6, include_real_space=False)
+        kw = {"interpret": True} if backend == "pallas" else {}
+        build, cell_e = lennard_jones_cell_neighbor(
+            box=[L] * 3, cutoff=rc, skin=0.5, capacity=32,
+            backend=backend, charges=q,
+            coulomb_alpha=full_ew.ewald_alpha, **kw)
+        x = jnp.asarray(rs.uniform(0, L, (n, 3)), jnp.float32)
+        nl = build(x)
+        np.testing.assert_allclose(float(cell_e(nl, x) + recip(x)),
+                                   float(dense_total(x)), rtol=1e-5)
+        g_s = np.asarray(jax.grad(
+            lambda y: cell_e(nl, y) + recip(y))(x))
+        g_d = np.asarray(jax.grad(dense_total)(x))
+        err = np.max(np.abs(g_s - g_d) / (1.0 + np.abs(g_d)))
+        assert err < 2e-3
+
+    def test_charges_need_alpha_and_match_count(self):
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        with pytest.raises(ValueError, match="coulomb_alpha"):
+            lennard_jones_cell_neighbor(box=[10.0] * 3, cutoff=2.5,
+                                        charges=np.ones(4))
+        build, energy = lennard_jones_cell_neighbor(
+            box=[10.0] * 3, cutoff=2.5, charges=np.ones(4),
+            coulomb_alpha=1.3)
+        x = jnp.ones((6, 3))
+        with pytest.raises(ValueError, match="charges"):
+            energy(build(x), x)

@@ -44,6 +44,7 @@ by tests/test_potentials.py.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -60,16 +61,21 @@ _SLOPE_F = 24.0 / 0.3 * (_SRC6 - 2.0 * _SRC6 * _SRC6)
 
 def _make_kernel(n_atoms: int, sigma: float, epsilon: float,
                  cutoff: float, shift: bool, box: Tuple[float, ...],
-                 species: bool):
+                 species: bool, coulomb: bool, alpha: float):
     inv_box = tuple(1.0 / b for b in box)
     rc2 = float(cutoff) * float(cutoff)
     inv_cut6 = 1.0 / float(cutoff) ** 6
+    two_opi = 2.0 / math.sqrt(math.pi)
 
     def kernel(cxt_ref, nxt_ref, cid_ref, nid_ref, *refs):
+        i = 0
         if species:
-            csig_ref, nsig_ref, cse_ref, nse_ref, e_ref, ft_ref = refs
-        else:
-            e_ref, ft_ref = refs
+            csig_ref, nsig_ref, cse_ref, nse_ref = refs[i:i + 4]
+            i += 4
+        if coulomb:
+            cq_ref, nq_ref = refs[i:i + 2]
+            i += 2
+        e_ref, ft_ref = refs[i:i + 2]
         cT = cxt_ref[0]                     # (3, C)
         nT = nxt_ref[0]                     # (3, 27C)
         ci = cid_ref[0]                     # (1, C)
@@ -118,6 +124,16 @@ def _make_kernel(n_atoms: int, sigma: float, epsilon: float,
             slope = _SLOPE_F * epsilon / sigma
         u = u + jnp.where(in_core, slope * (r2s * rs - 0.3 * sg), 0.0)
         w = jnp.where(in_core, slope * rs, w)
+        if coulomb:
+            # Ewald real-space term qq erfc(alpha r)/r; w adds
+            # du/dr / r = -qq rs^2 (erfc rs + 2 alpha/sqrt(pi)
+            # exp(-(alpha r)^2)).
+            qq = jnp.transpose(cq_ref[0]) * nq_ref[0]
+            ar = alpha * r2s * rs
+            erfc_t = 1.0 - jax.lax.erf(ar)
+            u = u + qq * erfc_t * rs
+            w = w - qq * (erfc_t * rs
+                          + two_opi * alpha * jnp.exp(-ar * ar)) * rs * rs
         w = jnp.where(mask, w, 0.0)
 
         e_ref[0] = (0.5 * jnp.sum(jnp.where(mask, u, 0.0))).reshape(1, 1)
@@ -133,13 +149,15 @@ def _make_kernel(n_atoms: int, sigma: float, epsilon: float,
 
 @functools.partial(jax.jit, static_argnames=("n_atoms", "sigma", "epsilon",
                                              "cutoff", "shift", "box",
-                                             "interpret"))
+                                             "coulomb_alpha", "interpret"))
 def cell_pair_energy_force(cxt: Array, nxt: Array, cid: Array, nid: Array,
                            species: Optional[Tuple[Array, Array,
                                                    Array, Array]] = None,
+                           charge: Optional[Tuple[Array, Array]] = None,
                            *, n_atoms: int, sigma: float, epsilon: float,
                            cutoff: float, box: Tuple[float, ...],
                            shift: bool = True,
+                           coulomb_alpha: float = 0.0,
                            interpret: bool = False
                            ) -> Tuple[Array, Array]:
     """Per-cell LJ energy and per-atom GRADIENT (dU/dx, cell layout).
@@ -151,7 +169,9 @@ def cell_pair_energy_force(cxt: Array, nxt: Array, cid: Array, nid: Array,
       nid: (n_cells, 1, K) int32;
       species: optional (csig, nsig, cse, nse) per-slot sigma and
         sqrt(epsilon) blocks, shapes (n_cells, 1, capacity) /
-        (n_cells, 1, K) — overrides the scalar sigma/epsilon.
+        (n_cells, 1, K) — overrides the scalar sigma/epsilon;
+      charge: optional (cq, nq) per-slot charge blocks — adds the
+        Ewald real-space term ``qq erfc(coulomb_alpha r)/r``.
 
     Returns ``(e_cells (n_cells, 1, 1), grad_t (n_cells, 3, capacity))``
     with every pair's half-energy in its two cells and the full row sum
@@ -162,7 +182,8 @@ def cell_pair_energy_force(cxt: Array, nxt: Array, cid: Array, nid: Array,
     kernel = _make_kernel(n_atoms, float(sigma), float(epsilon),
                           float(cutoff), bool(shift),
                           tuple(float(b) for b in box),
-                          species is not None)
+                          species is not None, charge is not None,
+                          float(coulomb_alpha))
     in_specs = [
         pl.BlockSpec((1, 3, cap), lambda c: (c, 0, 0)),
         pl.BlockSpec((1, 3, kp), lambda c: (c, 0, 0)),
@@ -170,14 +191,12 @@ def cell_pair_energy_force(cxt: Array, nxt: Array, cid: Array, nid: Array,
         pl.BlockSpec((1, 1, kp), lambda c: (c, 0, 0)),
     ]
     args = [cxt, nxt, cid, nid]
-    if species is not None:
-        in_specs += [
-            pl.BlockSpec((1, 1, cap), lambda c: (c, 0, 0)),
-            pl.BlockSpec((1, 1, kp), lambda c: (c, 0, 0)),
-            pl.BlockSpec((1, 1, cap), lambda c: (c, 0, 0)),
-            pl.BlockSpec((1, 1, kp), lambda c: (c, 0, 0)),
-        ]
-        args += list(species)
+    for extra in (species, charge):
+        if extra is not None:
+            for a in extra:
+                in_specs.append(pl.BlockSpec(
+                    (1, 1, a.shape[-1]), lambda c: (c, 0, 0)))
+                args.append(a)
     return pl.pallas_call(
         kernel,
         grid=(n_cells,),

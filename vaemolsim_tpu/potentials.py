@@ -256,7 +256,8 @@ def lennard_jones_cell_neighbor(
         box: Sequence[float], cutoff: float, skin: float = 0.4,
         capacity: int = 24, shift: bool = True,
         backend: str = "xla", interpret: bool = False,
-        mesh=None, mesh_axis: str = "cells"
+        mesh=None, mesh_axis: str = "cells",
+        charges=None, coulomb_alpha: Optional[float] = None
         ) -> Tuple[Callable[[Array], CellNeighborList],
                    Callable[[CellNeighborList, Array], Array]]:
     """Cell-list Lennard-Jones with an explicit, reusable neighbor
@@ -300,6 +301,18 @@ def lennard_jones_cell_neighbor(
     nothing).  This is the TPU-native alternative to halo-exchange
     domain decomposition for the N <= millions regime where replicated
     positions fit trivially in HBM.
+
+    **Large-N exact electrostatics**: pass per-atom ``charges`` and the
+    Ewald screening parameter ``coulomb_alpha`` to add the Ewald
+    REAL-SPACE term ``q_i q_j erfc(alpha r)/r`` to every pair within
+    the cutoff (both backends, analytic forces).  Pair it with
+    ``ewald_coulomb(..., include_real_space=False,
+    alpha=<same>, r_cutoff=<same cutoff>)`` for the reciprocal/self/
+    background parts: the composite is the exact Ewald sum at
+    O(N*capacity) + O(N*n_k) instead of dense O(N^2) (split-exactness
+    pinned by test).  No exclusion support on this path (bulk ionic
+    fluids); no core softening on the Coulomb term (the LJ core
+    prevents opposite-charge collapse).
     """
     if backend not in ("xla", "pallas"):
         raise ValueError(f"backend must be 'xla' or 'pallas'; "
@@ -374,6 +387,28 @@ def lennard_jones_cell_neighbor(
     _SRC6 = (1.0 / 0.3) ** 6
     _SLOPE_F = 24.0 / 0.3 * (_SRC6 - 2.0 * _SRC6 * _SRC6)
 
+    if charges is not None:
+        q_np = np.asarray(charges, np.float64)
+        if q_np.ndim != 1:
+            raise ValueError(f"charges must be (n,); got {q_np.shape}")
+        if coulomb_alpha is None:
+            raise ValueError(
+                "charges need coulomb_alpha — use the SAME alpha as the "
+                "reciprocal part (ewald_coulomb(...).ewald_alpha)")
+        if per_atom and q_np.size != n_spec:
+            raise ValueError(f"charges has {q_np.size} atoms but "
+                             f"sigma/epsilon has {n_spec}")
+        q_at = jnp.asarray(q_np, jnp.float32)
+        c_alpha = float(coulomb_alpha)
+        _TWO_OPI = 2.0 / float(np.sqrt(np.pi))
+    else:
+        q_at = None
+
+    def _pair_qq(nl, n):
+        """Per-pair charge products in the XLA candidate layout."""
+        cells = jnp.clip(nl.cell_atoms, 0, n - 1)
+        return q_at[:, None] * q_at[cells][nl.nb_cid].reshape(n, -1)
+
     def _pair_params(nl, n):
         """Per-pair (sigma_ij, eps_ij) in the XLA candidate layout, or
         the scalar constants (broadcasting makes one math path serve
@@ -391,6 +426,9 @@ def lennard_jones_cell_neighbor(
         if per_atom and n != n_spec:
             raise ValueError(f"coords have {n} atoms but per-atom "
                              f"sigma/epsilon has {n_spec}")
+        if q_at is not None and n != q_at.shape[0]:
+            raise ValueError(f"coords have {n} atoms but charges has "
+                             f"{q_at.shape[0]}")
 
     def _wrap(x):
         return x - box_j * jnp.floor(x / box_j)
@@ -487,6 +525,9 @@ def lennard_jones_cell_neighbor(
         if shift:
             sc6 = (sig_p / cutoff) ** 6
             u = u - 4.0 * eps_p * (sc6 * sc6 - sc6)
+        if q_at is not None:
+            from jax.scipy.special import erfc
+            u = u + _pair_qq(nl, xw.shape[0]) * erfc(c_alpha * r) / r
         # Each pair appears from both sides: halve.
         e = 0.5 * jnp.sum(jnp.where(mask, u, 0.0))
         return jnp.where(_invalid(nl, xw), jnp.nan, e), xw
@@ -516,6 +557,12 @@ def lennard_jones_cell_neighbor(
         sr6 = (sig_p / r) ** 6
         dudr = 24.0 * eps_p / r * (sr6 - 2.0 * sr6 * sr6)
         dudr = jnp.where(r < rcore_p, slope_p, dudr)
+        if q_at is not None:
+            from jax.scipy.special import erfc
+            qq = _pair_qq(nl, xw.shape[0])
+            dudr = dudr - qq * (erfc(c_alpha * r) / (r * r)
+                                + _TWO_OPI * c_alpha
+                                * jnp.exp(-(c_alpha * r) ** 2) / r)
         dudr = jnp.where(mask, dudr, 0.0)
         grad = jnp.sum((dudr / r)[..., None] * d, axis=1)
         grad = jnp.where(_invalid(nl, xw), jnp.nan, ct) * grad
@@ -555,14 +602,23 @@ def lennard_jones_cell_neighbor(
                      se_cell.reshape(n_cells_p, 1, capacity),
                      se_cell[cell_nb_j].reshape(n_cells_p, 1,
                                                 27 * capacity))
+        if q_at is not None:
+            q_cell = q_at[cells]
+            args += (q_cell.reshape(n_cells_p, 1, capacity),
+                     q_cell[cell_nb_j].reshape(n_cells_p, 1,
+                                               27 * capacity))
 
         def _kern(*a):
+            i = 4 + (4 if per_atom else 0)
             return cell_pair_energy_force(
                 a[0], a[1], a[2], a[3],
-                species=a[4:] if per_atom else None, n_atoms=n,
+                species=a[4:i] if per_atom else None,
+                charge=a[i:i + 2] if q_at is not None else None,
+                n_atoms=n,
                 sigma=sigma if sigma is not None else 1.0,
                 epsilon=epsilon if epsilon is not None else 1.0,
                 cutoff=float(cutoff),
+                coulomb_alpha=c_alpha if q_at is not None else 0.0,
                 box=tuple(float(b) for b in box_np),
                 shift=shift, interpret=interpret)
 
@@ -811,7 +867,8 @@ def ewald_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
                   alpha: Optional[float] = None,
                   tolerance: float = 1e-5,
                   k_cutoff: Optional[float] = None,
-                  reference_box: Optional[Sequence[float]] = None
+                  reference_box: Optional[Sequence[float]] = None,
+                  include_real_space: bool = True
                   ) -> Callable[[Array], Array]:
     """EXACT periodic electrostatics by classic Ewald summation — the
     accurate treatment :func:`coulomb`'s docstring defers to.  Reduced
@@ -831,6 +888,14 @@ def ewald_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
       explicit ``-q_i q_j erf(alpha r)/r`` term,
     - a net-charged system gets the uniform neutralizing-background
       term ``-pi (sum q)^2 / (2 V alpha^2)``.
+
+    ``include_real_space=False`` drops the dense O(N^2) erfc pair term
+    (keeping recip/self/background/exclusion corrections) — for LARGE
+    systems compute that term at O(N * capacity) with
+    :func:`lennard_jones_cell_neighbor`'s ``charges``/``coulomb_alpha``
+    arguments using THIS factory's alpha (exposed as
+    ``energy.ewald_alpha``) and ``r_cutoff``; the split total is the
+    exact Ewald sum (pinned by test).
 
     ``alpha``/``k_cutoff`` default from ``tolerance`` by the standard
     heuristics ``alpha = sqrt(-ln tol)/r_cutoff``,
@@ -914,17 +979,20 @@ def ewald_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
         u_recip = jnp.sum(w * (s_cos ** 2 + s_sin ** 2), axis=-1) / vol
 
         # Short-range erfc pairs (minimum image, dense masked).
-        pair_mask = np.triu(np.ones((n, n), bool), k=1)
-        if excl_np is not None:
-            pair_mask &= ~excl_np
-        mask = jnp.asarray(pair_mask)
-        d = xw[..., :, None, :] - xw[..., None, :, :]
-        d = d - box_pair * jnp.round(d / box_pair)
-        r2 = jnp.sum(d * d, -1)
-        mask = mask & (r2 < r_cutoff * r_cutoff)
-        r = jnp.sqrt(jnp.maximum(jnp.where(mask, r2, 1.0), _EPS))
-        u_real = jnp.sum(jnp.where(mask, qq * erfc(alpha_v * r) / r, 0.0),
-                         axis=(-2, -1))
+        if include_real_space:
+            pair_mask = np.triu(np.ones((n, n), bool), k=1)
+            if excl_np is not None:
+                pair_mask &= ~excl_np
+            mask = jnp.asarray(pair_mask)
+            d = xw[..., :, None, :] - xw[..., None, :, :]
+            d = d - box_pair * jnp.round(d / box_pair)
+            r2 = jnp.sum(d * d, -1)
+            mask = mask & (r2 < r_cutoff * r_cutoff)
+            r = jnp.sqrt(jnp.maximum(jnp.where(mask, r2, 1.0), _EPS))
+            u_real = jnp.sum(jnp.where(mask, qq * erfc(alpha_v * r) / r,
+                                       0.0), axis=(-2, -1))
+        else:
+            u_real = 0.0
 
         # Self energy + neutralizing background for net charge.
         u_self = -alpha_v / jnp.sqrt(jnp.pi) * jnp.sum(q * q)
@@ -944,6 +1012,7 @@ def ewald_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
 
         return u_recip + u_real + u_self + u_bg + u_excl
 
+    energy.ewald_alpha = alpha_v
     return energy
 
 
