@@ -1,6 +1,6 @@
-"""Example-workflow smoke tests: ALL fourteen user-facing scripts must run
+"""Example-workflow smoke tests: ALL fifteen user-facing scripts must run
 end to end at their CI scale (the reference's four notebooks are
-executable documents — examples 01-04 are their ports, 05-14 the
+executable documents — examples 01-04 are their ports, 05-15 the
 beyond-reference workflows).  Wall-clock is compile-dominated on CPU;
 the --full scales are exercised manually / on hardware."""
 
@@ -148,3 +148,9 @@ def test_example_13_alchemical_decoupling():
 def test_example_14_npt_equation_of_state():
     out = run_example("14_npt_equation_of_state.py", timeout=900)
     assert "virial pressures reproduce the set pressures: OK" in out
+
+
+@pytest.mark.slow
+def test_example_15_molten_salt():
+    out = run_example("15_molten_salt.py", timeout=900)
+    assert "molten-salt charge ordering confirmed: OK" in out
