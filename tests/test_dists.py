@@ -37,6 +37,30 @@ class TestParamTransforms:
         np.testing.assert_allclose(loc[0, 0], np.arctan2(-0.5, -1.0),
                                    rtol=1e-6)
 
+    def test_von_mises_loc_grad_finite_at_zero_params(self):
+        """Raw (sin, cos) = (0, 0) — the output of any zero conditioning
+        context through zero-bias heads (e.g. a fully-masked empty
+        neighborhood) — must have a finite log_prob gradient: plain
+        atan2's gradient is NaN there and one such sample poisons the
+        whole batch (regression for the _safe_atan2_loc guard; the
+        reference inherits TF's NaN, vaemolsim/dists.py:59-72)."""
+        layer = IndependentBlockwise.create(2, "von_mises")
+        raw = jnp.zeros((3, 6)).at[0].set(
+            jnp.array([0.3, 0.7, 0.1, -0.2, 0.5, 0.0]))
+        x = jnp.array([[0.3, -1.0], [0.0, 0.5], [1.2, 2.0]])
+
+        def f(r):
+            return jnp.sum(layer(r).log_prob(x))
+
+        g = jax.grad(f)(raw)
+        assert jnp.isfinite(g).all()
+        # Non-degenerate rows keep plain-atan2 values bit-for-bit
+        # (same-backend comparison; numpy's atan2 differs by 1 ulp).
+        dist = layer(raw)
+        np.testing.assert_array_equal(
+            np.asarray(dist.families[0].loc[0]),
+            np.asarray(jnp.arctan2(raw[0, ::3], raw[0, 1::3])))
+
     def test_von_mises_concentration_bounded(self):
         layer = IndependentBlockwise.create(1, "von_mises")
         raw = jnp.array([[0.0, 1.0, 1e30]])

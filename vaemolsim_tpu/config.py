@@ -281,8 +281,28 @@ class ParticleEmbeddingConfig:
     # "two_stage" (the external package's exact value-on-invariants +
     # merge/join structure; see docs/attention_equivalence.md).
     attention: str = "fused"
+    # "attention" (GA attention, the reference's embedding) or "schnet"
+    # (continuous-filter convolutions — the cgschnet/atomschnet nets the
+    # reference's JointDistribution sketch names, vaemolsim/dists.py:805).
+    kind: str = "attention"
+    # SchNet-only knobs (ignored for kind="attention"): hidden_dim doubles
+    # as the per-atom feature width; rbf_cutoff should match the
+    # DistanceSelection cutoff feeding the embedding.
+    n_rbf: int = 16
+    rbf_cutoff: float = 3.0
+    pool: str = "mean"  # "mean" (bounded conditioning) | "sum" (extensive)
 
     def build(self, key: jax.Array):
+        if self.kind == "schnet":
+            from vaemolsim_tpu.nn import SchNetEmbedding
+            return SchNetEmbedding.create(
+                key, self.info_dim, self.embedding_dim,
+                features=self.hidden_dim, num_blocks=self.num_blocks,
+                n_rbf=self.n_rbf, cutoff=self.rbf_cutoff,
+                mask_zero=self.mask_zero, pool=self.pool)
+        if self.kind != "attention":
+            raise ValueError(
+                f"kind must be 'attention' or 'schnet', got {self.kind!r}")
         from vaemolsim_tpu.nn import ParticleEmbedding
         return ParticleEmbedding.create(key, self.info_dim,
                                         self.embedding_dim,

@@ -59,10 +59,28 @@ def _positive(x: Array) -> Array:
     return jax.nn.softplus(x) + _F32_EPS
 
 
+def _safe_atan2_loc(sin_raw: Array, cos_raw: Array) -> Array:
+    """atan2 with a finite gradient at the (0, 0) degenerate point.
+
+    Raw (sin, cos) heads are exactly (0, 0) whenever an upstream
+    conditioning context is all-zero (e.g. a fully-masked empty
+    neighborhood feeding a zero-initialized head): plain atan2's
+    gradient ``(cos, -sin)/(sin^2+cos^2)`` is NaN there and one such
+    sample poisons the whole batch's gradient.  The double-``where``
+    guard pins loc = atan2(0, 1) = 0 with zero gradient at that point
+    and is bit-identical to plain atan2 everywhere else.  (The
+    reference inherits TF's NaN here — a bug to fix, not copy,
+    vaemolsim/dists.py:59-72.)
+    """
+    degenerate = (sin_raw == 0.0) & (cos_raw == 0.0)
+    safe_cos = jnp.where(degenerate, 1.0, cos_raw)
+    return jnp.arctan2(jnp.where(degenerate, 0.0, sin_raw), safe_cos)
+
+
 def _von_mises_from_raw(raw: Array) -> dl.VonMises:
     """Reference vaemolsim/dists.py:59-72: sin/cos pair -> wrapped loc,
     SoftClip-bounded concentration."""
-    loc = jnp.arctan2(raw[..., 0], raw[..., 1])
+    loc = _safe_atan2_loc(raw[..., 0], raw[..., 1])
     conc = _vm_softclip.forward(raw[..., 2])
     return dl.VonMises(loc=loc, concentration=conc)
 
@@ -75,7 +93,7 @@ def _von_mises_mixture_from_raw(n_components: int):
     def build(raw: Array) -> dl.MixtureSameFamily:
         n = n_components
         comp = raw[..., : 3 * n].reshape(raw.shape[:-1] + (n, 3))
-        loc = jnp.arctan2(comp[..., 0], comp[..., 1])
+        loc = _safe_atan2_loc(comp[..., 0], comp[..., 1])
         conc = _vm_softclip.forward(comp[..., 2])
         logits = raw[..., 3 * n:]
         return dl.MixtureSameFamily(
@@ -401,7 +419,7 @@ class IndependentVonMises:
 
     def __call__(self, raw: Array, train: bool = False) -> dl.Independent:
         p = raw.reshape(raw.shape[:-1] + (self.event_dim, 3))
-        loc = jnp.arctan2(p[..., 0], p[..., 1])
+        loc = _safe_atan2_loc(p[..., 0], p[..., 1])
         conc = jax.nn.softplus(p[..., 2])
         return dl.Independent(dl.VonMises(loc=loc, concentration=conc), 1)
 

@@ -338,10 +338,13 @@ class ParticleEmbedding:
 class LocalParticleDescriptors:
     """DistanceSelection then ParticleEmbedding (reference
     vaemolsim/mappings.py:691-762): select up to ``max_included`` nearest
-    particles around a reference site, then embed them invariantly."""
+    particles around a reference site, then embed them invariantly.
+
+    ``embed`` is any call-compatible embedding — ``ParticleEmbedding``
+    (GA attention) or ``nn.schnet.SchNetEmbedding``."""
 
     select: DistanceSelection
-    embed: ParticleEmbedding
+    embed: Any  # ParticleEmbedding | SchNetEmbedding
 
     def __call__(self, coords: Array, ref: Array, particle_info: Array,
                  mask: Optional[Array] = None,

@@ -44,6 +44,8 @@ _ACTIVATIONS = {
     "softplus": jax.nn.softplus,
     "swish": jax.nn.swish,
     "leaky_relu": jax.nn.leaky_relu,
+    # SchNet's shifted softplus, ssp(0) = 0 (nn/schnet.py).
+    "shifted_softplus": lambda x: jax.nn.softplus(x) - 0.6931471805599453,
 }
 
 
