@@ -226,3 +226,81 @@ class TestNeighborMD:
             baoab_neighbor(build, energy, x0, v0,
                            jax.random.PRNGKey(0), dt=0.01, n_steps=10,
                            rebuild_every=0)
+
+
+class TestNPTMD:
+    """BAOAB + MC barostat (md.baoab_npt): exact ideal-gas volume law,
+    virial self-consistency on LJ, and thermostat health under volume
+    moves."""
+
+    @staticmethod
+    def _ideal_gas_factory(b):
+        del b
+        return lambda x: jnp.zeros(x.shape[:-2], x.dtype)
+
+    def test_ideal_gas_volume_gamma(self):
+        """MC-barostat volume sampling of an ideal gas is exactly
+        V ~ Gamma(N+1, beta P), independent of the MD in between."""
+        from vaemolsim_tpu.md import baoab_npt
+        n_atoms = 8
+        x0 = jax.random.uniform(jax.random.PRNGKey(0),
+                                (256, n_atoms, 3)) * 2.0
+        v0 = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+        st, collected = jax.jit(lambda x, v, k: baoab_npt(
+            self._ideal_gas_factory, x, v, [2.0] * 3, k, dt=0.01,
+            n_steps=4000, pressure=1.0, kT=1.0, vol_every=2,
+            dlnv_scale=0.3, collect=True))(
+                x0, v0, jax.random.PRNGKey(2))
+        _, boxes = collected
+        vols = np.asarray(jnp.prod(boxes[400:], axis=-1)).ravel()
+        mean = n_atoms + 1.0  # Gamma(N+1, 1)
+        assert abs(vols.mean() - mean) < 0.15 * mean
+        assert abs(vols.var() - mean) < 0.3 * mean
+        assert int(st.vol_trials) == 2000 * 256
+
+    def test_lj_virial_self_consistency_and_temperature(self):
+        """<P_virial> under NPT-MD(P_set) equals P_set and the kinetic
+        temperature stays at kT with the barostat active."""
+        from vaemolsim_tpu import observables
+        from vaemolsim_tpu.md import baoab_npt, temperature
+        p_set, n_atoms, kt = 0.05, 16, 1.0
+        fac = lambda b: lennard_jones(box=b, cutoff=2.5)  # noqa: E731
+        # Overlap-free start: 16 of 27 simple-cubic sites (spacing ~2.7).
+        grid = np.stack(np.meshgrid(*[np.linspace(0.5, 6.5, 3)] * 3,
+                                    indexing="ij"), -1).reshape(-1, 3)
+        grid = grid[:n_atoms]
+        x0 = (jnp.asarray(grid, jnp.float32)[None]
+              + 0.1 * jax.random.normal(jax.random.PRNGKey(3),
+                                        (32, n_atoms, 3)))
+        v0 = jax.random.normal(jax.random.PRNGKey(4), x0.shape)
+        st, collected = jax.jit(lambda x, v, k: baoab_npt(
+            fac, x, v, [8.0] * 3, k, dt=0.003, n_steps=3000,
+            pressure=p_set, kT=kt, friction=2.0, vol_every=10,
+            dlnv_scale=0.1, min_box=5.0, collect=True))(
+                x0, v0, jax.random.PRNGKey(5))
+        xs, boxes = collected
+        xs, boxes = xs[100:], boxes[100:]
+        p_fn = jax.jit(jax.vmap(jax.vmap(
+            lambda x, b: observables.virial_pressure(fac, x, box=b))))
+        p_vir = float(np.asarray(p_fn(xs, boxes)).mean())
+        assert abs(p_vir - p_set) < 0.35 * p_set
+        assert abs(float(temperature(st.v).mean()) - kt) < 0.15
+        assert float(jnp.min(st.box)) >= 5.0
+        assert 0.05 < float(st.vol_acceptance_rate) <= 1.0
+
+    def test_resume_and_validation(self):
+        from vaemolsim_tpu.md import baoab_npt
+        x0 = jax.random.uniform(jax.random.PRNGKey(6), (4, 5, 3))
+        v0 = jnp.zeros_like(x0)
+        st, _ = baoab_npt(self._ideal_gas_factory, x0, v0, [1.0] * 3,
+                          jax.random.PRNGKey(7), dt=0.01, n_steps=10,
+                          pressure=1.0, vol_every=5)
+        st2, _ = baoab_npt(self._ideal_gas_factory, None, None, None,
+                           None, dt=0.01, n_steps=10, pressure=1.0,
+                           vol_every=5, state=st)
+        assert int(st2.vol_trials) == 2 * int(st.vol_trials)
+        assert np.isfinite(np.asarray(st2.x)).all()
+        with pytest.raises(ValueError, match="vol_every"):
+            baoab_npt(self._ideal_gas_factory, x0, v0, [1.0] * 3,
+                      jax.random.PRNGKey(8), dt=0.01, n_steps=10,
+                      pressure=1.0, vol_every=3)

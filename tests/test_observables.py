@@ -175,3 +175,44 @@ class TestTailCorrection:
         du_fd = (us(1.0 + h) - us(1.0 - h)) / (2 * h)
         p_fd = (40 - du_fd / 3.0) / float(jnp.prod(box))
         np.testing.assert_allclose(p, p_fd, rtol=5e-3, atol=1e-4)
+
+
+class TestWidomInsertion:
+    """Widom test-particle chemical potential: exact ideal-gas zero, and
+    quadrature-exact dilute-LJ value (low-density closed form)."""
+
+    def test_ideal_gas_zero(self):
+        from vaemolsim_tpu.observables import widom_insertion
+        pot = lambda x: jnp.zeros(x.shape[:-2], x.dtype)  # noqa: E731
+        xs = jax.random.uniform(jax.random.PRNGKey(0), (10, 4, 5, 3)) * 4.0
+        mu, err = widom_insertion(pot, xs, box=[4.0] * 3,
+                                  key=jax.random.PRNGKey(1),
+                                  n_insertions=8)
+        assert float(mu) == 0.0
+        assert float(err) == 0.0
+
+    def test_dilute_lj_matches_quadrature(self):
+        """Uniform (ideal) configurations are the exact low-density
+        ensemble; there <exp(-beta dU)> = (1 - c/V)^N with
+        c = int (1 - exp(-beta u(r))) d^3r over the truncated-shifted
+        LJ — pinned against numpy quadrature within the estimator's own
+        reported stderr."""
+        from vaemolsim_tpu.observables import widom_insertion
+        from vaemolsim_tpu.potentials import lennard_jones
+        n_atoms, box_l, cutoff, kt = 16, 8.0, 2.5, 1.0
+        pot = lennard_jones(box=[box_l] * 3, cutoff=cutoff)
+        xs = jax.random.uniform(jax.random.PRNGKey(2),
+                                (64, n_atoms, 3)) * box_l
+        mu, err = jax.jit(lambda xs, k: widom_insertion(
+            pot, xs, box=[box_l] * 3, key=k, n_insertions=128, kT=kt))(
+                xs, jax.random.PRNGKey(3))
+
+        r = np.linspace(1e-4, cutoff, 200_000)
+        u_c = 4.0 * (cutoff ** -12 - cutoff ** -6)
+        u = 4.0 * (r ** -12.0 - r ** -6.0) - u_c
+        c = np.trapezoid((1.0 - np.exp(-np.clip(u, None, 60.0) / kt))
+                         * 4.0 * np.pi * r ** 2, r)
+        mu_exact = -kt * n_atoms * np.log(1.0 - c / box_l ** 3)
+        assert mu_exact < 0.0  # attraction dominates at this cutoff
+        assert float(err) < 0.1 * abs(mu_exact)
+        assert abs(float(mu) - mu_exact) < 4.0 * float(err) + 0.01

@@ -31,10 +31,12 @@ from typing import Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from vaemolsim_tpu.mcmc.engine import log_uniform
+
 Array = jax.Array
 
-__all__ = ["MDState", "velocity_verlet", "baoab",
-           "velocity_verlet_neighbor", "baoab_neighbor",
+__all__ = ["MDState", "NPTMDState", "velocity_verlet", "baoab",
+           "velocity_verlet_neighbor", "baoab_neighbor", "baoab_npt",
            "kinetic_energy", "temperature"]
 
 
@@ -188,6 +190,128 @@ def baoab(potential: Callable[[Array], Array],
 
     out, _ = jax.lax.scan(body, init, keys)
     return out, None
+
+
+class NPTMDState(NamedTuple):
+    """Carry of the NPT-MD loop: MD state plus the per-replica box, the
+    cached potential energy at ``(x, box)``, and barostat statistics."""
+    x: Array
+    v: Array
+    force: Array
+    box: Array          # (..., dim) per-replica edge lengths
+    energy: Array       # (...,) potential energy U(x; box)
+    key: Array
+    vol_trials: Array   # () int32
+    vol_acc: Array      # () int32
+
+    @property
+    def volume(self) -> Array:
+        return jnp.prod(self.box, axis=-1)
+
+    @property
+    def vol_acceptance_rate(self) -> Array:
+        return self.vol_acc / jnp.maximum(self.vol_trials, 1)
+
+
+def baoab_npt(potential_for_box: Callable[[Array], Callable],
+              x0: Array, v0: Array, box0, key: Array, *,
+              dt: float, n_steps: int, pressure: float,
+              friction: float = 1.0, kT: float = 1.0, masses=1.0,
+              vol_every: int = 25, dlnv_scale: float = 0.02,
+              min_box: Optional[float] = None,
+              collect: bool = False,
+              state: Optional[NPTMDState] = None
+              ) -> Tuple[NPTMDState, Optional[Tuple[Array, Array]]]:
+    """Isothermal-isobaric (NPT) dynamics: BAOAB Langevin + MC barostat.
+
+    The standard hybrid scheme (Chow & Ferguson 1995; OpenMM's
+    MonteCarloBarostat): ``vol_every`` BAOAB steps at frozen box, then
+    one Metropolis volume move — a Gaussian step in ``ln V``, uniform
+    dilation of coordinates and box, accepted with
+
+        ``exp(-beta dU - beta P dV + (N + 1) ln(V'/V))``
+
+    (the same ln-V-sampling exponent as :mod:`vaemolsim_tpu.mcmc.npt`;
+    velocities are untouched — the Maxwell distribution is
+    volume-independent, so the kinetic part cancels exactly).  Samples
+    the NPT ensemble at temperature ``kT`` and pressure ``pressure`` in
+    reduced units, with BAOAB's O(dt^2) configurational bias.
+
+    ``potential_for_box(box (..., 1, 1, dim)) -> energy_fn`` is the
+    box-parametric factory contract of :mod:`vaemolsim_tpu.mcmc.npt`
+    (dense periodic potentials; keep ``shift=True``, and set
+    ``min_box=2*cutoff`` for truncated minimum-image pair forms — see
+    ``make_npt_step``).  Every replica carries its own box; thousands of
+    replicas batch over the leading axes as one compiled scan.
+
+    ``collect=True`` additionally returns ``(xs, boxes)`` sampled once
+    per barostat cycle, shapes ``(n_steps//vol_every, ...)``.
+
+    ``state``: resume from a previous call's final state (``x0``,
+    ``v0``, ``box0``, ``key`` are then ignored).
+    """
+    if vol_every < 1 or n_steps % vol_every:
+        raise ValueError(f"vol_every={vol_every} must be >= 1 and divide "
+                         f"n_steps={n_steps}")
+    beta = 1.0 / float(kT)
+    pressure = float(pressure)
+    min_box_v = None if min_box is None else float(min_box)
+
+    def u_at(x, box):
+        return potential_for_box(box[..., None, None, :])(x)
+
+    if state is None:
+        x0 = jnp.asarray(x0)
+        box_arr = jnp.broadcast_to(jnp.asarray(box0, x0.dtype),
+                                   x0.shape[:-2] + (x0.shape[-1],))
+        _, f0 = _force_fn(lambda x: u_at(x, box_arr))(x0)
+        state = NPTMDState(x=x0, v=jnp.asarray(v0), force=f0, box=box_arr,
+                           energy=u_at(x0, box_arr), key=key,
+                           vol_trials=jnp.asarray(0, jnp.int32),
+                           vol_acc=jnp.asarray(0, jnp.int32))
+
+    n_atoms, dim = state.x.shape[-2], state.x.shape[-1]
+    n_chains = int(state.energy.size)
+
+    def cycle(s: NPTMDState, _):
+        key, k_md, k_ln, k_acc = jax.random.split(s.key, 4)
+        md, _ = baoab(lambda x: u_at(x, s.box), s.x, s.v, k_md, dt=dt,
+                      n_steps=vol_every, friction=friction, kT=kT,
+                      masses=masses, f0=s.force)
+
+        # MC volume move (velocities unchanged).
+        e1 = u_at(md.x, s.box)
+        v1 = jnp.prod(s.box, axis=-1)
+        ln_v1 = jnp.log(v1)
+        ln_v2 = ln_v1 + dlnv_scale * jax.random.normal(k_ln, v1.shape,
+                                                       md.x.dtype)
+        scale = jnp.exp((ln_v2 - ln_v1) / dim)
+        box2 = scale[..., None] * s.box
+        x2 = scale[..., None, None] * md.x
+        e2 = u_at(x2, box2)
+        v2 = jnp.exp(ln_v2)
+        log_acc = (-beta * (e2 - e1) - beta * pressure * (v2 - v1)
+                   + (n_atoms + 1) * (ln_v2 - ln_v1))
+        if min_box_v is not None:
+            log_acc = jnp.where(jnp.min(box2, axis=-1) < min_box_v,
+                                -jnp.inf, log_acc)
+        accept = log_acc >= log_uniform(k_acc, log_acc.shape,
+                                        log_acc.dtype)
+
+        x = jnp.where(accept[..., None, None], x2, md.x)
+        box = jnp.where(accept[..., None], box2, s.box)
+        energy = jnp.where(accept, e2, e1)
+        # Refresh the cached force at the (possibly new) box/coords.
+        _, f = _force_fn(lambda xx: u_at(xx, box))(x)
+        out = NPTMDState(
+            x=x, v=md.v, force=f, box=box, energy=energy, key=key,
+            vol_trials=s.vol_trials + jnp.asarray(n_chains, jnp.int32),
+            vol_acc=s.vol_acc + jnp.sum(accept, dtype=jnp.int32))
+        return out, (x, box) if collect else None
+
+    state, collected = jax.lax.scan(cycle, state, None,
+                                    length=n_steps // vol_every)
+    return state, collected
 
 
 def velocity_verlet_neighbor(build, energy, x0: Array, v0: Array, *,

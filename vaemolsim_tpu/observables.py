@@ -21,7 +21,7 @@ Array = jax.Array
 __all__ = ["radius_of_gyration", "pair_distance_histogram",
            "radial_distribution", "mean_squared_displacement",
            "velocity_autocorrelation", "virial_pressure",
-           "structure_factor"]
+           "structure_factor", "widom_insertion"]
 
 
 def radius_of_gyration(x: Array) -> Array:
@@ -215,3 +215,49 @@ def structure_factor(x: Array, *, box: Sequence[float],
                          sums / jnp.maximum(jnp.asarray(counts, jnp.float32),
                                             1.0), jnp.nan)
     return centers, s_binned
+
+
+def widom_insertion(potential, xs: Array, *, box, key: Array,
+                    n_insertions: int = 16, kT: float = 1.0
+                    ) -> Tuple[Array, Array]:
+    """Widom test-particle estimate of the excess chemical potential.
+
+    ``mu_ex = -kT ln < exp(-beta dU) >`` where ``dU`` is the energy of
+    inserting a ghost particle at a uniform random position into an
+    equilibrium configuration (Widom 1963; Frenkel & Smit ch. 7.2.1).
+    The insertion energy is computed exactly as ``U([x; x_ghost]) -
+    U(x)`` with the SAME potential used for sampling — the dense
+    factories in :mod:`vaemolsim_tpu.potentials` build their pair masks
+    from the call-time shape, so one closure serves both the n- and
+    (n+1)-atom evaluations (note: potentials with per-atom (n,)
+    parameter arrays are shape-bound; pass a scalar-parameter or
+    insertion-aware potential for those).
+
+    Parameters
+    ----------
+    potential : ``(..., n, d) -> (...)`` energy (reduced units).
+    xs : ``(S, ..., n, d)`` equilibrium samples at temperature ``kT``.
+    box : ``(d,)`` edge lengths ghost positions are drawn uniformly in.
+    n_insertions : ghosts per configuration (all batched on device).
+
+    Returns ``(mu_ex, stderr)`` in energy units (delta-method standard
+    error via the log-space Zwanzig machinery of
+    :func:`vaemolsim_tpu.mcmc.free_energy.exp_free_energy`).
+    """
+    from vaemolsim_tpu.mcmc.free_energy import exp_free_energy
+
+    xs = jnp.asarray(xs)
+    box_arr = jnp.asarray(box, xs.dtype)
+    flat = xs.reshape((-1,) + xs.shape[-2:])             # (F, n, d)
+    n_frames, _, dim = flat.shape
+    ghosts = box_arr * jax.random.uniform(
+        key, (n_insertions, n_frames, dim), xs.dtype)    # (M, F, d)
+    u0 = potential(flat)                                 # (F,)
+
+    def du_one(xg):
+        aug = jnp.concatenate([flat, xg[:, None, :]], axis=-2)
+        return potential(aug) - u0
+
+    du = jax.vmap(du_one)(ghosts)                        # (M, F)
+    beta_mu, stderr = exp_free_energy(du / kT)
+    return kT * beta_mu, kT * stderr
