@@ -91,3 +91,31 @@ class TestJointBackmapping:
         for _ in range(30):
             layer, st, v = step(layer, st)
         assert float(v) < l0
+
+
+class TestSchNetVariant:
+
+    def test_schnet_embedding_log_prob_sample_grad(self, system):
+        """embedding="schnet" (the reference's cgschnet intent,
+        vaemolsim/dists.py:805) composes with the joint decoder."""
+        cg, info, x = system
+        layer = JointBackmapping.create(
+            jax.random.PRNGKey(4), dofs_per_residue=2, cg_info_dim=1,
+            decoder_dist=IndependentBlockwise.create(2, "normal"),
+            embed_dim=8, prefix_dim=4, mapping_hidden=16,
+            embedding="schnet")
+        lp = layer(cg, info).log_prob(x)
+        assert lp.shape == (3,) and jnp.isfinite(lp).all()
+        s = jax.jit(lambda k: layer(cg, info).sample(k))(
+            jax.random.PRNGKey(5))
+        assert s.shape == x.shape and jnp.isfinite(s).all()
+        g = jax.grad(lambda l: -jnp.mean(l(cg, info).log_prob(x)))(layer)
+        assert all(jnp.isfinite(leaf).all()
+                   for leaf in jax.tree_util.tree_leaves(g))
+
+    def test_unknown_embedding_raises(self):
+        with pytest.raises(ValueError, match="embedding"):
+            JointBackmapping.create(
+                jax.random.PRNGKey(0), dofs_per_residue=2, cg_info_dim=1,
+                decoder_dist=IndependentBlockwise.create(2, "normal"),
+                embedding="nope")

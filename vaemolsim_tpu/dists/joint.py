@@ -165,17 +165,33 @@ class JointBackmapping:
                decoder_dist: Any,
                embed_dim: int = 16, prefix_dim: int = 8,
                cutoff: float = 5.0, max_included: int = 8,
-               mapping_hidden: int = 32) -> "JointBackmapping":
+               mapping_hidden: int = 32,
+               embedding: str = "attention") -> "JointBackmapping":
+        """``embedding``: "attention" (GA attention) or "schnet"
+        (continuous-filter convolutions) for the CG-environment encoder
+        — the latter realizes the exact pairing the reference sketches,
+        ``cgschnet`` embeddings feeding the residue-autoregressive
+        decoder (vaemolsim/dists.py:805)."""
         from vaemolsim_tpu.nn.attention import ParticleEmbedding
         from vaemolsim_tpu.nn.mappings import DistanceSelection, FCDeepNN
+        from vaemolsim_tpu.nn.schnet import SchNetEmbedding
 
         keys = jax.random.split(key, 4)
+        if embedding == "schnet":
+            env_embed = SchNetEmbedding.create(
+                keys[0], info_dim=cg_info_dim, embedding_dim=embed_dim,
+                cutoff=cutoff)
+        elif embedding == "attention":
+            env_embed = ParticleEmbedding.create(
+                keys[0], info_dim=cg_info_dim, embedding_dim=embed_dim,
+                num_blocks=1)
+        else:
+            raise ValueError("embedding must be 'attention' or 'schnet', "
+                             f"got {embedding!r}")
         cg_embed = LocalParticleDescriptors(
             select=DistanceSelection.create(cutoff=cutoff,
                                             max_included=max_included),
-            embed=ParticleEmbedding.create(keys[0], info_dim=cg_info_dim,
-                                           embedding_dim=embed_dim,
-                                           num_blocks=1))
+            embed=env_embed)
         residue_encoder = Dense.create(keys[1], dofs_per_residue,
                                        prefix_dim, "tanh")
         ctx_dim = embed_dim + prefix_dim
