@@ -1,6 +1,6 @@
-"""Example-workflow smoke tests: ALL fifteen user-facing scripts must run
+"""Example-workflow smoke tests: ALL seventeen user-facing scripts must run
 end to end at their CI scale (the reference's four notebooks are
-executable documents — examples 01-04 are their ports, 05-15 the
+executable documents — examples 01-04 are their ports, 05-17 the
 beyond-reference workflows).  Wall-clock is compile-dominated on CPU;
 the --full scales are exercised manually / on hardware."""
 
@@ -154,3 +154,17 @@ def test_example_14_npt_equation_of_state():
 def test_example_15_molten_salt():
     out = run_example("15_molten_salt.py", timeout=900)
     assert "molten-salt charge ordering confirmed: OK" in out
+
+
+@pytest.mark.slow
+def test_example_16_joint_backmapping():
+    out = run_example("16_joint_backmapping.py", timeout=900)
+    assert "joint advantage" in out
+    assert out.strip().endswith("OK")
+
+
+@pytest.mark.slow
+def test_example_17_ml_force_field():
+    out = run_example("17_ml_force_field.py", timeout=900)
+    assert "force RMSE" in out
+    assert out.strip().endswith("OK")

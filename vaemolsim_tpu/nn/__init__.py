@@ -17,6 +17,8 @@ from vaemolsim_tpu.nn.core import (  # noqa: F401
 from vaemolsim_tpu.nn.schnet import (  # noqa: F401
     SchNetEmbedding,
     SchNetInteraction,
+    SchNetPotential,
+    energy_force_loss,
 )
 from vaemolsim_tpu.nn.mappings import (  # noqa: F401
     CGCenterOfMass,

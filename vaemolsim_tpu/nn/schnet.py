@@ -49,8 +49,9 @@ from vaemolsim_tpu.nn.core import Dense
 
 Array = jax.Array
 
-__all__ = ["SchNetEmbedding", "SchNetInteraction", "gaussian_rbf",
-           "cosine_cutoff", "shifted_softplus"]
+__all__ = ["SchNetEmbedding", "SchNetInteraction", "SchNetPotential",
+           "gaussian_rbf", "cosine_cutoff", "shifted_softplus",
+           "energy_force_loss"]
 
 
 def shifted_softplus(x: Array) -> Array:
@@ -206,3 +207,156 @@ class SchNetEmbedding:
             return total / N
         count = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)
         return total / count.astype(total.dtype)
+
+
+@struct.dataclass
+class SchNetPotential:
+    """Machine-learned interatomic potential (energy + AD forces).
+
+    The second half of the reference's unfinished SchNet intent — its
+    WIP whole-system decoder names an ``atomschnet`` network over the
+    *atomistic* configuration (vaemolsim/dists.py:850) that was never
+    written.  This is that capability as a standalone ML force field:
+    per-atom energies from ``num_blocks`` continuous-filter convolution
+    blocks (Schütt et al. 2018) summed into a size-extensive total,
+    trained by energy/force matching (:func:`energy_force_loss`) and
+    plugged directly into the framework's samplers — ``md.baoab`` /
+    ``velocity_verlet``, HMC, NPT (the potential is box-parametric, so
+    ``observables.virial_pressure`` and volume moves work unchanged).
+
+    TPU design: the (N, N) pair grid is dense masked matmuls and one
+    einsum contraction per block — static shapes, no gather/scatter.
+    Periodic systems use the minimum-image convention on the pair
+    difference tensor (same wrapping rule as :func:`potentials
+    .lennard_jones`), so ``box`` may be a traced array (NPT dilations
+    differentiate through it).  Forces are exactly ``-grad(E)`` of a
+    C¹ energy: the cosine cutoff envelope zeroes every filter smoothly
+    at ``cutoff`` (no truncation discontinuity to break NVE energy
+    conservation), and pair distances are sqrt-floored at coincidence.
+
+    ``species``: per-atom feature vectors ``(N, S)`` (e.g. one-hot
+    types; continuous descriptors work too — this generalizes SchNet's
+    integer embedding lookup to a linear map).  ``e_ref`` adds a
+    learnable per-species reference energy (linear in composition) and
+    ``e_scale`` a learnable per-atom energy scale, so the interaction
+    blocks only model the O(1)-normalized residual — standard practice
+    for stable force-field fitting.
+    """
+
+    species_net: Dense
+    blocks: Tuple[SchNetInteraction, ...]
+    out1: Dense
+    out2: Dense
+    e_scale: Array  # scalar
+    e_ref: Array  # (S,)
+    n_rbf: int = struct.field(pytree_node=False, default=32)
+    cutoff: float = struct.field(pytree_node=False, default=3.0)
+
+    @classmethod
+    def create(cls, key: Array, species_dim: int, features: int = 32,
+               num_blocks: int = 3, n_rbf: int = 32,
+               cutoff: float = 3.0) -> "SchNetPotential":
+        keys = jax.random.split(key, num_blocks + 3)
+        ssp = "shifted_softplus"
+        return cls(
+            species_net=Dense.create(keys[0], species_dim, features),
+            blocks=tuple(SchNetInteraction.create(keys[1 + i], features,
+                                                  n_rbf)
+                         for i in range(num_blocks)),
+            out1=Dense.create(keys[-2], features, max(features // 2, 1),
+                              activation=ssp),
+            out2=Dense.create(keys[-1], max(features // 2, 1), 1),
+            e_scale=jnp.ones(()), e_ref=jnp.zeros((species_dim,)),
+            n_rbf=n_rbf, cutoff=float(cutoff))
+
+    def atom_energies(self, x: Array, species: Array,
+                      box: Optional[Array] = None,
+                      mask: Optional[Array] = None) -> Array:
+        """Per-atom energy decomposition: ``(..., N)``.
+
+        ``x (..., N, 3)``; ``species (N, S)`` or ``(..., N, S)``;
+        ``box`` per-dimension periodic lengths (broadcastable to
+        ``(..., 3)``) or None for open boundaries; ``mask (..., N)``
+        True for real atoms (padding rows contribute exactly zero).
+        """
+        N = x.shape[-2]
+        diff = x[..., :, None, :] - x[..., None, :, :]
+        if box is not None:
+            b = jnp.asarray(box, x.dtype)[..., None, None, :]
+            diff = diff - b * jnp.round(diff / b)
+        d_pair = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+
+        rbf = gaussian_rbf(d_pair, self.n_rbf, self.cutoff)
+        env = cosine_cutoff(d_pair, self.cutoff)
+        pair_mask = ~jnp.eye(N, dtype=bool)
+        if mask is not None:
+            pair_mask = pair_mask & mask[..., :, None] & mask[..., None, :]
+        pair_mask = pair_mask.astype(rbf.dtype)
+
+        h = jnp.broadcast_to(self.species_net(species),
+                             x.shape[:-1] + (self.species_net.out_dim,))
+        for block in self.blocks:
+            h = block(h, rbf, env, pair_mask)
+
+        e_atom = (self.e_scale * self.out2(self.out1(h))[..., 0]
+                  + species @ self.e_ref)
+        if mask is not None:
+            e_atom = e_atom * mask.astype(e_atom.dtype)
+        return e_atom
+
+    def __call__(self, x: Array, species: Array,
+                 box: Optional[Array] = None,
+                 mask: Optional[Array] = None) -> Array:
+        """Total potential energy, shape = batch shape of ``x``."""
+        return jnp.sum(self.atom_energies(x, species, box, mask), axis=-1)
+
+    def as_potential(self, species: Array, box: Optional[Array] = None,
+                     mask: Optional[Array] = None):
+        """Close over the chemistry: returns ``energy(x)`` with the
+        framework's potential contract (potentials.py) — drop it into
+        ``md.velocity_verlet``/``baoab``, ``mcmc.make_hmc_step``,
+        ``potentials.composite``, ``as_log_prob``, ...
+        """
+        return lambda x: self(x, species, box, mask)
+
+    def as_potential_for_box(self, species: Array,
+                             mask: Optional[Array] = None):
+        """Box-parametric factory ``box -> energy(x)`` for NPT volume
+        moves and the virial-pressure dilation (mcmc.npt /
+        observables.virial_pressure contract)."""
+        return lambda box: (lambda x: self(x, species, box, mask))
+
+
+def energy_force_loss(model: SchNetPotential, x: Array, species: Array,
+                      energy: Array, forces: Array, *,
+                      box: Optional[Array] = None,
+                      mask: Optional[Array] = None,
+                      w_energy: float = 1.0,
+                      w_force: float = 1.0) -> Array:
+    """Combined per-atom MSE for energy/force matching.
+
+    ``(w_e/N) * mean_b (E_pred - E)^2  +  (w_f/(3N)) * mean |F_pred - F|^2``
+    with ``F_pred = -grad_x E_pred`` (one vmapped reverse pass; training
+    then differentiates through it — second-order AD, which the dense
+    matmul graph supports without custom rules).  Normalizing both terms
+    per-atom keeps ``w_energy``/``w_force`` transferable across system
+    sizes; force matching carries 3N constraints per frame vs 1 for the
+    energy, so the conventional choice weights forces heavily
+    (e.g. ``w_energy=0.1, w_force=1.0``).
+    """
+    if mask is None:
+        n_eff = jnp.asarray(x.shape[-2], x.dtype)
+    else:
+        n_eff = jnp.maximum(jnp.sum(mask, axis=-1), 1).astype(x.dtype)
+
+    def e_fn(xi):
+        return model(xi, species, box, mask)
+
+    e_pred = e_fn(x)
+    f_pred = -jax.grad(lambda xi: jnp.sum(e_fn(xi)))(x)
+    e_term = jnp.mean(jnp.square(e_pred - energy) / n_eff)
+    df = jnp.square(f_pred - forces)
+    if mask is not None:
+        df = df * mask[..., None].astype(df.dtype)
+    f_term = jnp.mean(jnp.sum(df, axis=(-2, -1)) / (3.0 * n_eff))
+    return w_energy * e_term + w_force * f_term
