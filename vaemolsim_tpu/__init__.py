@@ -35,6 +35,7 @@ from vaemolsim_tpu import parallel  # noqa: F401
 from vaemolsim_tpu import train  # noqa: F401
 from vaemolsim_tpu import config  # noqa: F401
 from vaemolsim_tpu import coords  # noqa: F401
+from vaemolsim_tpu import cg  # noqa: F401
 from vaemolsim_tpu import potentials  # noqa: F401
 from vaemolsim_tpu import md  # noqa: F401
 from vaemolsim_tpu import observables  # noqa: F401
