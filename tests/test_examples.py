@@ -1,6 +1,6 @@
-"""Example-workflow smoke tests: ALL seventeen user-facing scripts must run
+"""Example-workflow smoke tests: ALL nineteen user-facing scripts must run
 end to end at their CI scale (the reference's four notebooks are
-executable documents — examples 01-04 are their ports, 05-17 the
+executable documents — examples 01-04 are their ports, 05-19 the
 beyond-reference workflows).  Wall-clock is compile-dominated on CPU;
 the --full scales are exercised manually / on hardware."""
 
@@ -168,3 +168,17 @@ def test_example_17_ml_force_field():
     out = run_example("17_ml_force_field.py", timeout=900)
     assert "force RMSE" in out
     assert out.strip().endswith("OK")
+
+
+@pytest.mark.slow
+def test_example_18_cg_force_matching():
+    out = run_example("18_cg_force_matching.py", timeout=900)
+    assert "force correlation" in out
+    assert out.strip().endswith("OK")
+
+
+@pytest.mark.slow
+def test_example_19_gcmc_isotherm():
+    out = run_example("19_gcmc_isotherm.py", timeout=900)
+    assert "Widom cross-check" in out
+    assert "isotherm thermodynamically consistent: OK" in out

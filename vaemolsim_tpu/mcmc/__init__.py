@@ -46,3 +46,10 @@ from vaemolsim_tpu.mcmc.npt import (  # noqa: F401
     npt_init,
     run_npt,
 )
+from vaemolsim_tpu.mcmc.gcmc import (  # noqa: F401
+    GCMCState,
+    gcmc_init,
+    lj_pair_u,
+    make_gcmc_step,
+    run_gcmc,
+)
