@@ -1,6 +1,6 @@
-"""Example-workflow smoke tests: ALL nineteen user-facing scripts must run
+"""Example-workflow smoke tests: ALL twenty user-facing scripts must run
 end to end at their CI scale (the reference's four notebooks are
-executable documents — examples 01-04 are their ports, 05-19 the
+executable documents — examples 01-04 are their ports, 05-20 the
 beyond-reference workflows).  Wall-clock is compile-dominated on CPU;
 the --full scales are exercised manually / on hardware."""
 
@@ -182,3 +182,12 @@ def test_example_19_gcmc_isotherm():
     out = run_example("19_gcmc_isotherm.py", timeout=900)
     assert "Widom cross-check" in out
     assert "isotherm thermodynamically consistent: OK" in out
+
+
+@pytest.mark.slow
+def test_example_20_umbrella_pmf():
+    out = run_example("20_umbrella_pmf.py", timeout=900)
+    import re
+    m = re.search(r"max \|W - W_exact\| = ([0-9.]+) kT", out)
+    assert m is not None and float(m.group(1)) < 0.35
+    assert "umbrella/MBAR PMF matches the closed form: OK" in out
