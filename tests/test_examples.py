@@ -185,6 +185,13 @@ def test_example_19_gcmc_isotherm():
 
 
 @pytest.mark.slow
+def test_example_21_gibbs_coexistence():
+    out = run_example("21_gibbs_coexistence.py", timeout=900)
+    assert "coexistence densities" in out
+    assert "vapor-liquid coexistence established: OK" in out
+
+
+@pytest.mark.slow
 def test_example_20_umbrella_pmf():
     out = run_example("20_umbrella_pmf.py", timeout=900)
     import re

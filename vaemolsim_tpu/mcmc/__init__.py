@@ -53,3 +53,9 @@ from vaemolsim_tpu.mcmc.gcmc import (  # noqa: F401
     make_gcmc_step,
     run_gcmc,
 )
+from vaemolsim_tpu.mcmc.gibbs import (  # noqa: F401
+    GibbsState,
+    gibbs_init,
+    make_gibbs_step,
+    run_gibbs,
+)
