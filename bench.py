@@ -489,6 +489,59 @@ def bench_cell_list_md(jax, jnp, n_atoms=8192, n_steps=200, rho=0.8,
             "final_kt": round(2.0 * ke / (3.0 * n_atoms), 4)}
 
 
+def bench_gcmc(jax, jnp, n_chains=8192, n_max=64, n_sweeps=100,
+               box_l=5.0, kt=2.0, z=0.1):
+    """Grand-canonical MC throughput (mcmc/gcmc.py): muVT LJ sweeps —
+    one single-particle displacement + one insert/delete exchange per
+    chain per sweep, each costing one masked (n_max,) pair-energy row.
+    Rate is MC moves/sec across all chains.  Correctness guards: counts
+    stay inside [0, n_max), both acceptance channels live, energies
+    finite."""
+    import numpy as np
+
+    from vaemolsim_tpu.mcmc import (gcmc_init, lj_pair_u, make_gcmc_step,
+                                    run_gcmc)
+    from vaemolsim_tpu.mcmc.gcmc import total_energy
+
+    mu = kt * float(np.log(z))
+    pair = lj_pair_u(cutoff=2.5)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    x0 = box_l * jax.random.uniform(k1, (n_chains, n_max, 3))
+    n0 = int(z * box_l ** 3)
+    act0 = jnp.broadcast_to(jnp.arange(n_max)[None, :] < n0,
+                            (n_chains, n_max))
+    st0 = gcmc_init(x0, act0, k2)
+    step = make_gcmc_step(pair, box=box_l, mu=mu, beta=1.0 / kt,
+                          dx_scale=0.35, n_disp=1)
+    run = jax.jit(lambda s: run_gcmc(step, s, n_sweeps)[0])
+    st = run(st0)                                    # compile + burn-in
+    jax.block_until_ready(st.x)
+
+    holder = {"st": st}
+
+    def rep():
+        out = run(holder["st"])
+        jax.block_until_ready(out.x)
+        holder["st"] = out
+        return out
+
+    best, median, times = _time_reps(rep)
+    st = holder["st"]
+    n = np.asarray(st.n)
+    assert 0 <= n.min() and n.max() < n_max, "capacity bound must not bind"
+    exch = float(st.exchange_acceptance_rate)
+    disp = float(st.disp_acceptance_rate)
+    assert 0.0 < exch < 1.0 and 0.0 < disp <= 1.0
+    e = total_energy(st, pair, box_l)
+    assert bool(jnp.isfinite(e).all())
+    moves = 2 * n_chains * n_sweeps
+    return {"rate": moves / best, "median_rate": moves / median,
+            "times": times, "n_chains": n_chains, "n_max": n_max,
+            "mean_n": round(float(n.mean()), 2),
+            "exchange_acceptance": round(exch, 4),
+            "disp_acceptance": round(disp, 4)}
+
+
 def bench_pallas_backends(jax, jnp):
     """Compile-and-golden-check the TPU-only Pallas paths so Mosaic/jax
     upgrades can't rot them silently (they are kept as measured-slower
@@ -801,6 +854,20 @@ def main():
     except Exception as e:
         extras.append({"metric": "cell_list_md_atom_steps_per_sec",
                        "error": repr(e)})
+    try:
+        gc = bench_gcmc(jax, jnp)
+        extras.append({
+            "metric": "gcmc_moves_per_sec",
+            "value": round(gc["rate"], 1),
+            "unit": f"muVT MC moves/sec (LJ, {gc['n_chains']} chains, "
+                    f"capacity {gc['n_max']}, masked O(n_max) moves)",
+            "median": round(gc["median_rate"], 1),
+            "mean_n": gc["mean_n"],
+            "exchange_acceptance": gc["exchange_acceptance"],
+            "disp_acceptance": gc["disp_acceptance"],
+        })
+    except Exception as e:
+        extras.append({"metric": "gcmc_moves_per_sec", "error": repr(e)})
     try:
         stats = bench_statistics(jax, jnp)
         extras.append({"metric": "sampler_statistics_on_chip", **stats})
