@@ -37,7 +37,9 @@ Array = jax.Array
 
 __all__ = ["MDState", "NPTMDState", "velocity_verlet", "baoab",
            "velocity_verlet_neighbor", "baoab_neighbor", "baoab_npt",
-           "kinetic_energy", "temperature"]
+           "kinetic_energy", "temperature",
+           "BondConstraints", "bond_constraints",
+           "velocity_verlet_constrained", "baoab_constrained"]
 
 
 class MDState(NamedTuple):
@@ -378,4 +380,192 @@ def baoab_neighbor(build, energy, x0: Array, v0: Array, key: Array, *,
     init = MDState(x=x0, v=jnp.asarray(v0), force=force0)
     keys = jax.random.split(key, n_steps // rebuild_every)
     out, _ = jax.lax.scan(chunk, init, keys)
+    return out, None
+
+
+class BondConstraints(NamedTuple):
+    """Holonomic bond-length constraints (|x_i - x_j| = d_b) for MD —
+    SHAKE position projection + RATTLE velocity projection
+    (Ryckaert et al. 1977; Andersen 1983), built for TPU: per-iteration
+    all-bond Jacobi updates applied through a precomputed signed
+    incidence matrix — two einsum contractions per sweep, static
+    shapes, no scatter, no per-bond Python loop (Gauss-Seidel's
+    sequential sweep would serialize on device).  Jacobi SHAKE
+    converges geometrically for molecular topologies; ``n_iters``
+    bounds the fixed compiled cost (default 50 handles bonded chains;
+    disjoint bonds converge in ~10).
+
+    Build with :func:`bond_constraints`; integrate with
+    :func:`velocity_verlet_constrained` / :func:`baoab_constrained`.
+    """
+
+    inc: Array       # (n_bonds, n_atoms) signed incidence (+1 i, -1 j)
+    d0: Array        # (n_bonds,) target lengths
+    inv_mu: Array    # (n_bonds,) 1/m_i + 1/m_j
+    inv_m: Array     # (n_atoms, 1) 1/m_i
+    n_iters: int
+
+    def shake(self, x_ref: Array, x: Array) -> Array:
+        """Project ``x`` onto the constraint manifold along the
+        REFERENCE bond directions (the pre-drift geometry), the SHAKE
+        linearization: after convergence ``|x_i - x_j| = d0`` to the
+        Jacobi tolerance."""
+        r_ref = jnp.einsum("ba,...ad->...bd", self.inc, x_ref)
+
+        def body(_, x):
+            r = jnp.einsum("ba,...ad->...bd", self.inc, x)
+            c = jnp.sum(r * r, axis=-1) - self.d0 ** 2
+            denom = 2.0 * self.inv_mu * jnp.sum(r * r_ref, axis=-1)
+            # guard: if the reference direction degenerates (orthogonal
+            # drift), fall back to the current direction's norm
+            denom = jnp.where(jnp.abs(denom) > 1e-10, denom,
+                              2.0 * self.inv_mu * jnp.sum(r * r, -1))
+            g = c / denom                               # (..., B)
+            dx = -jnp.einsum("ba,...bd->...ad", self.inc,
+                             g[..., None] * r_ref) * self.inv_m
+            return x + dx
+
+        return jax.lax.fori_loop(0, self.n_iters, body, x)
+
+    def rattle(self, x: Array, v: Array) -> Array:
+        """Project velocities so every constrained bond has zero
+        stretch rate (d/dt |x_i - x_j|^2 = 0)."""
+        r = jnp.einsum("ba,...ad->...bd", self.inc, x)
+        r2 = jnp.sum(r * r, axis=-1)
+
+        def body(_, v):
+            rv = jnp.sum(r * jnp.einsum("ba,...ad->...bd", self.inc, v),
+                         axis=-1)
+            k = rv / (self.inv_mu * r2)
+            dv = -jnp.einsum("ba,...bd->...ad", self.inc,
+                             k[..., None] * r) * self.inv_m
+            return v + dv
+
+        return jax.lax.fori_loop(0, self.n_iters, body, v)
+
+
+def bond_constraints(bonds, lengths, n_atoms: int, masses=1.0,
+                     n_iters: int = 50) -> BondConstraints:
+    """Build :class:`BondConstraints` for ``bonds`` (B, 2) static index
+    pairs with target ``lengths`` (scalar or (B,)).  ``masses``: scalar
+    or (n_atoms,)."""
+    import numpy as np
+
+    bonds = np.asarray(bonds, np.int64)
+    if bonds.ndim != 2 or bonds.shape[1] != 2:
+        raise ValueError(f"bonds must be (B, 2); got {bonds.shape}")
+    B = bonds.shape[0]
+    inc = np.zeros((B, n_atoms), np.float32)
+    inc[np.arange(B), bonds[:, 0]] = 1.0
+    inc[np.arange(B), bonds[:, 1]] = -1.0
+    m = np.broadcast_to(np.asarray(masses, np.float32), (n_atoms,))
+    inv_mu = 1.0 / m[bonds[:, 0]] + 1.0 / m[bonds[:, 1]]
+    d0 = np.broadcast_to(np.asarray(lengths, np.float32), (B,))
+    return BondConstraints(
+        inc=jnp.asarray(inc), d0=jnp.asarray(d0),
+        inv_mu=jnp.asarray(inv_mu),
+        inv_m=jnp.asarray(1.0 / m)[:, None], n_iters=int(n_iters))
+
+
+def velocity_verlet_constrained(potential: Callable[[Array], Array],
+                                x0: Array, v0: Array, *,
+                                dt: float, n_steps: int,
+                                constraints: BondConstraints,
+                                masses=1.0,
+                                collect_every: int = 0
+                                ) -> Tuple[MDState, Optional[Array]]:
+    """RATTLE: velocity Verlet with bond constraints — SHAKE after the
+    drift, RATTLE velocity projection after each kick.  Conserves the
+    constrained system's energy (pinned by test) and keeps every bond
+    at its target length to the Jacobi tolerance."""
+    if collect_every and n_steps % collect_every != 0:
+        raise ValueError("n_steps must be a multiple of collect_every")
+    force = _force_fn(potential)
+    m = _masses_arr(masses, x0)
+    dt = jnp.asarray(dt, x0.dtype)
+    con = constraints
+
+    def step(s: MDState) -> MDState:
+        v_half = s.v + 0.5 * dt * s.force / m
+        x_new = con.shake(s.x, s.x + dt * v_half)
+        v_half = (x_new - s.x) / dt              # constraint impulse
+        _, f = force(x_new)
+        v = con.rattle(x_new, v_half + 0.5 * dt * f / m)
+        return MDState(x=x_new, v=v, force=f)
+
+    x0 = con.shake(jnp.asarray(x0), jnp.asarray(x0))
+    _, f0 = force(x0)
+    init = MDState(x=x0, v=con.rattle(x0, jnp.asarray(v0)), force=f0)
+
+    if collect_every:
+        def body(s, _):
+            s = jax.lax.fori_loop(0, collect_every, lambda i, s: step(s), s)
+            return s, s.x
+
+        return jax.lax.scan(body, init, None,
+                            length=n_steps // collect_every)
+
+    def body(s, _):
+        return step(s), None
+
+    out, _ = jax.lax.scan(body, init, None, length=n_steps)
+    return out, None
+
+
+def baoab_constrained(potential: Callable[[Array], Array],
+                      x0: Array, v0: Array, key: Array, *,
+                      dt: float, n_steps: int,
+                      constraints: BondConstraints,
+                      friction: float = 1.0, kT: float = 1.0,
+                      masses=1.0,
+                      collect_every: int = 0
+                      ) -> Tuple[MDState, Optional[Array]]:
+    """Constrained BAOAB (g-BAOAB with one constraint projection per
+    stage, Leimkuhler & Matthews 2016): SHAKE after each drift, RATTLE
+    after each kick and after the OU refresh.  Samples the constrained
+    Boltzmann distribution; kinetic equipartition carries
+    ``(3 N - B)/2 kT`` (pinned by test)."""
+    if collect_every and n_steps % collect_every != 0:
+        raise ValueError("n_steps must be a multiple of collect_every")
+    force = _force_fn(potential)
+    m = _masses_arr(masses, x0)
+    dt = jnp.asarray(dt, x0.dtype)
+    c1 = jnp.exp(-friction * dt)
+    c2 = jnp.sqrt(kT * (1.0 - c1 * c1) / m)
+    con = constraints
+
+    def one(s, k):
+        v = con.rattle(s.x, s.v + 0.5 * dt * s.force / m)       # B
+        x = con.shake(s.x, s.x + 0.5 * dt * v)                  # A
+        v = (x - s.x) / (0.5 * dt)
+        v = c1 * v + c2 * jax.random.normal(k, v.shape, v.dtype)
+        v = con.rattle(x, v)                                    # O
+        x2 = con.shake(x, x + 0.5 * dt * v)                     # A
+        v = (x2 - x) / (0.5 * dt)
+        _, f = force(x2)
+        v = con.rattle(x2, v + 0.5 * dt * f / m)                # B
+        return MDState(x=x2, v=v, force=f)
+
+    x0 = con.shake(jnp.asarray(x0), jnp.asarray(x0))
+    _, f0 = force(x0)
+    init = MDState(x=x0, v=con.rattle(x0, jnp.asarray(v0)), force=f0)
+    keys = jax.random.split(key, n_steps)
+
+    if collect_every:
+        keys = keys.reshape(n_steps // collect_every, collect_every,
+                            *keys.shape[1:])
+
+        def body(s, ks):
+            def inner(s, k):
+                return one(s, k), None
+
+            s, _ = jax.lax.scan(inner, s, ks)
+            return s, s.x
+
+        return jax.lax.scan(body, init, keys)
+
+    def body(s, k):
+        return one(s, k), None
+
+    out, _ = jax.lax.scan(body, init, keys)
     return out, None
