@@ -55,6 +55,33 @@ class TestShakeRattle:
         np.testing.assert_allclose(lens, 0.9, atol=5e-4)
         assert np.isfinite(np.asarray(st.v)).all()
 
+    def test_free_rigid_rotor_conserves_kinetic_energy(self):
+        """A force-free rigid triangle must keep its kinetic energy.
+        Regression: reconstructing the constraint-impulse velocity as
+        (x_new - x)/dt in float32 bled ~3e-5 of the energy PER STEP
+        (roundoff amplified by 1/dt, worse at smaller dt); the
+        integrators now use shake_delta's separately-accumulated
+        correction."""
+        d, ang = 0.4, 1.9106
+        d_hh = float(2 * d * np.sin(ang / 2))
+        con = md.bond_constraints([[0, 1], [0, 2], [1, 2]],
+                                  np.array([d, d, d_hh], np.float32),
+                                  n_atoms=3, masses=[16.0, 1.0, 1.0])
+        x0 = jnp.asarray([[0.0, 0, 0],
+                          [d * np.sin(ang / 2), 0, d * np.cos(ang / 2)],
+                          [-d * np.sin(ang / 2), 0,
+                           d * np.cos(ang / 2)]])[None]
+        v0 = con.rattle(x0, 0.8 * jax.random.normal(jax.random.PRNGKey(0),
+                                                    x0.shape))
+        zero = lambda x: jnp.zeros(x.shape[:-2])  # noqa: E731
+        m = jnp.asarray([16.0, 1.0, 1.0])[:, None]
+        st, _ = jax.jit(lambda x, v: md.velocity_verlet_constrained(
+            zero, x, v, dt=5e-4, n_steps=2000, constraints=con,
+            masses=m))(x0, v0)
+        ke0 = float(md.kinetic_energy(v0, [16.0, 1.0, 1.0])[0])
+        ke1 = float(md.kinetic_energy(st.v, [16.0, 1.0, 1.0])[0])
+        assert abs(ke1 - ke0) / ke0 < 2e-3, (ke0, ke1)
+
     def test_constrained_nve_conserves_energy(self):
         con = md.bond_constraints([[0, 1]], 1.1, n_atoms=4)
         pot = potentials.lennard_jones()

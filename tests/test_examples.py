@@ -1,6 +1,6 @@
-"""Example-workflow smoke tests: ALL twenty user-facing scripts must run
+"""Example-workflow smoke tests: ALL twenty-two user-facing scripts must run
 end to end at their CI scale (the reference's four notebooks are
-executable documents — examples 01-04 are their ports, 05-20 the
+executable documents — examples 01-04 are their ports, 05-22 the
 beyond-reference workflows).  Wall-clock is compile-dominated on CPU;
 the --full scales are exercised manually / on hardware."""
 
@@ -189,6 +189,15 @@ def test_example_21_gibbs_coexistence():
     out = run_example("21_gibbs_coexistence.py", timeout=900)
     assert "coexistence densities" in out
     assert "vapor-liquid coexistence established: OK" in out
+
+
+@pytest.mark.slow
+def test_example_22_rigid_water():
+    out = run_example("22_rigid_water.py", timeout=900)
+    assert "rigid polar liquid validated: OK" in out
+    import re
+    m = re.search(r"max bond deviation after \d+ steps: ([0-9.e-]+)", out)
+    assert m is not None and float(m.group(1)) < 2e-3
 
 
 @pytest.mark.slow

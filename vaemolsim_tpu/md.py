@@ -405,14 +405,21 @@ class BondConstraints(NamedTuple):
     inv_m: Array     # (n_atoms, 1) 1/m_i
     n_iters: int
 
-    def shake(self, x_ref: Array, x: Array) -> Array:
+    def shake_delta(self, x_ref: Array, x: Array) -> Tuple[Array, Array]:
         """Project ``x`` onto the constraint manifold along the
         REFERENCE bond directions (the pre-drift geometry), the SHAKE
         linearization: after convergence ``|x_i - x_j| = d0`` to the
-        Jacobi tolerance."""
+        Jacobi tolerance.  Returns ``(x_projected, delta)`` with
+        ``delta`` the total correction ACCUMULATED SEPARATELY — the
+        integrators need ``delta / dt`` as the constraint-impulse
+        velocity, and computing it as ``(x_new - x) / dt`` in float32
+        amplifies position roundoff by 1/dt (measured: a free rigid
+        rotor bled ~3e-5 of its energy PER STEP through that
+        cancellation, worse at smaller dt)."""
         r_ref = jnp.einsum("ba,...ad->...bd", self.inc, x_ref)
 
-        def body(_, x):
+        def body(_, carry):
+            x, delta = carry
             r = jnp.einsum("ba,...ad->...bd", self.inc, x)
             c = jnp.sum(r * r, axis=-1) - self.d0 ** 2
             denom = 2.0 * self.inv_mu * jnp.sum(r * r_ref, axis=-1)
@@ -423,9 +430,15 @@ class BondConstraints(NamedTuple):
             g = c / denom                               # (..., B)
             dx = -jnp.einsum("ba,...bd->...ad", self.inc,
                              g[..., None] * r_ref) * self.inv_m
-            return x + dx
+            return x + dx, delta + dx
 
-        return jax.lax.fori_loop(0, self.n_iters, body, x)
+        out, delta = jax.lax.fori_loop(
+            0, self.n_iters, body, (x, jnp.zeros_like(x)))
+        return out, delta
+
+    def shake(self, x_ref: Array, x: Array) -> Array:
+        """:meth:`shake_delta` without the correction term."""
+        return self.shake_delta(x_ref, x)[0]
 
     def rattle(self, x: Array, v: Array) -> Array:
         """Project velocities so every constrained bond has zero
@@ -487,8 +500,8 @@ def velocity_verlet_constrained(potential: Callable[[Array], Array],
 
     def step(s: MDState) -> MDState:
         v_half = s.v + 0.5 * dt * s.force / m
-        x_new = con.shake(s.x, s.x + dt * v_half)
-        v_half = (x_new - s.x) / dt              # constraint impulse
+        x_new, delta = con.shake_delta(s.x, s.x + dt * v_half)
+        v_half = v_half + delta / dt             # constraint impulse
         _, f = force(x_new)
         v = con.rattle(x_new, v_half + 0.5 * dt * f / m)
         return MDState(x=x_new, v=v, force=f)
@@ -536,12 +549,12 @@ def baoab_constrained(potential: Callable[[Array], Array],
 
     def one(s, k):
         v = con.rattle(s.x, s.v + 0.5 * dt * s.force / m)       # B
-        x = con.shake(s.x, s.x + 0.5 * dt * v)                  # A
-        v = (x - s.x) / (0.5 * dt)
+        x, d1 = con.shake_delta(s.x, s.x + 0.5 * dt * v)        # A
+        v = v + d1 / (0.5 * dt)
         v = c1 * v + c2 * jax.random.normal(k, v.shape, v.dtype)
         v = con.rattle(x, v)                                    # O
-        x2 = con.shake(x, x + 0.5 * dt * v)                     # A
-        v = (x2 - x) / (0.5 * dt)
+        x2, d2 = con.shake_delta(x, x + 0.5 * dt * v)           # A
+        v = v + d2 / (0.5 * dt)
         _, f = force(x2)
         v = con.rattle(x2, v + 0.5 * dt * f / m)                # B
         return MDState(x=x2, v=v, force=f)
