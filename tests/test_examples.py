@@ -1,6 +1,6 @@
-"""Example-workflow smoke tests: ALL twenty-two user-facing scripts must run
+"""Example-workflow smoke tests: ALL twenty-three user-facing scripts must run
 end to end at their CI scale (the reference's four notebooks are
-executable documents — examples 01-04 are their ports, 05-22 the
+executable documents — examples 01-04 are their ports, 05-23 the
 beyond-reference workflows).  Wall-clock is compile-dominated on CPU;
 the --full scales are exercised manually / on hardware."""
 
@@ -198,6 +198,15 @@ def test_example_22_rigid_water():
     import re
     m = re.search(r"max bond deviation after \d+ steps: ([0-9.e-]+)", out)
     assert m is not None and float(m.group(1)) < 2e-3
+
+
+@pytest.mark.slow
+def test_example_23_metadynamics():
+    out = run_example("23_metadynamics.py", timeout=900)
+    import re
+    m = re.search(r"RMS error vs torsion\s+potential ([0-9.]+) kT", out)
+    assert m is not None and float(m.group(1)) < 0.5
+    assert "metadynamics torsional PMF recovered: OK" in out
 
 
 @pytest.mark.slow
