@@ -304,3 +304,100 @@ class TestNPTMD:
             baoab_npt(self._ideal_gas_factory, x0, v0, [1.0] * 3,
                       jax.random.PRNGKey(8), dt=0.01, n_steps=10,
                       pressure=1.0, vol_every=3)
+
+
+class TestNoseHoover:
+    """Nose-Hoover chains: the deterministic NVT thermostat (MTK
+    scheme).  Beyond-reference (the reference is MC-only)."""
+
+    k_spring = 4.0
+
+    @staticmethod
+    def _pot(x):
+        return 0.5 * TestNoseHoover.k_spring * jnp.sum(x * x,
+                                                       axis=(-2, -1))
+
+    def test_invariant_conserved(self):
+        """The extended Hamiltonian is flat along the trajectory —
+        the NVE-energy-style integration diagnostic."""
+        from vaemolsim_tpu.md import nose_hoover, nose_hoover_invariant
+        x0 = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (8, 4, 3))
+        v0 = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+        st1, _ = nose_hoover(self._pot, x0, v0, dt=0.005, n_steps=1,
+                             kT=1.5, tau=0.5)
+        h0 = nose_hoover_invariant(self._pot, st1, kT=1.5, tau=0.5)
+        st2, _ = nose_hoover(self._pot, x0, v0, dt=0.005, n_steps=4000,
+                             kT=1.5, tau=0.5)
+        h1 = nose_hoover_invariant(self._pot, st2, kT=1.5, tau=0.5)
+        rel = jnp.max(jnp.abs(h1 - h0)) / jnp.mean(jnp.abs(h0))
+        assert float(rel) < 1e-3
+
+    def test_canonical_sampling(self):
+        """Chains (n_chain=3) make even the pure-harmonic system
+        ergodic: equipartition holds for both <v^2> and <k x^2>."""
+        from vaemolsim_tpu.md import nose_hoover, temperature
+        kt = 1.5
+        x0 = 0.3 * jax.random.normal(jax.random.PRNGKey(2), (64, 4, 3))
+        v0 = jnp.sqrt(kt) * jax.random.normal(jax.random.PRNGKey(3),
+                                              x0.shape)
+        st, traj = nose_hoover(self._pot, x0, v0, dt=0.01,
+                               n_steps=20000, kT=kt, tau=0.3,
+                               collect_every=20)
+        xs = traj[traj.shape[0] // 2:]
+        assert abs(float(self.k_spring * jnp.mean(xs * xs)) - kt) < 0.1
+        assert abs(float(jnp.mean(temperature(st.v))) - kt) < 0.2
+
+    def test_resume_exact(self):
+        """Two segments through `state` reproduce one long run
+        bit-for-bit (deterministic dynamics, cached force reused)."""
+        from vaemolsim_tpu.md import nose_hoover
+        x0 = 0.2 * jax.random.normal(jax.random.PRNGKey(4), (3, 2, 3))
+        v0 = jax.random.normal(jax.random.PRNGKey(5), x0.shape)
+        full, _ = nose_hoover(self._pot, x0, v0, dt=0.01, n_steps=40,
+                              kT=1.0, tau=0.2)
+        half, _ = nose_hoover(self._pot, x0, v0, dt=0.01, n_steps=20,
+                              kT=1.0, tau=0.2)
+        resumed, _ = nose_hoover(self._pot, None, None, dt=0.01,
+                                 n_steps=20, kT=1.0, tau=0.2,
+                                 state=half)
+        np.testing.assert_array_equal(np.asarray(full.x),
+                                      np.asarray(resumed.x))
+        np.testing.assert_array_equal(np.asarray(full.v_xi),
+                                      np.asarray(resumed.v_xi))
+
+    def test_single_chain_and_sy_stages(self):
+        """n_chain=1 (plain Nose-Hoover) and every SY stage count
+        integrate stably and conserve their invariants."""
+        from vaemolsim_tpu.md import nose_hoover, nose_hoover_invariant
+        x0 = 0.3 * jax.random.normal(jax.random.PRNGKey(6), (4, 3, 3))
+        v0 = jax.random.normal(jax.random.PRNGKey(7), x0.shape)
+        for n_chain, n_sy in [(1, 7), (2, 1), (3, 3)]:
+            st1, _ = nose_hoover(self._pot, x0, v0, dt=0.005,
+                                 n_steps=1, kT=1.0, tau=0.5,
+                                 n_chain=n_chain, n_sy=n_sy)
+            h0 = nose_hoover_invariant(self._pot, st1, kT=1.0, tau=0.5)
+            st2, _ = nose_hoover(self._pot, x0, v0, dt=0.005,
+                                 n_steps=500, kT=1.0, tau=0.5,
+                                 n_chain=n_chain, n_sy=n_sy)
+            h1 = nose_hoover_invariant(self._pot, st2, kT=1.0, tau=0.5)
+            rel = jnp.max(jnp.abs(h1 - h0)) / jnp.mean(jnp.abs(h0))
+            assert float(rel) < 5e-3, (n_chain, n_sy)
+
+    def test_validation(self):
+        from vaemolsim_tpu.md import (nose_hoover,
+                                      nose_hoover_invariant)
+        x0 = jnp.zeros((2, 2, 3))
+        with pytest.raises(ValueError, match="n_sy"):
+            nose_hoover(self._pot, x0, x0, dt=0.01, n_steps=4, n_sy=5)
+        with pytest.raises(ValueError, match="n_chain"):
+            nose_hoover(self._pot, x0, x0, dt=0.01, n_steps=4,
+                        n_chain=0)
+        with pytest.raises(ValueError, match="collect_every"):
+            nose_hoover(self._pot, x0, x0, dt=0.01, n_steps=5,
+                        collect_every=2)
+        st, _ = nose_hoover(self._pot, x0, x0, dt=0.01, n_steps=4)
+        with pytest.raises(ValueError, match="tau"):
+            nose_hoover_invariant(self._pot, st, kT=1.0)
+        # dt fills in the default tau.
+        h = nose_hoover_invariant(self._pot, st, kT=1.0, dt=0.01)
+        assert np.isfinite(np.asarray(h)).all()

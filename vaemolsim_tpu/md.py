@@ -35,7 +35,8 @@ from vaemolsim_tpu.mcmc.engine import log_uniform
 
 Array = jax.Array
 
-__all__ = ["MDState", "NPTMDState", "velocity_verlet", "baoab",
+__all__ = ["MDState", "NPTMDState", "NHCState", "velocity_verlet",
+           "baoab", "nose_hoover", "nose_hoover_invariant",
            "velocity_verlet_neighbor", "baoab_neighbor", "baoab_npt",
            "kinetic_energy", "temperature",
            "BondConstraints", "bond_constraints",
@@ -192,6 +193,208 @@ def baoab(potential: Callable[[Array], Array],
 
     out, _ = jax.lax.scan(body, init, keys)
     return out, None
+
+
+class NHCState(NamedTuple):
+    """Carry of the Nose-Hoover-chain loop: MD state plus the chain's
+    own positions (``xi``, needed only for the conserved quantity) and
+    velocities (``v_xi``), each ``(..., n_chain)`` per replica."""
+    x: Array
+    v: Array
+    force: Array
+    xi: Array
+    v_xi: Array
+
+
+# Suzuki-Yoshida composition weights: symmetric palindromic sequences
+# that cancel the low-order error of the inner NHC splitting.  The
+# 7-stage weights are Yoshida's 6th-order set (standard in MTK
+# integrators; identical constants in LAMMPS/OpenMM/i-PI).
+_W1_7, _W2_7, _W3_7 = (0.784513610477560, 0.235573213359357,
+                       -1.17767998417887)
+_W1_3 = 1.0 / (2.0 - 2.0 ** (1.0 / 3.0))
+_SY_WEIGHTS = {
+    1: (1.0,),
+    3: (_W1_3, 1.0 - 2.0 * _W1_3, _W1_3),
+    7: (_W1_7, _W2_7, _W3_7, 1.0 - 2.0 * (_W1_7 + _W2_7 + _W3_7),
+        _W3_7, _W2_7, _W1_7),
+}
+
+
+def _nhc_masses(n_dof: int, kT: float, tau: float, n_chain: int):
+    """MTK thermostat masses: ``Q_1 = n_dof kT tau^2``, ``Q_i = kT
+    tau^2`` for the rest of the chain (tau is the thermostat period)."""
+    q = [n_dof * kT * tau * tau] + [kT * tau * tau] * (n_chain - 1)
+    return tuple(float(v) for v in q)
+
+
+def _nhc_propagate(v, xi, v_xi, *, m, q, n_dof, kT, dt_half,
+                   n_sy, n_respa):
+    """Apply the Nose-Hoover-chain propagator ``exp(i L_NHC dt/2)``.
+
+    The standard reversible factorization (Martyna, Tuckerman, Tobias &
+    Klein 1996, Mol. Phys. 87:1117): for each Suzuki-Yoshida substep, a
+    backward sweep updating chain velocities from the tail in, one
+    velocity rescale of the particles, a chain-position drift, and a
+    forward sweep back out.  The chain length is static, so the sweeps
+    unroll into a handful of fused elementwise ops per replica.
+    """
+    n_chain = len(q)
+    ke2 = jnp.sum(m * v * v, axis=(-2, -1))           # 2 * KE, (...,)
+    scale = jnp.ones_like(ke2)
+    vx = [v_xi[..., i] for i in range(n_chain)]
+    xs = [xi[..., i] for i in range(n_chain)]
+    weights = _SY_WEIGHTS[n_sy]
+
+    for _ in range(n_respa):
+        for w in weights:
+            delta = w * dt_half / n_respa
+            # Backward sweep: tail thermostat first.
+            g = (q[n_chain - 2] * vx[n_chain - 2] ** 2 - kT) / q[-1] \
+                if n_chain > 1 else (ke2 - n_dof * kT) / q[0]
+            vx[-1] = vx[-1] + 0.5 * delta * g
+            for i in range(n_chain - 2, -1, -1):
+                aa = jnp.exp(-0.25 * delta * vx[i + 1])
+                if i == 0:
+                    g = (ke2 - n_dof * kT) / q[0]
+                else:
+                    g = (q[i - 1] * vx[i - 1] ** 2 - kT) / q[i]
+                vx[i] = vx[i] * aa * aa + 0.5 * delta * g * aa
+            # Particle-velocity rescale by the head thermostat.
+            s = jnp.exp(-delta * vx[0])
+            scale = scale * s
+            ke2 = ke2 * s * s
+            # Chain-position drift (enters only the invariant).
+            for i in range(n_chain):
+                xs[i] = xs[i] + delta * vx[i]
+            # Forward sweep back out to the tail.
+            for i in range(n_chain - 1):
+                aa = jnp.exp(-0.25 * delta * vx[i + 1])
+                if i == 0:
+                    g = (ke2 - n_dof * kT) / q[0]
+                else:
+                    g = (q[i - 1] * vx[i - 1] ** 2 - kT) / q[i]
+                vx[i] = vx[i] * aa * aa + 0.5 * delta * g * aa
+            if n_chain > 1:
+                g = (q[n_chain - 2] * vx[n_chain - 2] ** 2 - kT) / q[-1]
+            else:
+                g = (ke2 - n_dof * kT) / q[0]
+            vx[-1] = vx[-1] + 0.5 * delta * g
+
+    v = v * scale[..., None, None]
+    return v, jnp.stack(xs, axis=-1), jnp.stack(vx, axis=-1)
+
+
+def nose_hoover(potential: Callable[[Array], Array],
+                x0: Array, v0: Array, *,
+                dt: float, n_steps: int,
+                kT: float = 1.0, tau: Optional[float] = None,
+                masses=1.0, n_chain: int = 3,
+                n_sy: int = 7, n_respa: int = 1,
+                collect_every: int = 0,
+                state: Optional[NHCState] = None
+                ) -> Tuple[NHCState, Optional[Array]]:
+    """Deterministic NVT dynamics via Nose-Hoover chains (MTK scheme).
+
+    Beyond-reference capability (the reference is MC-only,
+    /root/reference/vaemolsim/mcmc.py).  The canonical deterministic
+    thermostat: a chain of ``n_chain`` thermostat variables couples to
+    the kinetic energy, making the extended system's dynamics sample
+    the NVT ensemble while conserving the extended Hamiltonian of
+    :func:`nose_hoover_invariant` exactly in the dt -> 0 limit — the
+    invariant's drift is THE integration-quality diagnostic, which
+    stochastic thermostats (BAOAB) do not offer.  Chains (vs a single
+    Nose-Hoover variable) restore ergodicity for stiff/harmonic
+    systems; the Suzuki-Yoshida ``n_sy``-stage, ``n_respa``-fold
+    splitting keeps the chain integration accurate when ``tau`` is
+    small.
+
+    One force evaluation per step, whole trajectory as one
+    ``lax.scan``; replicas batch over leading axes and shard over a
+    mesh like every integrator here.  ``tau`` is the thermostat period
+    (defaults to ``100*dt``); thermostat masses follow MTK
+    (``Q_1 = n_dof kT tau^2``, ``Q_i = kT tau^2``).
+
+    Returns ``(NHCState, trajectory)``; pass ``state`` to resume a
+    previous segment exactly (``x0``/``v0`` are then ignored).
+    """
+    if collect_every and n_steps % collect_every != 0:
+        raise ValueError("n_steps must be a multiple of collect_every")
+    if n_sy not in _SY_WEIGHTS:
+        raise ValueError(f"n_sy must be one of {sorted(_SY_WEIGHTS)}")
+    if n_chain < 1:
+        raise ValueError("n_chain must be >= 1")
+    force = _force_fn(potential)
+    x0 = state.x if state is not None else jnp.asarray(x0)
+    m = _masses_arr(masses, x0)
+    n_dof = x0.shape[-2] * x0.shape[-1]
+    tau_v = float(tau) if tau is not None else 100.0 * float(dt)
+    q = _nhc_masses(n_dof, float(kT), tau_v, n_chain)
+    dt = jnp.asarray(dt, x0.dtype)
+
+    def step(s: NHCState) -> NHCState:
+        v, xi, v_xi = _nhc_propagate(
+            s.v, s.xi, s.v_xi, m=m, q=q, n_dof=n_dof, kT=float(kT),
+            dt_half=0.5 * dt, n_sy=n_sy, n_respa=n_respa)
+        v = v + 0.5 * dt * s.force / m
+        x = s.x + dt * v
+        _, f = force(x)
+        v = v + 0.5 * dt * f / m
+        v, xi, v_xi = _nhc_propagate(
+            v, xi, v_xi, m=m, q=q, n_dof=n_dof, kT=float(kT),
+            dt_half=0.5 * dt, n_sy=n_sy, n_respa=n_respa)
+        return NHCState(x=x, v=v, force=f, xi=xi, v_xi=v_xi)
+
+    if state is None:
+        _, f0 = force(x0)
+        batch = x0.shape[:-2]
+        zeros = jnp.zeros(batch + (n_chain,), x0.dtype)
+        state = NHCState(x=x0, v=jnp.asarray(v0), force=f0,
+                         xi=zeros, v_xi=zeros)
+
+    if collect_every:
+        def body(s, _):
+            s = jax.lax.fori_loop(0, collect_every, lambda i, s: step(s), s)
+            return s, s.x
+
+        return jax.lax.scan(body, state, None,
+                            length=n_steps // collect_every)
+
+    def body(s, _):
+        return step(s), None
+
+    out, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return out, None
+
+
+def nose_hoover_invariant(potential: Callable[[Array], Array],
+                          state: NHCState, *,
+                          kT: float = 1.0, tau: Optional[float] = None,
+                          dt: Optional[float] = None,
+                          masses=1.0) -> Array:
+    """The conserved quantity of :func:`nose_hoover` per replica:
+
+    ``H' = U + KE + sum_i Q_i v_xi_i^2 / 2 + n_dof kT xi_1
+    + kT sum_{i>1} xi_i``
+
+    Pass the same ``kT``/``tau``/``masses`` as the integrator (and
+    ``dt`` if ``tau`` was left at its ``100*dt`` default).  Flat to
+    O(dt^2) along a trajectory — monitor it exactly like NVE energy.
+    """
+    if tau is None:
+        if dt is None:
+            raise ValueError("pass tau, or dt so the 100*dt default "
+                             "tau matches the integrator")
+        tau = 100.0 * float(dt)
+    n_chain = state.v_xi.shape[-1]
+    n_dof = state.x.shape[-2] * state.x.shape[-1]
+    q = jnp.asarray(_nhc_masses(n_dof, float(kT), float(tau), n_chain),
+                    state.x.dtype)
+    therm_ke = 0.5 * jnp.sum(q * state.v_xi * state.v_xi, axis=-1)
+    weights = jnp.asarray([n_dof] + [1] * (n_chain - 1), state.x.dtype)
+    therm_pe = float(kT) * jnp.sum(weights * state.xi, axis=-1)
+    return (potential(state.x) + kinetic_energy(state.v, masses)
+            + therm_ke + therm_pe)
 
 
 class NPTMDState(NamedTuple):
