@@ -216,3 +216,82 @@ class TestWidomInsertion:
         assert mu_exact < 0.0  # attraction dominates at this cutoff
         assert float(err) < 0.1 * abs(mu_exact)
         assert abs(float(mu) - mu_exact) < 4.0 * float(err) + 0.01
+
+
+class TestTransport:
+    """Multi-origin correlation estimators and the two diffusion
+    routes (Einstein MSD slope, Green-Kubo VACF integral), pinned on
+    exactly-known stochastic processes."""
+
+    def test_autocorrelation_fft_matches_direct(self):
+        """The FFT estimator equals the O(T^2) definition exactly."""
+        from vaemolsim_tpu.observables import autocorrelation_fft
+        rng = np.random.default_rng(0)
+        v = rng.standard_normal((37, 3, 5, 2)).astype(np.float32)
+        got = np.asarray(autocorrelation_fft(jnp.asarray(v)))
+        want = np.array([
+            np.mean(np.sum(v[:37 - m] * v[m:], axis=-1))
+            for m in range(37)
+        ])
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_vacf_exponential_ou(self):
+        """Discrete OU velocities: C(m)/C(0) = c1^m, C(0) = d kT."""
+        from vaemolsim_tpu.observables import autocorrelation_fft
+        kT, gamma, dt, T = 1.2, 2.0, 0.02, 4000
+        c1 = np.exp(-gamma * dt)
+        rng = np.random.default_rng(1)
+        v = np.zeros((T, 64, 4, 3), np.float64)
+        v[0] = np.sqrt(kT) * rng.standard_normal(v.shape[1:])
+        sig = np.sqrt(kT * (1.0 - c1 * c1))
+        for t in range(1, T):
+            v[t] = c1 * v[t - 1] + sig * rng.standard_normal(v.shape[1:])
+        vacf = np.asarray(autocorrelation_fft(jnp.asarray(v, jnp.float32)))
+        assert abs(vacf[0] - 3 * kT) < 0.05 * 3 * kT
+        np.testing.assert_allclose(vacf[1:20] / vacf[0],
+                                   c1 ** np.arange(1, 20), atol=0.02)
+
+    def test_diffusion_langevin_both_routes(self):
+        """Free Langevin particle: D = kT / (m gamma).  The Einstein
+        fit on real BAOAB output and the Green-Kubo integral on exact
+        OU velocities both recover it."""
+        from vaemolsim_tpu.md import baoab
+        from vaemolsim_tpu.observables import (diffusion_coefficient,
+                                               green_kubo_diffusion)
+        kT, gamma, dt = 1.2, 2.0, 0.02
+        pot = lambda x: jnp.zeros(x.shape[:-2])
+        x0 = jnp.zeros((256, 8, 3))
+        v0 = jnp.sqrt(kT) * jax.random.normal(jax.random.PRNGKey(0),
+                                              x0.shape)
+        _, traj = baoab(pot, x0, v0, jax.random.PRNGKey(1), dt=dt,
+                        n_steps=8000, friction=gamma, kT=kT,
+                        collect_every=4)
+        d_true = kT / gamma
+        d_msd, msd = diffusion_coefficient(traj, dt=4 * dt)
+        assert abs(float(d_msd) - d_true) < 0.05 * d_true
+        assert msd.shape == (2000,) and float(msd[0]) < 1e-5
+
+        c1 = np.exp(-gamma * dt)
+        rng = np.random.default_rng(2)
+        v = np.zeros((4000, 64, 4, 3), np.float64)
+        v[0] = np.sqrt(kT) * rng.standard_normal(v.shape[1:])
+        sig = np.sqrt(kT * (1.0 - c1 * c1))
+        for t in range(1, 4000):
+            v[t] = c1 * v[t - 1] + sig * rng.standard_normal(v.shape[1:])
+        d_gk, vacf = green_kubo_diffusion(jnp.asarray(v, jnp.float32),
+                                          dt=dt, t_max=6.0 / gamma)
+        assert abs(float(d_gk) - d_true) < 0.05 * d_true
+        assert vacf.shape == (4000,)
+
+    def test_msd_ballistic(self):
+        """Free flight x = v t: multi-origin MSD is exactly
+        <|v|^2> t^2 at every lag (all origins identical)."""
+        from vaemolsim_tpu.observables import diffusion_coefficient
+        rng = np.random.default_rng(3)
+        v = rng.standard_normal((16, 2, 3)).astype(np.float32)
+        ts = np.arange(64, dtype=np.float32)
+        traj = jnp.asarray(ts[:, None, None, None] * v[None])
+        _, msd = diffusion_coefficient(traj, dt=1.0)
+        want = np.mean(np.sum(v * v, axis=-1)) * ts ** 2
+        np.testing.assert_allclose(np.asarray(msd), want, rtol=2e-3,
+                                   atol=1e-3)

@@ -21,7 +21,9 @@ Array = jax.Array
 __all__ = ["radius_of_gyration", "pair_distance_histogram",
            "radial_distribution", "mean_squared_displacement",
            "velocity_autocorrelation", "virial_pressure",
-           "structure_factor", "widom_insertion"]
+           "structure_factor", "widom_insertion",
+           "autocorrelation_fft", "diffusion_coefficient",
+           "green_kubo_diffusion"]
 
 
 def radius_of_gyration(x: Array) -> Array:
@@ -121,6 +123,106 @@ def velocity_autocorrelation(vtraj: Array, normalize: bool = True) -> Array:
     if normalize:
         c = c / jnp.maximum(c[0], 1e-30)
     return c
+
+
+def autocorrelation_fft(traj: Array) -> Array:
+    """Multi-origin autocorrelation ``C(tau) = <a(t) . a(t+tau)>_t``
+    averaged over ALL ``T - tau`` time origins, atoms, and replicas.
+
+    ``traj``: ``(T, ..., n_atoms, dim)``; returns ``(T,)``.  Computed
+    by zero-padded real FFTs over the time axis (O(T log T), one
+    batched ``rfft``/``irfft`` pair — the Wiener-Khinchin route maps
+    the whole estimator onto dense FFTs instead of a lag loop), then
+    normalized per lag by its origin count.
+    """
+    traj = jnp.asarray(traj)
+    t = traj.shape[0]
+    # Collapse every non-time axis into one batch axis for the FFT.
+    flat = traj.reshape(t, -1)
+    n_fft = 2 * t
+    f = jnp.fft.rfft(flat, n=n_fft, axis=0)
+    corr = jnp.fft.irfft(f * jnp.conj(f), n=n_fft, axis=0)[:t]
+    # Sum the dot product over components; average over atoms/replicas
+    # = mean over flattened columns grouped by dim. Since the dot sums
+    # dim and the mean divides by (n_atoms * replicas), together they
+    # equal sum over all columns / (n_columns / dim).
+    dim = traj.shape[-1]
+    n_vectors = flat.shape[1] // dim
+    counts = (t - jnp.arange(t)).astype(traj.dtype)
+    return jnp.sum(corr, axis=1) / (counts * n_vectors)
+
+
+def diffusion_coefficient(traj: Array, *, dt: float,
+                          fit_start: float = 0.25,
+                          fit_stop: float = 0.75
+                          ) -> Tuple[Array, Array]:
+    """Self-diffusion coefficient by the Einstein relation,
+    ``MSD(t) -> 2 d D t``, from UNWRAPPED coordinates.
+
+    The MSD is the multi-origin estimator computed in O(T log T): the
+    cross term ``<x(t) . x(t+tau)>`` via :func:`autocorrelation_fft`
+    and the square term ``<|x(t)|^2 + |x(t+tau)|^2>`` via prefix sums
+    (the Kneller/nMoldyn decomposition ``MSD = S1 - 2 S2`` — no O(T^2)
+    lag loop, no sequential recursion).  A least-squares line is fit
+    over lag fractions ``[fit_start, fit_stop)`` of the trajectory
+    (skipping the short-time ballistic regime and the noisy large-lag
+    tail, where few origins remain).
+
+    ``traj``: ``(T, ..., n_atoms, dim)``, frames ``dt`` apart.
+    Returns ``(D, msd)`` with ``msd`` of shape ``(T,)``.
+    """
+    traj = jnp.asarray(traj)
+    t, dim = traj.shape[0], traj.shape[-1]
+    s2 = autocorrelation_fft(traj)
+    # S1[m] = mean over origins of |x(t)|^2 + |x(t+m)|^2, via exclusive
+    # prefix sums of the per-frame squared norms.
+    d2 = jnp.mean(jnp.sum(traj * traj, axis=-1),
+                  axis=tuple(range(1, traj.ndim - 1)))      # (T,)
+    p = jnp.concatenate([jnp.zeros((1,), d2.dtype), jnp.cumsum(d2)])
+    m = jnp.arange(t)
+    counts = (t - m).astype(traj.dtype)
+    s1 = (p[t - m] + p[t] - p[m]) / counts
+    msd = s1 - 2.0 * s2
+
+    lo = max(int(fit_start * t), 1)
+    hi = max(int(fit_stop * t), lo + 2)
+    mask = (m >= lo) & (m < hi)
+    w = mask.astype(traj.dtype)
+    times = m.astype(traj.dtype) * dt
+    n = jnp.sum(w)
+    tm = jnp.sum(w * times) / n
+    ym = jnp.sum(w * msd) / n
+    slope = (jnp.sum(w * (times - tm) * (msd - ym))
+             / jnp.sum(w * (times - tm) ** 2))
+    return slope / (2.0 * dim), msd
+
+
+def green_kubo_diffusion(vtraj: Array, *, dt: float,
+                         t_max: Optional[float] = None
+                         ) -> Tuple[Array, Array]:
+    """Self-diffusion by the Green-Kubo route,
+    ``D = (1/d) integral_0^inf <v(0) . v(t)> dt``,
+
+    with the multi-origin VACF from :func:`autocorrelation_fft` and a
+    trapezoidal integral truncated at ``t_max`` (default: a quarter of
+    the trajectory — the VACF tail beyond its decorrelation time adds
+    only noise).  Cross-validates :func:`diffusion_coefficient`: the
+    two estimators agree for any trajectory long vs the velocity
+    correlation time (pinned on analytic Langevin dynamics in
+    ``tests/test_observables.py``).
+
+    ``vtraj``: velocities ``(T, ..., n_atoms, dim)``; returns
+    ``(D, vacf)`` with the UNnormalized VACF of shape ``(T,)``.
+    """
+    vtraj = jnp.asarray(vtraj)
+    t, dim = vtraj.shape[0], vtraj.shape[-1]
+    vacf = autocorrelation_fft(vtraj)
+    n_keep = t if t_max is None else min(int(round(t_max / dt)) + 1, t)
+    if t_max is None:
+        n_keep = max(t // 4, 2)
+    kept = vacf[:n_keep]
+    integral = dt * (jnp.sum(kept) - 0.5 * (kept[0] + kept[-1]))
+    return integral / dim, vacf
 
 
 def virial_pressure(potential_for_box, x: Array, *, box,
