@@ -401,3 +401,96 @@ class TestNoseHoover:
         # dt fills in the default tau.
         h = nose_hoover_invariant(self._pot, st, kT=1.0, dt=0.01)
         assert np.isfinite(np.asarray(h)).all()
+
+
+class TestSteeredMD:
+    """Nonequilibrium work + Jarzynski/Crooks, pinned on the harmonic
+    stiffness switch whose free-energy difference is exact:
+    dF = (kT/2) ln(k2/k1) per degree of freedom."""
+
+    kT, k1, k2 = 1.0, 1.0, 4.0
+
+    @classmethod
+    def _pot_for(cls, lam):
+        k = (1.0 - lam) * cls.k1 + lam * cls.k2
+        return lambda x: 0.5 * k * jnp.sum(x * x, axis=(-2, -1))
+
+    def _work(self, key_x, key_md, *, reverse):
+        from vaemolsim_tpu.md import steered_baoab
+        n_rep, n_steps = 8192, 400
+        k_eq = self.k2 if reverse else self.k1
+        x0 = jnp.sqrt(self.kT / k_eq) * jax.random.normal(
+            jax.random.PRNGKey(key_x), (n_rep, 1, 1))
+        v0 = jnp.sqrt(self.kT) * jax.random.normal(
+            jax.random.PRNGKey(key_x + 100), x0.shape)
+        lams = jnp.linspace(0.0, 1.0, n_steps + 1)
+        if reverse:
+            lams = lams[::-1]
+        _, w = steered_baoab(self._pot_for, x0, v0,
+                             jax.random.PRNGKey(key_md), dt=0.05,
+                             n_steps=n_steps, lambdas=lams,
+                             friction=2.0, kT=self.kT)
+        return w
+
+    def test_jarzynski_and_crooks(self):
+        from vaemolsim_tpu.mcmc.free_energy import (bar_free_energy,
+                                                    exp_free_energy)
+        wf = self._work(0, 2, reverse=False)
+        wr = self._work(3, 4, reverse=True)
+        df_true = 0.5 * np.log(self.k2 / self.k1)
+        jar, err = exp_free_energy(wf / self.kT)
+        assert abs(float(jar) - df_true) < max(4 * float(err), 0.02)
+        bar, berr = bar_free_energy(wf / self.kT, wr / self.kT)
+        assert abs(float(bar) - df_true) < max(4 * float(berr), 0.02)
+        # Second law brackets: <W_f> >= dF >= -<W_r>, strictly at
+        # finite switching rate (dissipation is positive).
+        assert float(jnp.mean(wf)) > df_true
+        assert float(-jnp.mean(wr)) < df_true
+
+    def test_dragged_trap_zero_df(self):
+        """Dragging a harmonic trap leaves Z unchanged: dF = 0 while
+        the mean work is strictly positive (pure dissipation)."""
+        from vaemolsim_tpu.md import steered_baoab
+        from vaemolsim_tpu.mcmc.free_energy import exp_free_energy
+        kT, k_spring, L = 1.0, 4.0, 2.0
+
+        def pot_for(lam):
+            return lambda x: 0.5 * k_spring * jnp.sum(
+                (x - lam * L) ** 2, axis=(-2, -1))
+
+        n_rep, n_steps = 8192, 500
+        x0 = jnp.sqrt(kT / k_spring) * jax.random.normal(
+            jax.random.PRNGKey(0), (n_rep, 1, 1))
+        v0 = jnp.sqrt(kT) * jax.random.normal(jax.random.PRNGKey(1),
+                                              x0.shape)
+        _, w = steered_baoab(pot_for, x0, v0, jax.random.PRNGKey(2),
+                             dt=0.02, n_steps=n_steps,
+                             lambdas=jnp.linspace(0, 1, n_steps + 1),
+                             friction=2.0, kT=kT)
+        jar, err = exp_free_energy(w / kT)
+        assert abs(float(jar)) < max(4 * float(err), 0.03)
+        assert float(jnp.mean(w)) > 0.05  # dissipated work
+
+    def test_sudden_switch_is_fep(self):
+        """A 1-step protocol reduces to free-energy perturbation:
+        W = U_1(x) - U_0(x) over equilibrium samples of state 0."""
+        from vaemolsim_tpu.md import steered_baoab
+        x0 = jnp.sqrt(self.kT / self.k1) * jax.random.normal(
+            jax.random.PRNGKey(5), (4096, 1, 1))
+        v0 = jnp.zeros_like(x0)
+        _, w = steered_baoab(self._pot_for, x0, v0,
+                             jax.random.PRNGKey(6), dt=1e-9,
+                             n_steps=1, lambdas=jnp.array([0.0, 1.0]),
+                             friction=0.0, kT=self.kT)
+        want = 0.5 * (self.k2 - self.k1) * np.sum(
+            np.asarray(x0) ** 2, axis=(-2, -1))
+        np.testing.assert_allclose(np.asarray(w), want, rtol=1e-3,
+                                   atol=1e-5)
+
+    def test_validation(self):
+        from vaemolsim_tpu.md import steered_baoab
+        x0 = jnp.zeros((4, 1, 1))
+        with pytest.raises(ValueError, match="lambdas"):
+            steered_baoab(self._pot_for, x0, x0, jax.random.PRNGKey(0),
+                          dt=0.01, n_steps=5,
+                          lambdas=jnp.linspace(0, 1, 5))

@@ -36,7 +36,8 @@ from vaemolsim_tpu.mcmc.engine import log_uniform
 Array = jax.Array
 
 __all__ = ["MDState", "NPTMDState", "NHCState", "velocity_verlet",
-           "baoab", "nose_hoover", "nose_hoover_invariant",
+           "baoab", "steered_baoab", "nose_hoover",
+           "nose_hoover_invariant",
            "velocity_verlet_neighbor", "baoab_neighbor", "baoab_npt",
            "kinetic_energy", "temperature",
            "BondConstraints", "bond_constraints",
@@ -193,6 +194,79 @@ def baoab(potential: Callable[[Array], Array],
 
     out, _ = jax.lax.scan(body, init, keys)
     return out, None
+
+
+def steered_baoab(potential_for_lambda: Callable[[Array], Callable],
+                  x0: Array, v0: Array, key: Array, *,
+                  dt: float, n_steps: int,
+                  lambdas: Array,
+                  friction: float = 1.0, kT: float = 1.0,
+                  masses=1.0) -> Tuple[MDState, Array]:
+    """Steered (nonequilibrium) Langevin dynamics with work
+    accumulation — the input to the Jarzynski / Crooks estimators.
+
+    Beyond-reference capability.  ``potential_for_lambda(lam) ->
+    energy_fn`` defines a protocol-dependent potential; ``lambdas``
+    (shape ``(n_steps + 1,)``) is the switching schedule.  Each step
+    propagates BAOAB at frozen ``lambdas[k]``, then accrues the
+    discrete protocol work at FIXED coordinates:
+
+        ``W += U(x; lambda_{k+1}) - U(x; lambda_k)``
+
+    (the standard discrete-time nonequilibrium work; Jarzynski 1997).
+    Returns ``(MDState, work)`` with per-replica work in energy units:
+    batched replicas make the whole work ensemble one compiled scan —
+    exactly what the exponential average needs, since its variance is
+    dominated by rare low-work trajectories.
+
+    Downstream (all reduced by ``kT``):
+    ``exp_free_energy(work / kT)`` is the Jarzynski estimate of
+    ``beta dF``; with a reverse-protocol run,
+    ``bar_free_energy(w_f / kT, w_r / kT)`` is the Crooks/Bennett
+    two-sided estimate.  Start ``x0`` from equilibrium at
+    ``lambdas[0]``.
+    """
+    lambdas = jnp.asarray(lambdas)
+    if lambdas.shape[0] != n_steps + 1:
+        raise ValueError(f"lambdas must have n_steps + 1 ="
+                         f" {n_steps + 1} entries, got"
+                         f" {lambdas.shape[0]}")
+    x0 = jnp.asarray(x0)
+    m = _masses_arr(masses, x0)
+    dt_a = jnp.asarray(dt, x0.dtype)
+    c1 = jnp.exp(-friction * dt_a)
+    c2 = jnp.sqrt(kT * (1.0 - c1 * c1) / m)
+
+    def u_at(x, lam):
+        return potential_for_lambda(lam)(x)
+
+    def energy_force_at(x, lam):
+        e, vjp = jax.vjp(lambda xx: u_at(xx, lam), x)
+        (g,) = vjp(jnp.ones_like(e))
+        return e, -g
+
+    def step(carry, inp):
+        s, w = carry
+        k, lam, lam_next = inp
+        v = s.v + 0.5 * dt_a * s.force / m                # B
+        x = s.x + 0.5 * dt_a * v                          # A
+        v = c1 * v + c2 * jax.random.normal(k, v.shape, v.dtype)  # O
+        x = x + 0.5 * dt_a * v                            # A
+        e_cur, f = energy_force_at(x, lam)
+        v = v + 0.5 * dt_a * f / m                        # B
+        # Switch lam at fixed x; the lam_next force doubles as the
+        # next step's cached opening force.
+        e_next, f = energy_force_at(x, lam_next)
+        w = w + e_next - e_cur
+        return (MDState(x=x, v=v, force=f), w), None
+
+    _, f0 = energy_force_at(x0, lambdas[0])
+    init = MDState(x=x0, v=jnp.asarray(v0), force=f0)
+    w0 = jnp.zeros(x0.shape[:-2], x0.dtype)
+    keys = jax.random.split(key, n_steps)
+    (out, work), _ = jax.lax.scan(
+        step, (init, w0), (keys, lambdas[:-1], lambdas[1:]))
+    return out, work
 
 
 class NHCState(NamedTuple):
