@@ -10,4 +10,8 @@ from vaemolsim_tpu.flows.spline_flows import (  # noqa: F401
     maf_fused_enabled,
     set_maf_fused,
 )
+from vaemolsim_tpu.flows.flow_matching import (  # noqa: F401
+    FlowMatching,
+    VelocityField,
+)
 from vaemolsim_tpu.ops.bijectors import make_domain_transform  # noqa: F401
