@@ -13,6 +13,11 @@ from vaemolsim_tpu.parallel.distributed import (  # noqa: F401
     shutdown_distributed,
     sync_processes,
 )
+from vaemolsim_tpu.parallel.remd import (  # noqa: F401
+    REMDState,
+    make_remd_step,
+    run_remd,
+)
 from vaemolsim_tpu.parallel.replica import (  # noqa: F401
     REMCState,
     make_remc_step,
