@@ -1,0 +1,207 @@
+"""Markov state models: kinetics from simulation trajectories.
+
+Beyond-reference analysis capability (the reference carries no
+trajectory analysis at all; its MC engine only counts acceptances,
+/root/reference/vaemolsim/mcmc.py:48-50): estimate discrete-state
+kinetic models from the trajectories this library's MD/MC engines
+produce, in the standard MSM methodology (Prinz et al. 2011, JCP 134,
+174105).
+
+TPU-first design decisions:
+
+- **Count matrices are one matmul**: trajectories are one-hot encoded
+  and contracted, ``C = sum_t onehot(s_t)^T onehot(s_{t+lag})`` — MXU
+  work, batched over any number of trajectories, no scatters.
+- **Reversible MLE** is the classic fixed-point iteration on the
+  symmetric flux matrix, run a static number of sweeps under
+  ``lax.scan`` (convergence is geometric; the default 200 sweeps is
+  far past float32 resolution for well-connected counts).
+- **Spectral analysis avoids nonsymmetric eig** (unsupported on TPU):
+  a reversible transition matrix is similar to the symmetric matrix
+  ``D^{1/2} T D^{-1/2}`` (D = diag(pi)), so eigenvalues/timescales come
+  from ``eigh``.
+- **Committors and MFPTs are linear solves** with boundary conditions
+  imposed by masking — no Python-side state partitioning.
+
+Everything operates on plain arrays, so a (chains,) batch of
+trajectories from ``run_mcmc``/``baoab(collect_every=...)`` feeds
+straight in after discretization by :func:`assign_states`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+__all__ = ["assign_states", "count_matrix", "transition_matrix",
+           "stationary_distribution", "implied_timescales", "committor",
+           "mean_first_passage_time", "chapman_kolmogorov"]
+
+
+def assign_states(x: Array, centers: Array) -> Array:
+    """Discretize ``x`` of shape ``(..., d)`` (or ``(...,)`` for 1-D) to
+    the nearest of ``n`` ``centers`` (``(n, d)`` or ``(n,)``) —
+    Euclidean Voronoi assignment, the standard MSM state definition.
+    Returns int32 state indices of shape ``(...,)``."""
+    x = jnp.asarray(x)
+    centers = jnp.asarray(centers)
+    if centers.ndim == 1:
+        centers = centers[:, None]
+        x = x[..., None]
+    d2 = jnp.sum((x[..., None, :] - centers) ** 2, axis=-1)
+    return jnp.argmin(d2, axis=-1).astype(jnp.int32)
+
+
+def count_matrix(dtraj: Array, n_states: int, lag: int = 1,
+                 sliding: bool = True) -> Array:
+    """Transition-count matrix ``C[i, j] = #(s_t = i, s_{t+lag} = j)``
+    from integer trajectories ``dtraj`` of shape ``(..., T)`` (any
+    leading batch of independent trajectories; counts pool).
+
+    ``sliding=True`` uses every window start (the standard estimator);
+    ``False`` strides by ``lag`` for independent counts."""
+    dtraj = jnp.asarray(dtraj, jnp.int32)
+    if dtraj.ndim == 1:
+        dtraj = dtraj[None]
+    T = dtraj.shape[-1]
+    if lag < 1 or lag >= T:
+        raise ValueError(f"lag must be in [1, T-1], got {lag} for T={T}")
+    src = dtraj[..., :-lag]
+    dst = dtraj[..., lag:]
+    if not sliding:
+        src = src[..., ::lag]
+        dst = dst[..., ::lag]
+    oh_src = jax.nn.one_hot(src.reshape(-1), n_states, dtype=jnp.float32)
+    oh_dst = jax.nn.one_hot(dst.reshape(-1), n_states, dtype=jnp.float32)
+    return oh_src.T @ oh_dst
+
+
+def transition_matrix(C: Array, reversible: bool = True,
+                      n_iter: int = 200, eps: float = 1e-12) -> Array:
+    """Maximum-likelihood row-stochastic transition matrix from counts.
+
+    ``reversible=False``: plain row normalization.  ``reversible=True``:
+    the detailed-balance-constrained MLE via the standard fixed-point
+    iteration on the symmetric flux ``x_ij`` (Bowman et al. 2009):
+
+        x_ij <- (c_ij + c_ji) / (c_i / x_i + c_j / x_j)
+
+    which converges geometrically to the optimum; ``T = x / rowsum(x)``
+    then satisfies ``pi_i T_ij = pi_j T_ji`` exactly."""
+    C = jnp.asarray(C, jnp.float64 if jax.config.jax_enable_x64
+                    else jnp.float32)
+    if not reversible:
+        return C / jnp.maximum(C.sum(axis=1, keepdims=True), eps)
+
+    c_sym = C + C.T
+    c_row = C.sum(axis=1)
+
+    def sweep(x, _):
+        x_row = x.sum(axis=1)
+        denom = (c_row / jnp.maximum(x_row, eps))[:, None] \
+            + (c_row / jnp.maximum(x_row, eps))[None, :]
+        x = jnp.where(c_sym > 0, c_sym / jnp.maximum(denom, eps), 0.0)
+        return x, None
+
+    x0 = jnp.where(c_sym > 0, c_sym / 2.0, 0.0)
+    x, _ = jax.lax.scan(sweep, x0, None, length=n_iter)
+    return x / jnp.maximum(x.sum(axis=1, keepdims=True), eps)
+
+
+def stationary_distribution(T: Array, n_iter: int = 2000) -> Array:
+    """Stationary distribution ``pi T = pi`` by power iteration on the
+    transpose (works for any irreducible row-stochastic ``T``; no
+    nonsymmetric eigendecomposition needed)."""
+    n = T.shape[0]
+
+    def body(p, _):
+        p = p @ T
+        return p / jnp.maximum(p.sum(), 1e-30), None
+
+    p0 = jnp.full((n,), 1.0 / n, T.dtype)
+    p, _ = jax.lax.scan(body, p0, None, length=n_iter)
+    return p
+
+
+def _symmetrized_spectrum(T: Array, pi: Optional[Array] = None
+                          ) -> Tuple[Array, Array, Array]:
+    """Eigen-decompose a REVERSIBLE ``T`` through its symmetric
+    similarity transform ``S = D^{1/2} T D^{-1/2}`` (D = diag(pi)):
+    returns (eigenvalues desc, right eigenvectors of T as columns, pi).
+    """
+    if pi is None:
+        pi = stationary_distribution(T)
+    sqrt_pi = jnp.sqrt(jnp.maximum(pi, 1e-30))
+    S = sqrt_pi[:, None] * T / sqrt_pi[None, :]
+    S = 0.5 * (S + S.T)  # enforce exact symmetry against roundoff
+    w, V = jnp.linalg.eigh(S)
+    order = jnp.argsort(-w)
+    w = w[order]
+    V = V[:, order]
+    right = V / sqrt_pi[:, None]  # right eigenvectors of T
+    return w, right, pi
+
+
+def implied_timescales(T: Array, lag: float = 1.0, k: Optional[int] = None,
+                       pi: Optional[Array] = None) -> Array:
+    """Implied relaxation timescales ``t_i = -lag / ln lambda_i`` of a
+    reversible transition matrix (slowest first, stationary eigenvalue
+    excluded).  ``k`` limits how many are returned."""
+    w, _, _ = _symmetrized_spectrum(T, pi)
+    lam = jnp.clip(jnp.abs(w[1:]), 1e-12, 1.0 - 1e-12)
+    ts = -lag / jnp.log(lam)
+    return ts if k is None else ts[:k]
+
+
+def committor(T: Array, source: Array, sink: Array) -> Array:
+    """Forward committor ``q_i = P(reach sink before source | start i)``.
+
+    ``source``/``sink`` are boolean masks (or index arrays) over states.
+    Interior states solve ``q = T q``; boundaries are pinned (0 on the
+    source, 1 on the sink) — assembled as one masked linear system."""
+    n = T.shape[0]
+    src = jnp.zeros(n, bool).at[source].set(True) \
+        if jnp.asarray(source).dtype != jnp.bool_ else jnp.asarray(source)
+    snk = jnp.zeros(n, bool).at[sink].set(True) \
+        if jnp.asarray(sink).dtype != jnp.bool_ else jnp.asarray(sink)
+    boundary = src | snk
+    # Rows: interior -> (I - T); boundary -> identity. RHS: sink rows 1.
+    A = jnp.where(boundary[:, None], jnp.eye(n, dtype=T.dtype),
+                  jnp.eye(n, dtype=T.dtype) - T)
+    b = snk.astype(T.dtype)
+    return jnp.linalg.solve(A, b)
+
+
+def mean_first_passage_time(T: Array, target: Array,
+                            lag: float = 1.0) -> Array:
+    """MFPT to the ``target`` set from every state (0 on the target):
+    solve ``m = lag + T m`` on the complement, as a masked system."""
+    n = T.shape[0]
+    tgt = jnp.zeros(n, bool).at[target].set(True) \
+        if jnp.asarray(target).dtype != jnp.bool_ else jnp.asarray(target)
+    A = jnp.where(tgt[:, None], jnp.eye(n, dtype=T.dtype),
+                  jnp.eye(n, dtype=T.dtype) - T)
+    b = jnp.where(tgt, 0.0, lag).astype(T.dtype)
+    return jnp.linalg.solve(A, b)
+
+
+def chapman_kolmogorov(dtraj: Array, n_states: int, lag: int,
+                       factors=(1, 2, 4), reversible: bool = True
+                       ) -> Tuple[Array, Array]:
+    """Chapman-Kolmogorov validation: for each ``k`` in ``factors``,
+    compare the model prediction ``T(lag)^k`` against the re-estimated
+    ``T(k lag)``.  Returns ``(predicted, estimated)`` stacked
+    ``(len(factors), n, n)`` — Markovian data makes them agree."""
+    T1 = transition_matrix(count_matrix(dtraj, n_states, lag),
+                           reversible=reversible)
+    pred, est = [], []
+    for k in factors:
+        pred.append(jnp.linalg.matrix_power(T1, k))
+        est.append(transition_matrix(
+            count_matrix(dtraj, n_states, lag * k),
+            reversible=reversible))
+    return jnp.stack(pred), jnp.stack(est)
