@@ -197,3 +197,62 @@ class TestPipeline:
         T10 = msm.transition_matrix(msm.count_matrix(d, 2, lag=10))
         t10 = float(msm.implied_timescales(T10, lag=10)[0])
         assert abs(t5 - t10) / t5 < 0.25, (t5, t10)
+
+
+class TestTICA:
+
+    @staticmethod
+    def _ou_mixture(key=0, T=30_000, n_traj=4):
+        # Two independent OU processes with very different relaxation
+        # times, observed through a known linear mixing.
+        dt = 0.1
+        taus = jnp.array([20.0, 1.0])  # slow, fast
+        a = jnp.exp(-dt / taus)
+        sig = jnp.sqrt(1.0 - a * a)
+
+        def step(s, k):
+            s = a * s + sig * jax.random.normal(k, s.shape)
+            return s, s
+
+        s0 = jnp.zeros((n_traj, 2))
+        keys = jax.random.split(jax.random.PRNGKey(key), T)
+        _, z = jax.lax.scan(step, s0, keys)      # (T, n_traj, 2)
+        z = jnp.moveaxis(z, 0, 1)                # (n_traj, T, 2)
+        mix = jnp.array([[0.8, 0.6], [-0.6, 0.8]])
+        return z @ mix.T, mix, taus, dt
+
+    def test_recovers_slow_direction_and_timescale(self):
+        x, mix, taus, dt = self._ou_mixture()
+        lag = 5
+        ts, comps, lam = msm.tica(x, lag=lag)
+        # eigenvalue of the slow mode = exp(-lag dt / tau_slow)
+        np.testing.assert_allclose(float(lam[0]),
+                                   float(jnp.exp(-lag * dt / taus[0])),
+                                   atol=0.02)
+        # implied timescale in units of frames: tau_slow / dt
+        np.testing.assert_allclose(float(ts[0]), float(taus[0] / dt),
+                                   rtol=0.15)
+        # leading component inverts the mixing: projecting must
+        # recover the SLOW latent up to scale.
+        proj = (x.reshape(-1, 2) - x.reshape(-1, 2).mean(0)) @ comps[:, 0]
+        slow = (x.reshape(-1, 2) @ jnp.linalg.inv(mix.T))[:, 0]
+        corr = np.corrcoef(np.asarray(proj), np.asarray(slow))[0, 1]
+        assert abs(corr) > 0.99, corr
+
+    def test_whitening_normalizes_components(self):
+        x, *_ = self._ou_mixture(key=1, T=10_000)
+        ts, comps, lam = msm.tica(x, lag=3)
+        # components are C0-orthonormal: v^T C0 v = 1
+        a = x.reshape(-1, 2) - x.reshape(-1, 2).mean(0)
+        c0 = np.asarray(a.T @ a / a.shape[0])
+        g = np.asarray(comps).T @ c0 @ np.asarray(comps)
+        np.testing.assert_allclose(g, np.eye(2), atol=0.05)
+
+    def test_bad_lag_raises(self):
+        with pytest.raises(ValueError, match="lag"):
+            msm.tica(jnp.zeros((10, 2)), lag=10)
+
+    def test_k_truncation(self):
+        x, *_ = self._ou_mixture(key=2, T=5_000)
+        ts, comps, lam = msm.tica(x, lag=3, k=1)
+        assert ts.shape == (1,) and comps.shape == (2, 1)

@@ -39,7 +39,7 @@ Array = jax.Array
 
 __all__ = ["assign_states", "count_matrix", "transition_matrix",
            "stationary_distribution", "implied_timescales", "committor",
-           "mean_first_passage_time", "chapman_kolmogorov"]
+           "mean_first_passage_time", "chapman_kolmogorov", "tica"]
 
 
 def assign_states(x: Array, centers: Array) -> Array:
@@ -187,6 +187,56 @@ def mean_first_passage_time(T: Array, target: Array,
                   jnp.eye(n, dtype=T.dtype) - T)
     b = jnp.where(tgt, 0.0, lag).astype(T.dtype)
     return jnp.linalg.solve(A, b)
+
+
+def tica(x: Array, lag: int, k: Optional[int] = None,
+         eps: float = 1e-6) -> Tuple[Array, Array, Array]:
+    """Time-lagged independent component analysis: the linear
+    collective variables that decorrelate slowest (Perez-Hernandez et
+    al. 2013, JCP 139, 015102) — the standard featurization step
+    upstream of :func:`assign_states`.
+
+    ``x``: features of shape ``(..., T, d)`` (any batch of independent
+    trajectories; covariances pool).  Solves the generalized
+    eigenproblem ``C_lag v = lambda C_0 v`` with symmetrized time-lagged
+    covariances through the whitened symmetric form
+    ``C_0^{-1/2} C_lag C_0^{-1/2}`` (``eigh`` — TPU-supported; ``eps``
+    regularizes the whitening against rank-deficient features).
+
+    Returns ``(timescales, components, eigenvalues)``: implied
+    timescales ``-lag / ln |lambda_i|`` (slowest first), the matching
+    projection vectors as COLUMNS of ``components`` (project with
+    ``(x - mean) @ components``), and the autocorrelation eigenvalues.
+    Both covariance matrices are single matmuls over all pooled frames.
+    """
+    x = jnp.asarray(x)
+    if x.ndim == 2:
+        x = x[None]
+    B = x.reshape(-1, x.shape[-2], x.shape[-1])  # (n_traj, T, d)
+    T = B.shape[1]
+    if lag < 1 or lag >= T:
+        raise ValueError(f"lag must be in [1, T-1], got {lag} for T={T}")
+    a = B[:, :-lag].reshape(-1, B.shape[-1])
+    b = B[:, lag:].reshape(-1, B.shape[-1])
+    mean = 0.5 * (a.mean(axis=0) + b.mean(axis=0))
+    a = a - mean
+    b = b - mean
+    n = a.shape[0]
+    c0 = (a.T @ a + b.T @ b) / (2.0 * n)
+    ct = (a.T @ b + b.T @ a) / (2.0 * n)
+
+    w0, V0 = jnp.linalg.eigh(c0)
+    inv_sqrt = V0 @ (V0 / jnp.sqrt(jnp.maximum(w0, eps))[None, :]).T
+    s = inv_sqrt @ ct @ inv_sqrt
+    s = 0.5 * (s + s.T)
+    lam, U = jnp.linalg.eigh(s)
+    order = jnp.argsort(-lam)
+    lam = lam[order]
+    comps = inv_sqrt @ U[:, order]
+    ts = -lag / jnp.log(jnp.clip(jnp.abs(lam), 1e-12, 1.0 - 1e-12))
+    if k is not None:
+        ts, comps, lam = ts[:k], comps[:, :k], lam[:k]
+    return ts, comps, lam
 
 
 def chapman_kolmogorov(dtraj: Array, n_states: int, lag: int,
