@@ -256,3 +256,46 @@ class TestTICA:
         x, *_ = self._ou_mixture(key=2, T=5_000)
         ts, comps, lam = msm.tica(x, lag=3, k=1)
         assert ts.shape == (1,) and comps.shape == (2, 1)
+
+
+class TestTPT:
+
+    def test_two_state_rate_is_hop_probability(self):
+        p, r = 0.1, 0.3
+        T = jnp.array([[1 - p, p], [r, 1 - r]])
+        k = msm.tpt_rate(T, jnp.array([0]), jnp.array([1]))
+        np.testing.assert_allclose(float(k), p, rtol=1e-5)
+
+    def test_flux_conservation_across_cuts(self):
+        # Net flux through every cut of a birth-death chain equals the
+        # total reactive flux (flux conservation).
+        n = 6
+        Tm = np.zeros((n, n))
+        probs = [0.2, 0.3, 0.25, 0.35, 0.15]
+        for i in range(n - 1):
+            Tm[i, i + 1] = probs[i]
+            Tm[i + 1, i] = 0.1
+        Tm += np.diag(1.0 - Tm.sum(axis=1))
+        T = jnp.asarray(Tm)
+        f, fnet = msm.reactive_flux(T, jnp.array([0]),
+                                    jnp.array([n - 1]))
+        cuts = [float(np.asarray(fnet)[:c, c:].sum())
+                for c in range(1, n)]
+        np.testing.assert_allclose(cuts, cuts[0], rtol=1e-5)
+        # gross flux out of the source equals flux into the sink
+        np.testing.assert_allclose(float(f[0].sum()),
+                                   float(f[:, n - 1].sum()), rtol=1e-5)
+
+    def test_no_flux_into_source_or_out_of_sink(self):
+        d = sample_chain(T_TRUE, 20_000, key=7)
+        T = msm.transition_matrix(msm.count_matrix(d, 3, lag=1))
+        f, _ = msm.reactive_flux(T, jnp.array([0]), jnp.array([2]))
+        assert float(jnp.abs(f[:, 0]).max()) < 1e-12  # into source
+        assert float(jnp.abs(f[2]).max()) < 1e-12     # out of sink
+
+    def test_rate_lag_scaling(self):
+        d = sample_chain(T_TRUE, 20_000, key=8)
+        T = msm.transition_matrix(msm.count_matrix(d, 3, lag=1))
+        k1 = msm.tpt_rate(T, jnp.array([0]), jnp.array([2]), lag=1.0)
+        k2 = msm.tpt_rate(T, jnp.array([0]), jnp.array([2]), lag=2.0)
+        np.testing.assert_allclose(float(k1), 2 * float(k2), rtol=1e-6)

@@ -39,7 +39,8 @@ Array = jax.Array
 
 __all__ = ["assign_states", "count_matrix", "transition_matrix",
            "stationary_distribution", "implied_timescales", "committor",
-           "mean_first_passage_time", "chapman_kolmogorov", "tica"]
+           "mean_first_passage_time", "chapman_kolmogorov", "tica",
+           "reactive_flux", "tpt_rate"]
 
 
 def assign_states(x: Array, centers: Array) -> Array:
@@ -187,6 +188,53 @@ def mean_first_passage_time(T: Array, target: Array,
                   jnp.eye(n, dtype=T.dtype) - T)
     b = jnp.where(tgt, 0.0, lag).astype(T.dtype)
     return jnp.linalg.solve(A, b)
+
+
+def _as_mask(idx, n: int) -> Array:
+    idx = jnp.asarray(idx)
+    if idx.dtype == jnp.bool_:
+        return idx
+    return jnp.zeros(n, bool).at[idx].set(True)
+
+
+def reactive_flux(T: Array, source: Array, sink: Array,
+                  pi: Optional[Array] = None
+                  ) -> Tuple[Array, Array]:
+    """Transition-path-theory fluxes for the source -> sink reaction
+    (Metzner, Schuette & Vanden-Eijnden 2009): returns
+    ``(gross_flux, net_flux)`` matrices
+
+        f_ij = pi_i (1 - q_i) T_ij q_j   (i != j),
+        f+_ij = max(f_ij - f_ji, 0),
+
+    where ``q`` is the forward committor.  The committor boundary
+    conditions make the gross flux vanish into the source and out of
+    the sink automatically."""
+    n = T.shape[0]
+    if pi is None:
+        pi = stationary_distribution(T)
+    q_fwd = committor(T, source, sink)
+    f = (pi * (1.0 - q_fwd))[:, None] * T * q_fwd[None, :]
+    f = f * (1.0 - jnp.eye(n, dtype=T.dtype))
+    return f, jnp.maximum(f - f.T, 0.0)
+
+
+def tpt_rate(T: Array, source: Array, sink: Array,
+             pi: Optional[Array] = None, lag: float = 1.0) -> Array:
+    """TPT rate constant of the source -> sink reaction: total reactive
+    flux out of the source divided by the reactant population,
+
+        k_AB = F / (lag * sum_i pi_i (1 - q_i)),   F = sum_{i in A, j} f_ij.
+    """
+    n = T.shape[0]
+    if pi is None:
+        pi = stationary_distribution(T)
+    src = _as_mask(source, n)
+    f, _ = reactive_flux(T, source, sink, pi)
+    total_flux = jnp.sum(jnp.where(src[:, None], f, 0.0))
+    q_fwd = committor(T, source, sink)
+    reactant_pop = jnp.sum(pi * (1.0 - q_fwd))
+    return total_flux / (lag * jnp.maximum(reactant_pop, 1e-30))
 
 
 def tica(x: Array, lag: int, k: Optional[int] = None,
