@@ -7,4 +7,9 @@ from vaemolsim_tpu.data.pipeline import (  # noqa: F401
     epoch_stream,
     prefetch_to_device,
 )
+from vaemolsim_tpu.data.pdb import (  # noqa: F401
+    PDBTopology,
+    read_pdb,
+    write_pdb,
+)
 from vaemolsim_tpu.data.xyz import read_xyz, write_xyz  # noqa: F401
