@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from vaemolsim_tpu import observables
 from vaemolsim_tpu.observables import (mean_squared_displacement,
                                        pair_distance_histogram,
                                        radial_distribution,
@@ -295,3 +296,105 @@ class TestTransport:
         want = np.mean(np.sum(v * v, axis=-1)) * ts ** 2
         np.testing.assert_allclose(np.asarray(msd), want, rtol=2e-3,
                                    atol=1e-3)
+
+
+class TestKabsch:
+
+    @staticmethod
+    def _random_rotation(key):
+        import jax
+        q = jax.random.normal(key, (4,))
+        q = q / jnp.linalg.norm(q)
+        w, x, y, z = q
+        return jnp.array([
+            [1 - 2*(y*y + z*z), 2*(x*y - z*w), 2*(x*z + y*w)],
+            [2*(x*y + z*w), 1 - 2*(x*x + z*z), 2*(y*z - x*w)],
+            [2*(x*z - y*w), 2*(y*z + x*w), 1 - 2*(x*x + y*y)]])
+
+    def test_recovers_rotation_exactly(self):
+        import jax
+        ref = jax.random.normal(jax.random.PRNGKey(0), (12, 3))
+        R_true = self._random_rotation(jax.random.PRNGKey(1))
+        x = ref @ R_true.T + jnp.array([1.0, -2.0, 0.5])
+        aligned, R, r = observables.kabsch_align(x, ref)
+        assert float(r) < 1e-5
+        np.testing.assert_allclose(np.asarray(aligned), np.asarray(ref),
+                                   atol=1e-5)
+        # recovered rotation undoes R_true
+        np.testing.assert_allclose(np.asarray(R @ R_true),
+                                   np.eye(3), atol=1e-5)
+
+    def test_batched_structures(self):
+        import jax
+        ref = jax.random.normal(jax.random.PRNGKey(2), (8, 3))
+        Rs = jnp.stack([self._random_rotation(jax.random.PRNGKey(i))
+                        for i in (3, 4, 5)])
+        xs = jnp.einsum("ni,bji->bnj", ref, Rs) + 2.0
+        _, _, r = observables.kabsch_align(xs, ref)
+        assert r.shape == (3,)
+        assert float(jnp.max(r)) < 1e-5
+
+    def test_reflection_not_allowed(self):
+        import jax
+        # A chiral structure mirrored: proper rotations cannot reach it,
+        # so RMSD stays large even though an improper transform would
+        # give zero.
+        ref = jax.random.normal(jax.random.PRNGKey(6), (10, 3))
+        mirrored = ref * jnp.array([1.0, 1.0, -1.0])
+        _, R, r = observables.kabsch_align(mirrored, ref)
+        np.testing.assert_allclose(float(jnp.linalg.det(R)), 1.0,
+                                   atol=1e-5)
+        assert float(r) > 0.1
+
+    def test_weighted_rmsd_matches_manual(self):
+        import jax
+        ref = jax.random.normal(jax.random.PRNGKey(7), (6, 3))
+        x = ref + 0.1 * jax.random.normal(jax.random.PRNGKey(8), (6, 3))
+        w = jnp.array([1.0, 2.0, 1.0, 3.0, 1.0, 1.0])
+        r_nosup = observables.rmsd(x, ref, weights=w, superpose=False)
+        manual = np.sqrt(np.average(
+            np.sum((np.asarray(x) - np.asarray(ref)) ** 2, -1),
+            weights=np.asarray(w)))
+        np.testing.assert_allclose(float(r_nosup), manual, rtol=1e-5)
+        # superposed rmsd can only be smaller
+        assert float(observables.rmsd(x, ref, weights=w)) <= \
+            float(r_nosup) + 1e-7
+
+
+class TestVibrationalSpectrum:
+
+    def test_harmonic_frequency_peak(self):
+        import jax
+        from vaemolsim_tpu import md
+        omega = 3.0
+
+        def pot(x):
+            return 0.5 * omega ** 2 * jnp.sum(x[..., 0, :] ** 2, -1)
+
+        x0 = jnp.ones((16, 1, 1))
+        v0 = jnp.zeros_like(x0)
+        dt = 0.02
+        T = 4096
+        # NVE: sharp line at omega / 2 pi
+        state, _ = md.velocity_verlet(pot, x0, v0, dt=dt, n_steps=1)
+        # collect velocities by scanning verlet manually
+        def step(s, _):
+            s2, _ = md.velocity_verlet(pot, s[0], s[1], dt=dt, n_steps=1)
+            return (s2.x, s2.v), s2.v
+
+        (_, _), vtraj = jax.lax.scan(step, (x0, v0 + 1.0), None, length=T)
+        freqs, spec = observables.vibrational_spectrum(vtraj, dt=dt)
+        peak = float(freqs[int(jnp.argmax(spec[1:])) + 1])
+        np.testing.assert_allclose(peak, omega / (2 * np.pi), rtol=0.02)
+
+    def test_white_noise_flat_spectrum(self):
+        import jax
+        v = jax.random.normal(jax.random.PRNGKey(0), (2048, 64, 1, 1))
+        freqs, spec = observables.vibrational_spectrum(v, dt=1.0)
+        s = np.asarray(spec[1:-1])
+        assert s.std() / s.mean() < 0.2  # flat up to estimator noise
+        # density integrates to ~ <v^2>/2 (one-sided)
+        df = float(freqs[1] - freqs[0])
+        total = float((spec[1:-1]).sum() * df)
+        np.testing.assert_allclose(total, 0.5 * float(jnp.mean(v**2)),
+                                   rtol=0.05)

@@ -23,7 +23,8 @@ __all__ = ["radius_of_gyration", "pair_distance_histogram",
            "velocity_autocorrelation", "virial_pressure",
            "structure_factor", "widom_insertion",
            "autocorrelation_fft", "diffusion_coefficient",
-           "green_kubo_diffusion"]
+           "green_kubo_diffusion", "kabsch_align", "rmsd",
+           "vibrational_spectrum"]
 
 
 def radius_of_gyration(x: Array) -> Array:
@@ -363,3 +364,80 @@ def widom_insertion(potential, xs: Array, *, box, key: Array,
     du = jax.vmap(du_one)(ghosts)                        # (M, F)
     beta_mu, stderr = exp_free_energy(du / kT)
     return kT * beta_mu, kT * stderr
+
+
+def kabsch_align(x: Array, ref: Array, weights=None
+                 ) -> Tuple[Array, Array, Array]:
+    """Optimal (weighted) rigid superposition of ``x`` onto ``ref``
+    (Kabsch 1976): returns ``(aligned, rotation, rmsd)``.
+
+    ``x``: ``(..., n_atoms, dim)`` (any batch of structures), ``ref``:
+    ``(n_atoms, dim)``; ``weights``: optional per-atom ``(n_atoms,)``
+    (e.g. masses).  The rotation solves ``min_R ||w (x R^T - ref)||``
+    after centering; reflections are excluded by the standard
+    determinant sign correction, so the result is a proper rotation
+    even for planar/degenerate structures.  One batched SVD of the
+    (dim, dim) covariance — TPU-supported, differentiable."""
+    x = jnp.asarray(x)
+    ref = jnp.asarray(ref, x.dtype)
+    n = x.shape[-2]
+    w = (jnp.ones((n,), x.dtype) if weights is None
+         else jnp.asarray(weights, x.dtype))
+    w = w / jnp.sum(w)
+    xc = x - jnp.sum(w[:, None] * x, axis=-2, keepdims=True)
+    rc = ref - jnp.sum(w[:, None] * ref, axis=-2, keepdims=True)
+
+    # Covariance H = x^T W ref, batched over leading axes.
+    H = jnp.einsum("...ni,n,nj->...ij", xc, w, rc)
+    U, _, Vt = jnp.linalg.svd(H)
+    det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik",
+                                    U, Vt))
+    D = jnp.ones(x.shape[:-2] + (x.shape[-1],), x.dtype)
+    D = D.at[..., -1].set(det)
+    R = jnp.einsum("...ij,...j,...jk->...ki", U, D, Vt)
+    aligned = jnp.einsum("...ni,...ji->...nj", xc, R) \
+        + jnp.sum(w[:, None] * ref, axis=-2)[..., None, :]
+    d2 = jnp.sum((aligned - ref) ** 2, axis=-1)
+    rmsd_val = jnp.sqrt(jnp.sum(w * d2, axis=-1))
+    return aligned, R, rmsd_val
+
+
+def rmsd(x: Array, ref: Array, weights=None,
+         superpose: bool = True) -> Array:
+    """(Weighted) RMSD of ``x`` (``(..., n_atoms, dim)``) to ``ref``,
+    after optimal rigid superposition unless ``superpose=False``."""
+    if superpose:
+        return kabsch_align(x, ref, weights)[2]
+    x = jnp.asarray(x)
+    ref = jnp.asarray(ref, x.dtype)
+    n = x.shape[-2]
+    w = (jnp.ones((n,), x.dtype) if weights is None
+         else jnp.asarray(weights, x.dtype))
+    w = w / jnp.sum(w)
+    return jnp.sqrt(jnp.sum(w * jnp.sum((x - ref) ** 2, axis=-1),
+                            axis=-1))
+
+
+def vibrational_spectrum(vtraj: Array, *, dt: float
+                         ) -> Tuple[Array, Array]:
+    """Vibrational density of states: the one-sided power spectrum of
+    the multi-origin VACF (Wiener-Khinchin — computed directly as the
+    velocity periodogram, one batched real FFT).
+
+    ``vtraj``: ``(T, ..., n_atoms, dim)`` velocities sampled every
+    ``dt``; returns ``(freqs, spectrum)`` of length ``T//2 + 1``, with
+    ``freqs`` in cycles per unit time (a mode of angular frequency
+    omega peaks at ``omega / 2 pi``).  Normalization: the one-sided
+    periodogram density per atom, so summing ``spectrum * df`` (with
+    ``df = 1/(T dt)``) recovers ``<|v|^2>`` up to the one-sided
+    half-power convention (DC and Nyquist undoubled)."""
+    vtraj = jnp.asarray(vtraj)
+    t = vtraj.shape[0]
+    flat = vtraj.reshape(t, -1)
+    f = jnp.fft.rfft(flat, axis=0)
+    power = jnp.sum(jnp.abs(f) ** 2, axis=1)
+    dim = vtraj.shape[-1]
+    n_vectors = flat.shape[1] // dim
+    spec = power * (dt / (t * n_vectors))
+    freqs = jnp.fft.rfftfreq(t, d=dt)
+    return freqs, spec
