@@ -1,6 +1,6 @@
-"""Example-workflow smoke tests: ALL twenty-three user-facing scripts must run
+"""Example-workflow smoke tests: ALL twenty-five user-facing scripts must run
 end to end at their CI scale (the reference's four notebooks are
-executable documents — examples 01-04 are their ports, 05-23 the
+executable documents — examples 01-04 are their ports, 05-25 the
 beyond-reference workflows).  Wall-clock is compile-dominated on CPU;
 the --full scales are exercised manually / on hardware."""
 
@@ -216,3 +216,21 @@ def test_example_20_umbrella_pmf():
     m = re.search(r"max \|W - W_exact\| = ([0-9.]+) kT", out)
     assert m is not None and float(m.group(1)) < 0.35
     assert "umbrella/MBAR PMF matches the closed form: OK" in out
+
+
+@pytest.mark.slow
+def test_example_24_remd_flow_matching():
+    out = run_example("24_remd_flow_matching.py", timeout=1200)
+    import re
+    m = re.search(r"CNF generator: p_right = ([0-9.]+)", out)
+    assert m is not None and 0.1 < float(m.group(1)) < 0.9
+    assert out.strip().endswith("OK")
+
+
+@pytest.mark.slow
+def test_example_25_msm_kinetics():
+    out = run_example("25_msm_kinetics.py", timeout=1200)
+    import re
+    m = re.search(r"total-variation error vs quadrature ([0-9.]+)", out)
+    assert m is not None and float(m.group(1)) < 0.12
+    assert out.strip().endswith("OK")

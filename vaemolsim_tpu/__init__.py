@@ -42,6 +42,7 @@ from vaemolsim_tpu import metadynamics  # noqa: F401
 from vaemolsim_tpu import paths  # noqa: F401
 from vaemolsim_tpu import observables  # noqa: F401
 from vaemolsim_tpu import msm  # noqa: F401
+from vaemolsim_tpu import extrapolation  # noqa: F401
 from vaemolsim_tpu import data  # noqa: F401
 from vaemolsim_tpu import utils  # noqa: F401
 
