@@ -59,3 +59,8 @@ from vaemolsim_tpu.mcmc.gibbs import (  # noqa: F401
     make_gibbs_step,
     run_gibbs,
 )
+from vaemolsim_tpu.mcmc.tempering import (  # noqa: F401
+    STState,
+    make_st_step,
+    run_st,
+)
