@@ -8,6 +8,7 @@ import pytest
 
 from vaemolsim_tpu.mcmc import (autocorrelation, effective_sample_size,
                                 potential_scale_reduction)
+from vaemolsim_tpu.mcmc import diagnostics
 from vaemolsim_tpu.ops import distributions as d
 
 
@@ -105,3 +106,48 @@ def test_ess_stuck_chain_is_nan():
     x = x.at[:, 0].set(jax.random.normal(jax.random.PRNGKey(0), (200,)))
     ess = effective_sample_size(x)
     assert bool(jnp.isfinite(ess[0])) and bool(jnp.all(jnp.isnan(ess[1:])))
+
+
+class TestBlocking:
+
+    def test_iid_error_flat_and_exact(self):
+        # Independent samples: every blocking level estimates the same
+        # standard error sigma / sqrt(T).
+        x = jax.random.normal(jax.random.PRNGKey(0), (8192, 4)) * 2.0
+        errs = np.asarray(diagnostics.block_averaging_error(x))
+        truth = 2.0 / np.sqrt(8192)
+        np.testing.assert_allclose(errs[0], truth, rtol=0.1)
+        # flat across levels (within blocking noise at high levels)
+        np.testing.assert_allclose(errs[:5], truth, rtol=0.15)
+
+    def test_ar1_plateau_matches_analytic(self):
+        # AR(1) with coefficient a: true error of the mean =
+        # sigma/sqrt(T) * sqrt((1+a)/(1-a)); the naive level-0 estimate
+        # is too small by that same factor and the plateau recovers it.
+        a, T = 0.9, 2 ** 15
+
+        def step(s, k):
+            s = a * s + jnp.sqrt(1 - a * a) * jax.random.normal(k, s.shape)
+            return s, s
+
+        _, x = jax.lax.scan(step, jnp.zeros(8),
+                            jax.random.split(jax.random.PRNGKey(1), T))
+        errs = np.asarray(diagnostics.block_averaging_error(x))
+        truth = np.sqrt((1 + a) / (1 - a)) / np.sqrt(T)
+        plateau = errs[-4:].mean()
+        assert errs[0].mean() < 0.4 * truth   # naive badly underestimates
+        np.testing.assert_allclose(plateau, truth, rtol=0.35)
+
+    def test_statistical_inefficiency_ar1(self):
+        # g = 1 + 2 tau_int = (1+a)/(1-a) for AR(1).
+        a, T = 0.8, 2 ** 14
+
+        def step(s, k):
+            s = a * s + jnp.sqrt(1 - a * a) * jax.random.normal(k, s.shape)
+            return s, s
+
+        _, x = jax.lax.scan(step, jnp.zeros(16),
+                            jax.random.split(jax.random.PRNGKey(2), T))
+        g = np.asarray(diagnostics.statistical_inefficiency(x))
+        truth = (1 + a) / (1 - a)
+        np.testing.assert_allclose(g.mean(), truth, rtol=0.2)

@@ -2,8 +2,10 @@
 
 from vaemolsim_tpu.mcmc.diagnostics import (  # noqa: F401
     autocorrelation,
+    block_averaging_error,
     effective_sample_size,
     potential_scale_reduction,
+    statistical_inefficiency,
 )
 from vaemolsim_tpu.mcmc.engine import (  # noqa: F401
     MCMC,

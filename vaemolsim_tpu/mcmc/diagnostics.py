@@ -14,7 +14,9 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-__all__ = ["autocorrelation", "effective_sample_size", "potential_scale_reduction"]
+__all__ = ["autocorrelation", "effective_sample_size",
+           "potential_scale_reduction", "block_averaging_error",
+           "statistical_inefficiency"]
 
 
 def autocorrelation(x: Array, max_lag: int = 100) -> Array:
@@ -77,3 +79,41 @@ def potential_scale_reduction(x: Array) -> Array:
     degenerate = W <= 1e-30
     return jnp.where(degenerate,
                      jnp.where(B <= 1e-30, jnp.nan, jnp.inf), rhat)
+
+
+def block_averaging_error(x: Array, n_levels: int = None) -> Array:
+    """Flyvbjerg-Petersen blocking analysis: the standard error of the
+    mean of a CORRELATED series, by repeated pairwise block averaging.
+
+    x: (T, ...) samples; returns ``(n_levels + 1, ...)`` — the naive
+    standard-error estimate ``sqrt(var / (n - 1))`` at each blocking
+    level (level 0 = raw data).  For a correlated series the estimates
+    RISE with level and plateau at the true error once blocks exceed
+    the correlation time; report the plateau (e.g. ``max`` over levels
+    with enough blocks).  Each level is one reshape-mean — the whole
+    analysis is ~log2(T) reductions, jittable with a static level
+    count."""
+    x = jnp.asarray(x)
+    T = x.shape[0]
+    max_levels = max(int(T).bit_length() - 5, 1)  # keep >= ~16 blocks
+    if n_levels is None:
+        n_levels = max_levels
+    n_levels = min(n_levels, max_levels)
+
+    out = []
+    for _ in range(n_levels + 1):
+        n = x.shape[0]
+        out.append(jnp.sqrt(jnp.var(x, axis=0, ddof=1)
+                            / jnp.maximum(n - 1, 1)))
+        m = (n // 2) * 2
+        x = 0.5 * (x[0:m:2] + x[1:m:2])
+    return jnp.stack(out)
+
+
+def statistical_inefficiency(x: Array, max_lag: int = 1000) -> Array:
+    """``g = T / ESS = 1 + 2 tau_int``: how many correlated samples
+    equal one independent one (the factor production error bars divide
+    by).  x: (T, ...) -> (...)."""
+    T = x.shape[0]
+    ess = effective_sample_size(x, max_lag=max_lag)
+    return T / ess
