@@ -625,10 +625,20 @@ def lennard_jones_cell_neighbor(
         if mesh is None:
             e_cells, grad_t = _kern(*args)
         else:
-            from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec
+            try:
+                from jax import shard_map as _smap
+
+                def _shard_map(f, **kw):
+                    kw.pop("check_rep", None)  # renamed upstream
+                    return _smap(f, check_vma=False, **kw)
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map as _sm
+
+                def _shard_map(f, **kw):
+                    return _sm(f, **kw)
             spec = PartitionSpec(mesh_axis)
-            e_cells, grad_t = shard_map(
+            e_cells, grad_t = _shard_map(
                 _kern, mesh=mesh,
                 in_specs=tuple(spec for _ in args),
                 out_specs=(spec, spec), check_rep=False)(*args)
