@@ -121,8 +121,14 @@ def read_pdb(path: str) -> Tuple[np.ndarray, PDBTopology,
     if model_breaks:
         n_atoms = (model_breaks[1] - model_breaks[0]) \
             if len(model_breaks) > 1 else len(atom_rows)
-        n_models = len(atom_rows) // n_atoms
-        if n_models * n_atoms != len(atom_rows):
+        n_models = len(atom_rows) // max(n_atoms, 1)
+        # Both checks are needed: divisibility alone misses unequal
+        # models whose total happens to divide by the first model's
+        # size (e.g. 1-atom + 3-atom models = 4 rows "= 4 models of 1").
+        sizes_ok = (model_breaks
+                    == [m * n_atoms for m in range(len(model_breaks))])
+        if (n_models * n_atoms != len(atom_rows)
+                or n_models != len(model_breaks) or not sizes_ok):
             raise ValueError(
                 f"{path}: models have unequal atom counts "
                 f"({len(atom_rows)} rows over {len(model_breaks)} models)")

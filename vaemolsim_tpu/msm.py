@@ -43,6 +43,20 @@ __all__ = ["assign_states", "count_matrix", "transition_matrix",
            "reactive_flux", "tpt_rate"]
 
 
+def _one_ulp(dtype) -> float:
+    """Spacing just below 1.0 in ``dtype`` (so ``1 - _one_ulp`` is the
+    largest representable value strictly less than 1)."""
+    return float(jnp.finfo(dtype).epsneg)
+
+
+def _as_mask(idx, n: int) -> Array:
+    """Boolean state mask from either a bool mask or an index array."""
+    idx = jnp.asarray(idx)
+    if idx.dtype == jnp.bool_:
+        return idx
+    return jnp.zeros(n, bool).at[idx].set(True)
+
+
 def assign_states(x: Array, centers: Array) -> Array:
     """Discretize ``x`` of shape ``(..., d)`` (or ``(...,)`` for 1-D) to
     the nearest of ``n`` ``centers`` (``(n, d)`` or ``(n,)``) —
@@ -76,9 +90,22 @@ def count_matrix(dtraj: Array, n_states: int, lag: int = 1,
     if not sliding:
         src = src[..., ::lag]
         dst = dst[..., ::lag]
-    oh_src = jax.nn.one_hot(src.reshape(-1), n_states, dtype=jnp.float32)
-    oh_dst = jax.nn.one_hot(dst.reshape(-1), n_states, dtype=jnp.float32)
-    return oh_src.T @ oh_dst
+    src = src.reshape(-1)
+    dst = dst.reshape(-1)
+    # Chunked float32 matmuls accumulated in int32: each chunk's counts
+    # are < 2^22 (exact in float32) and the int32 accumulator is exact
+    # to 2^31 - 1 per cell — a plain float32 matmul silently STOPS
+    # counting past 2^24 per cell, which production-scale pooled
+    # trajectories exceed.
+    chunk = 1 << 22
+    acc = jnp.zeros((n_states, n_states), jnp.int32)
+    for start in range(0, src.shape[0], chunk):
+        s = jax.nn.one_hot(src[start:start + chunk], n_states,
+                           dtype=jnp.float32)
+        d = jax.nn.one_hot(dst[start:start + chunk], n_states,
+                           dtype=jnp.float32)
+        acc = acc + (s.T @ d).astype(jnp.int32)
+    return acc.astype(jnp.float32)
 
 
 def transition_matrix(C: Array, reversible: bool = True,
@@ -113,19 +140,17 @@ def transition_matrix(C: Array, reversible: bool = True,
     return x / jnp.maximum(x.sum(axis=1, keepdims=True), eps)
 
 
-def stationary_distribution(T: Array, n_iter: int = 2000) -> Array:
-    """Stationary distribution ``pi T = pi`` by power iteration on the
-    transpose (works for any irreducible row-stochastic ``T``; no
-    nonsymmetric eigendecomposition needed)."""
+def stationary_distribution(T: Array) -> Array:
+    """Stationary distribution ``pi T = pi, sum(pi) = 1`` by ONE linear
+    solve of ``(I - T^T + 1 1^T) pi = 1`` — exact for any irreducible
+    row-stochastic ``T`` (no nonsymmetric eigendecomposition needed, and
+    no power-iteration convergence dependence on the spectral gap:
+    metastable chains with ``lambda_2 -> 1`` are exactly the MSM use
+    case, and iteration would converge as ``lambda_2^n``)."""
     n = T.shape[0]
-
-    def body(p, _):
-        p = p @ T
-        return p / jnp.maximum(p.sum(), 1e-30), None
-
-    p0 = jnp.full((n,), 1.0 / n, T.dtype)
-    p, _ = jax.lax.scan(body, p0, None, length=n_iter)
-    return p
+    A = (jnp.eye(n, dtype=T.dtype) - T.T
+         + jnp.ones((n, n), T.dtype))
+    return jnp.linalg.solve(A, jnp.ones((n,), T.dtype))
 
 
 def _symmetrized_spectrum(T: Array, pi: Optional[Array] = None
@@ -153,7 +178,10 @@ def implied_timescales(T: Array, lag: float = 1.0, k: Optional[int] = None,
     reversible transition matrix (slowest first, stationary eigenvalue
     excluded).  ``k`` limits how many are returned."""
     w, _, _ = _symmetrized_spectrum(T, pi)
-    lam = jnp.clip(jnp.abs(w[1:]), 1e-12, 1.0 - 1e-12)
+    # Upper clip must be representable below 1 in the working dtype —
+    # float32 rounds 1 - 1e-12 to exactly 1.0, making the log(1) = 0
+    # guard a no-op (degenerate eigenvalue -> -inf timescale).
+    lam = jnp.clip(jnp.abs(w[1:]), 1e-12, 1.0 - _one_ulp(w.dtype))
     ts = -lag / jnp.log(lam)
     return ts if k is None else ts[:k]
 
@@ -165,10 +193,8 @@ def committor(T: Array, source: Array, sink: Array) -> Array:
     Interior states solve ``q = T q``; boundaries are pinned (0 on the
     source, 1 on the sink) — assembled as one masked linear system."""
     n = T.shape[0]
-    src = jnp.zeros(n, bool).at[source].set(True) \
-        if jnp.asarray(source).dtype != jnp.bool_ else jnp.asarray(source)
-    snk = jnp.zeros(n, bool).at[sink].set(True) \
-        if jnp.asarray(sink).dtype != jnp.bool_ else jnp.asarray(sink)
+    src = _as_mask(source, n)
+    snk = _as_mask(sink, n)
     boundary = src | snk
     # Rows: interior -> (I - T); boundary -> identity. RHS: sink rows 1.
     A = jnp.where(boundary[:, None], jnp.eye(n, dtype=T.dtype),
@@ -182,19 +208,11 @@ def mean_first_passage_time(T: Array, target: Array,
     """MFPT to the ``target`` set from every state (0 on the target):
     solve ``m = lag + T m`` on the complement, as a masked system."""
     n = T.shape[0]
-    tgt = jnp.zeros(n, bool).at[target].set(True) \
-        if jnp.asarray(target).dtype != jnp.bool_ else jnp.asarray(target)
+    tgt = _as_mask(target, n)
     A = jnp.where(tgt[:, None], jnp.eye(n, dtype=T.dtype),
                   jnp.eye(n, dtype=T.dtype) - T)
     b = jnp.where(tgt, 0.0, lag).astype(T.dtype)
     return jnp.linalg.solve(A, b)
-
-
-def _as_mask(idx, n: int) -> Array:
-    idx = jnp.asarray(idx)
-    if idx.dtype == jnp.bool_:
-        return idx
-    return jnp.zeros(n, bool).at[idx].set(True)
 
 
 def reactive_flux(T: Array, source: Array, sink: Array,
@@ -281,7 +299,8 @@ def tica(x: Array, lag: int, k: Optional[int] = None,
     order = jnp.argsort(-lam)
     lam = lam[order]
     comps = inv_sqrt @ U[:, order]
-    ts = -lag / jnp.log(jnp.clip(jnp.abs(lam), 1e-12, 1.0 - 1e-12))
+    ts = -lag / jnp.log(jnp.clip(jnp.abs(lam), 1e-12,
+                                 1.0 - _one_ulp(lam.dtype)))
     if k is not None:
         ts, comps, lam = ts[:k], comps[:, :k], lam[:k]
     return ts, comps, lam

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from vaemolsim_tpu.mcmc.engine import Counter
+from vaemolsim_tpu.mcmc.engine import Counter, log_uniform
 from vaemolsim_tpu.md import MDState, _force_fn, _masses_arr
 from vaemolsim_tpu.parallel.replica import _swap_partner_perm
 
@@ -106,24 +106,27 @@ def make_remd_step(potential: Callable[[Array], Array], *,
         c1 = jnp.exp(-friction * dt_)
         c2 = jnp.sqrt(kT * (1.0 - c1 * c1) / m)
 
-        def one(s: MDState, k) -> Tuple[MDState, None]:
+        def one(carry, k):
+            s, _ = carry
             v = s.v + 0.5 * dt_ * s.force / m                     # B
             x = s.x + 0.5 * dt_ * v                               # A
             v = c1 * v + c2 * jax.random.normal(k, v.shape, v.dtype)  # O
             x = x + 0.5 * dt_ * v                                 # A
-            _, f = force(x)
+            # The closing force evaluation also yields the energy at
+            # the final positions — carried out for the swap criterion
+            # (no redundant re-evaluation after the sweep).
+            e, f = force(x)
             v = v + 0.5 * dt_ * f / m                             # B
-            return MDState(x=x, v=v, force=f), None
+            return (MDState(x=x, v=v, force=f), e), None
 
         key, sub = jax.random.split(state.key)
-        md, _ = jax.lax.scan(one,
-                             MDState(x=state.x, v=state.v,
-                                     force=state.force),
-                             jax.random.split(sub,
-                                              md_steps_per_exchange))
-        e, f = force(md.x)  # energies for the swap criterion
-        return state.replace(x=md.x, v=md.v, force=f, energies=e,
-                             key=key)
+        (md, e), _ = jax.lax.scan(
+            one,
+            (MDState(x=state.x, v=state.v, force=state.force),
+             state.energies),
+            jax.random.split(sub, md_steps_per_exchange))
+        return state.replace(x=md.x, v=md.v, force=md.force,
+                             energies=e, key=key)
 
     def exchange_phase(state: REMDState) -> REMDState:
         R = state.x.shape[0]
@@ -146,11 +149,11 @@ def make_remd_step(potential: Callable[[Array], Array], *,
         # shared uniform is indexed by the pair's lower replica id so
         # both partners decide identically.
         delta = (beta_r - beta_p) * (e - e_p)
-        u = jax.random.uniform(k_u, u_shape, minval=1e-38)
+        lu = log_uniform(k_u, u_shape, e.dtype)
         pair_lo = jnp.minimum(idx, partner)
-        u_pair = jnp.take(u, pair_lo, axis=0)
+        u_pair = jnp.take(lu, pair_lo, axis=0)
         has_partner = partner != idx
-        accept = ((jnp.log(u_pair) <= delta)
+        accept = ((u_pair <= delta)
                   & has_partner.reshape(bcast))
 
         acc_x = accept.reshape(accept.shape + (1,) * (state.x.ndim
