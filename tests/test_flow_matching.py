@@ -135,3 +135,73 @@ class TestFlowMatching:
         leaves = jax.tree_util.tree_leaves(g)
         assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
         assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
+
+
+class TestFlowMatchingLayer:
+
+    def test_distribution_protocol_shapes(self):
+        from vaemolsim_tpu.flows import FlowMatchingDist, FlowMatchingLayer
+        layer = FlowMatchingLayer.create(jax.random.PRNGKey(0), 3, 5,
+                                         hidden_dim=(16,), n_steps=8)
+        assert layer.params_size() == 5
+        cond = jax.random.normal(jax.random.PRNGKey(1), (7, 5))
+        dist = layer(cond)
+        assert isinstance(dist, FlowMatchingDist)
+        assert dist.batch_shape == (7,)
+        assert dist.event_shape == (3,)
+        s = dist.sample(jax.random.PRNGKey(2))
+        assert s.shape == (7, 3)
+        s2 = dist.sample(jax.random.PRNGKey(2), (4,))
+        assert s2.shape == (4, 7, 3)
+        lp = dist.log_prob(s)
+        assert lp.shape == (7,)
+        # forward and backward integration agree (n_steps=8 is coarse;
+        # the 64-step identity is pinned tightly above)
+        x, lp_f = dist.sample_and_log_prob(jax.random.PRNGKey(3))
+        np.testing.assert_allclose(np.asarray(dist.log_prob(x)),
+                                   np.asarray(lp_f), atol=1e-2)
+
+    def test_mapping_to_distribution_integration(self):
+        from vaemolsim_tpu.flows import FlowMatchingLayer
+        from vaemolsim_tpu.models import MappingToDistribution
+        layer = FlowMatchingLayer.create(jax.random.PRNGKey(0), 2, 4,
+                                         hidden_dim=(16,), n_steps=8)
+        m2d = MappingToDistribution.create(jax.random.PRNGKey(1), layer,
+                                           input_shape=3)
+        x_in = jax.random.normal(jax.random.PRNGKey(2), (5, 3))
+        dist = m2d(x_in)
+        assert dist.batch_shape == (5,)
+        target = jax.random.normal(jax.random.PRNGKey(3), (5, 2))
+
+        # gradient of the exact CNF log-prob flows through BOTH the
+        # mapping and the velocity net
+        def nll(model):
+            return -jnp.mean(model(x_in).log_prob(target))
+
+        g = jax.jit(jax.grad(nll))(m2d)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
+
+    def test_cfm_training_of_conditional_decoder(self):
+        # Train the LAYER's CNF by simulation-free CFM on (cond, x)
+        # pairs where x ~ N(cond_mean, 0.1); the resulting decoder
+        # distribution must track its conditioning.
+        from vaemolsim_tpu.flows import FlowMatchingLayer
+        layer = FlowMatchingLayer.create(jax.random.PRNGKey(0), 1, 1,
+                                         hidden_dim=(32, 32), n_steps=24)
+        c = jax.random.uniform(jax.random.PRNGKey(1), (4096, 1),
+                               minval=-2.0, maxval=2.0)
+        x = c + 0.1 * jax.random.normal(jax.random.PRNGKey(2),
+                                        (4096, 1))
+        from vaemolsim_tpu import train
+        loss_fn = lambda m, batch, k: m.model.loss(
+            k, batch[1], conditional_input=batch[0])
+        layer, _ = train.fit(layer, loss_fn, (c, x),
+                             key=jax.random.PRNGKey(3), num_epochs=40,
+                             batch_size=512, learning_rate=2e-3,
+                             scan_epochs=True)
+        dist = layer(jnp.array([[1.5], [-1.5]]))
+        s = dist.sample(jax.random.PRNGKey(4), (256,))  # (256, 2, 1)
+        means = np.asarray(jnp.mean(s, axis=0))[:, 0]
+        np.testing.assert_allclose(means, [1.5, -1.5], atol=0.25)

@@ -12,6 +12,8 @@ from vaemolsim_tpu.flows.spline_flows import (  # noqa: F401
 )
 from vaemolsim_tpu.flows.flow_matching import (  # noqa: F401
     FlowMatching,
+    FlowMatchingDist,
+    FlowMatchingLayer,
     VelocityField,
 )
 from vaemolsim_tpu.ops.bijectors import make_domain_transform  # noqa: F401

@@ -42,11 +42,14 @@ import jax.numpy as jnp
 
 from flax import struct
 
+from vaemolsim_tpu.ops.distributions import Distribution
+
 from vaemolsim_tpu.nn.mappings import FCDeepNN
 
 Array = jax.Array
 
-__all__ = ["VelocityField", "FlowMatching"]
+__all__ = ["VelocityField", "FlowMatching", "FlowMatchingDist",
+           "FlowMatchingLayer"]
 
 
 def _time_features(t: Array, n_freqs: int) -> Array:
@@ -233,3 +236,86 @@ class FlowMatching:
         # Backward traversal accumulates -int_0^1 div dt directly
         # (dt < 0), so it ADDs to the base density.
         return self._base_log_prob(x0) + div_int_back
+
+
+@struct.dataclass
+class FlowMatchingDist(Distribution):
+    """A trained (optionally conditional) :class:`FlowMatching` bound to
+    its conditioning context, presented through the package's standard
+    distribution protocol (``sample`` / ``log_prob`` /
+    ``sample_and_log_prob``) — so a CNF can stand anywhere a
+    distribution can: as a VAE decoder head, an MC independence
+    proposal, or a density for the KL estimators.
+
+    ``log_prob``/``sample`` integrate the probability-flow ODE
+    (``n_steps`` fixed RK4 steps, exact divergence); they are exact but
+    cost ``O(n_steps * event_dim)`` velocity-net evaluations — train by
+    the simulation-free :meth:`FlowMatching.loss` CFM regression where
+    possible and reserve the ODE paths for evaluation/sampling.
+    """
+
+    model: FlowMatching
+    cond: Optional[Array] = None
+    n_steps: int = struct.field(pytree_node=False, default=48)
+
+    @property
+    def event_shape(self) -> Tuple[int, ...]:
+        return (self.model.event_dim,)
+
+    @property
+    def batch_shape(self) -> Tuple[int, ...]:
+        return () if self.cond is None else self.cond.shape[:-1]
+
+    def sample(self, key: Array, sample_shape: Tuple[int, ...] = ()
+               ) -> Array:
+        shape = tuple(sample_shape) + self.batch_shape
+        return self.model.sample(key, shape, n_steps=self.n_steps,
+                                 conditional_input=self.cond)
+
+    def sample_and_log_prob(self, key: Array,
+                            sample_shape: Tuple[int, ...] = ()):
+        shape = tuple(sample_shape) + self.batch_shape
+        return self.model.sample_and_log_prob(
+            key, shape, n_steps=self.n_steps,
+            conditional_input=self.cond)
+
+    def log_prob(self, x: Array) -> Array:
+        return self.model.log_prob(x, n_steps=self.n_steps,
+                                   conditional_input=self.cond)
+
+
+@struct.dataclass
+class FlowMatchingLayer:
+    """Distribution-emitting layer over a conditional CNF: the mapping
+    network's output vector IS the conditioning context
+    (``params_size() = cond_dim``), mirroring how the reference routes
+    ``conditional_input`` into flowed decoders
+    (/root/reference/vaemolsim/dists.py:414-439) but with the
+    conditioner as a first-class layer input — drop-in for
+    ``MappingToDistribution(dist=...)`` / VAE decoder slots.
+    """
+
+    model: FlowMatching
+    cond_dim: int = struct.field(pytree_node=False)
+    n_steps: int = struct.field(pytree_node=False, default=48)
+
+    @classmethod
+    def create(cls, key: Array, event_dim: int, cond_dim: int, *,
+               hidden_dim: Union[int, Sequence[int]] = (128, 128),
+               n_freqs: int = 4, n_steps: int = 48,
+               sigma_min: float = 1e-4,
+               activation: str = "gelu") -> "FlowMatchingLayer":
+        model = FlowMatching.create(key, event_dim,
+                                    hidden_dim=hidden_dim,
+                                    n_freqs=n_freqs, cond_dim=cond_dim,
+                                    sigma_min=sigma_min,
+                                    activation=activation)
+        return cls(model=model, cond_dim=cond_dim, n_steps=n_steps)
+
+    def params_size(self) -> int:
+        return self.cond_dim
+
+    def __call__(self, raw: Array, train: bool = False
+                 ) -> FlowMatchingDist:
+        return FlowMatchingDist(model=self.model, cond=raw,
+                                n_steps=self.n_steps)
