@@ -453,6 +453,12 @@ def bench_cell_list_md(jax, jnp, n_atoms=8192, n_steps=200, rho=0.8,
     from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
 
     L = float((n_atoms / rho) ** (1.0 / 3.0))
+    # CPU-fallback runs (wedged tunnel) must not error out of the whole
+    # workload: Mosaic kernels are TPU-only, and interpret mode at this
+    # N is pathologically slow — use the XLA backend off-TPU (the
+    # recorded `platform` field already marks the run as a fallback).
+    if jax.default_backend() != "tpu":
+        backend = "xla"
     build, energy = lennard_jones_cell_neighbor(
         box=[L] * 3, cutoff=cutoff, skin=skin, capacity=capacity,
         backend=backend)
