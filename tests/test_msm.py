@@ -299,3 +299,39 @@ class TestTPT:
         k1 = msm.tpt_rate(T, jnp.array([0]), jnp.array([2]), lag=1.0)
         k2 = msm.tpt_rate(T, jnp.array([0]), jnp.array([2]), lag=2.0)
         np.testing.assert_allclose(float(k1), 2 * float(k2), rtol=1e-6)
+
+
+class TestKMeans:
+
+    def test_recovers_separated_blobs(self):
+        mus = jnp.array([[-5.0, 0.0], [0.0, 5.0], [5.0, 0.0]])
+        key = jax.random.PRNGKey(0)
+        pts = (mus[jax.random.randint(key, (3000,), 0, 3)]
+               + 0.3 * jax.random.normal(jax.random.PRNGKey(1),
+                                         (3000, 2)))
+        centers, inertia = msm.kmeans(jax.random.PRNGKey(2), pts, 3)
+        got = np.asarray(centers)[np.argsort(np.asarray(centers)[:, 0])]
+        np.testing.assert_allclose(got, np.asarray(mus), atol=0.15)
+        # inertia ~ n * d * sigma^2
+        assert float(inertia) < 3000 * 2 * 0.3 ** 2 * 1.5
+
+    def test_k1_is_mean(self):
+        pts = jax.random.normal(jax.random.PRNGKey(0), (500, 3)) + 2.0
+        centers, _ = msm.kmeans(jax.random.PRNGKey(1), pts, 1)
+        np.testing.assert_allclose(np.asarray(centers[0]),
+                                   np.asarray(pts.mean(0)), atol=1e-4)
+
+    def test_bad_k_raises(self):
+        with pytest.raises(ValueError, match="k must"):
+            msm.kmeans(jax.random.PRNGKey(0), jnp.zeros((5, 2)), 9)
+
+    def test_feeds_assign_states(self):
+        pts = jnp.concatenate([
+            jax.random.normal(jax.random.PRNGKey(0), (200, 1)) * 0.2 - 2,
+            jax.random.normal(jax.random.PRNGKey(1), (200, 1)) * 0.2 + 2])
+        centers, _ = msm.kmeans(jax.random.PRNGKey(2), pts, 2)
+        lbl = msm.assign_states(pts, centers)
+        # the two halves land in different states
+        a = np.asarray(lbl[:200])
+        b = np.asarray(lbl[200:])
+        assert (a == a[0]).all() and (b == b[0]).all() and a[0] != b[0]

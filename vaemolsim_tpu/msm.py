@@ -40,7 +40,7 @@ Array = jax.Array
 __all__ = ["assign_states", "count_matrix", "transition_matrix",
            "stationary_distribution", "implied_timescales", "committor",
            "mean_first_passage_time", "chapman_kolmogorov", "tica",
-           "reactive_flux", "tpt_rate"]
+           "reactive_flux", "tpt_rate", "kmeans"]
 
 
 def _one_ulp(dtype) -> float:
@@ -69,6 +69,55 @@ def assign_states(x: Array, centers: Array) -> Array:
         x = x[..., None]
     d2 = jnp.sum((x[..., None, :] - centers) ** 2, axis=-1)
     return jnp.argmin(d2, axis=-1).astype(jnp.int32)
+
+
+def kmeans(key: Array, x: Array, k: int, n_iter: int = 50
+           ) -> Tuple[Array, Array]:
+    """K-means state centers for MSM discretization: k-means++ style
+    seeding (greedy farthest-point from a random start) followed by
+    ``n_iter`` Lloyd sweeps as one ``lax.scan``.
+
+    ``x``: features ``(..., d)`` (any batch/time axes; flattened);
+    returns ``(centers (k, d), inertia)``.  Each sweep is one dense
+    distance matmul + masked mean — no scatters; empty clusters keep
+    their previous center (standard Lloyd fix)."""
+    x = jnp.asarray(x)
+    flat = x.reshape(-1, x.shape[-1])
+    n = flat.shape[0]
+    if k < 1 or k > n:
+        raise ValueError(f"k must be in [1, {n}], got {k}")
+
+    # Farthest-point seeding (deterministic given the keyed start).
+    first = flat[jax.random.randint(key, (), 0, n)]
+
+    def seed_step(carry, _):
+        centers, m = carry  # centers (k, d) with rows >= m garbage
+        d2 = jnp.min(
+            jnp.sum((flat[:, None, :] - centers[None]) ** 2, -1)
+            + jnp.where(jnp.arange(k) < m, 0.0, jnp.inf)[None], axis=1)
+        nxt = flat[jnp.argmax(d2)]
+        centers = jnp.where(
+            (jnp.arange(k) == m)[:, None], nxt[None], centers)
+        return (centers, m + 1), None
+
+    c0 = jnp.tile(first[None], (k, 1))
+    (centers, _), _ = jax.lax.scan(seed_step, (c0, 1), None,
+                                   length=k - 1)
+
+    def lloyd(c, _):
+        d2 = jnp.sum((flat[:, None, :] - c[None]) ** 2, -1)  # (n, k)
+        lbl = jnp.argmin(d2, axis=1)
+        oh = jax.nn.one_hot(lbl, k, dtype=flat.dtype)        # (n, k)
+        counts = oh.sum(axis=0)                              # (k,)
+        sums = oh.T @ flat                                   # (k, d)
+        c_new = jnp.where(counts[:, None] > 0,
+                          sums / jnp.maximum(counts[:, None], 1.0), c)
+        return c_new, None
+
+    centers, _ = jax.lax.scan(lloyd, centers, None, length=n_iter)
+    d2 = jnp.sum((flat[:, None, :] - centers[None]) ** 2, -1)
+    inertia = jnp.sum(jnp.min(d2, axis=1))
+    return centers, inertia
 
 
 def count_matrix(dtraj: Array, n_states: int, lag: int = 1,
