@@ -1058,7 +1058,7 @@ def composite(*terms: Callable[[Array], Array]) -> Callable[[Array], Array]:
 
 def minimize_energy(potential: Callable[[Array], Array], x0: Array, *,
                     steps: int = 500, lr: float = 0.01,
-                    clip: float = 1.0) -> Array:
+                    clip: float = 1.0, polish_lbfgs: int = 0) -> Array:
     """Relax configurations to a local energy minimum — the standard
     prelude to MC/MD (random initial placements overlap, and r^-12
     energies at overlap are astronomically outside every sampler's
@@ -1077,6 +1077,14 @@ def minimize_energy(potential: Callable[[Array], Array], x0: Array, *,
     phases are jitted ``lax.fori_loop``s over ``steps // 2``; batched —
     every leading-axis configuration minimizes independently in the
     same compiled program.  Returns the relaxed coordinates.
+
+    ``polish_lbfgs > 0`` appends that many L-BFGS steps (zoom
+    linesearch, vmapped per configuration) — superlinear refinement to
+    the basin floor once Adam has escaped the blow-up region, pinning
+    minima to ~machine precision (the LJ7 funnel golden in
+    tests/test_potentials.py).  Never start L-BFGS from overlapping
+    configurations: the linesearch along an r^-12 wall direction is
+    what the clipped-Adam phases exist to avoid.
     """
     import optax
 
@@ -1095,10 +1103,40 @@ def minimize_energy(potential: Callable[[Array], Array], x0: Array, *,
         x, _ = jax.lax.fori_loop(0, n, body, (x0, opt.init(x0)))
         return x
 
+    def lbfgs_polish(x0):
+        opt = optax.lbfgs()
+        batch = x0.shape[:-2]
+        flat = x0.reshape(batch + (-1,))  # L-BFGS over flat coords
+
+        def f_one(p):
+            return potential(p.reshape(x0.shape[len(batch):]))
+
+        def one_config(p0):
+            vg = optax.value_and_grad_from_state(f_one)
+
+            def body(_, carry):
+                p, st = carry
+                value, grad = vg(p, state=st)
+                updates, st = opt.update(grad, st, p, value=value,
+                                         grad=grad, value_fn=f_one)
+                return optax.apply_updates(p, updates), st
+
+            p, _ = jax.lax.fori_loop(0, polish_lbfgs, body,
+                                     (p0, opt.init(p0)))
+            return p
+
+        fn = one_config
+        for _ in range(len(batch)):
+            fn = jax.vmap(fn)
+        return fn(flat).reshape(x0.shape)
+
     @jax.jit
     def run(x0):
         x = phase(x0, optax.adam(lr), steps // 2)
-        return phase(x, optax.adam(lr / 10.0), steps - steps // 2)
+        x = phase(x, optax.adam(lr / 10.0), steps - steps // 2)
+        if polish_lbfgs > 0:
+            x = lbfgs_polish(x)
+        return x
 
     return run(jnp.asarray(x0))
 
