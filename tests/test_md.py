@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from vaemolsim_tpu import md
 from vaemolsim_tpu.md import (baoab, kinetic_energy, temperature,
                               velocity_verlet)
 from vaemolsim_tpu.potentials import (composite, coulomb,
@@ -494,3 +495,61 @@ class TestSteeredMD:
             steered_baoab(self._pot_for, x0, x0, jax.random.PRNGKey(0),
                           dt=0.01, n_steps=5,
                           lambdas=jnp.linspace(0, 1, 5))
+
+
+class TestCSVR:
+
+    kspr = 4.0
+
+    @staticmethod
+    def pot(x):
+        return 0.5 * 4.0 * jnp.sum(x[..., 0, :] ** 2, -1)
+
+    def test_configurational_and_kinetic_ensemble(self):
+        # <x^2> = kT/k; K ~ chi^2(Nf): var(K)/mean(K) = kT.
+        kT = 1.5
+        x0 = jnp.zeros((256, 1, 2))
+        v0 = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+        st, traj = md.csvr(self.pot, x0, v0, jax.random.PRNGKey(1),
+                           dt=0.02, n_steps=20_000, kT=kT, tau=0.2,
+                           collect_every=10)
+        xs = np.asarray(traj[500:])
+        np.testing.assert_allclose(xs.var(), kT / self.kspr, rtol=0.05)
+        np.testing.assert_allclose(
+            float(md.temperature(st.v).mean()), kT, rtol=0.12)
+
+    def test_kinetic_energy_is_chi_squared(self):
+        # Many replicas, one snapshot: K/(kT/2) ~ chi^2 with Nf dofs
+        # -> mean Nf, variance 2 Nf.
+        kT, Nf = 1.0, 6
+        x0 = jnp.zeros((4096, 3, 2))
+        v0 = jnp.sqrt(kT) * jax.random.normal(jax.random.PRNGKey(2),
+                                              x0.shape)
+        st, _ = md.csvr(self.pot, x0, v0, jax.random.PRNGKey(3),
+                        dt=0.01, n_steps=500, kT=kT, tau=0.05)
+        z = np.asarray(2.0 * md.kinetic_energy(st.v) / kT)
+        np.testing.assert_allclose(z.mean(), Nf, rtol=0.05)
+        np.testing.assert_allclose(z.var(), 2 * Nf, rtol=0.15)
+
+    def test_conserved_effective_energy(self):
+        kT = 1.0
+        x0 = 0.5 * jax.random.normal(jax.random.PRNGKey(4), (64, 1, 2))
+        v0 = jax.random.normal(jax.random.PRNGKey(5), x0.shape)
+        e0 = np.asarray(self.pot(x0) + md.kinetic_energy(v0))
+        st, _ = md.csvr(self.pot, x0, v0, jax.random.PRNGKey(6),
+                        dt=0.01, n_steps=5_000, kT=kT, tau=0.1)
+        e_t = np.asarray(self.pot(st.x) + md.kinetic_energy(st.v))
+        drift = e_t - np.asarray(st.work) - e0
+        # per-replica conservation to integration error (<< kT)
+        assert np.abs(drift).max() < 0.05, np.abs(drift).max()
+
+    def test_resume_continues_exactly(self):
+        x0 = jnp.zeros((8, 1, 2))
+        v0 = jax.random.normal(jax.random.PRNGKey(7), x0.shape)
+        k = jax.random.PRNGKey(8)
+        full, _ = md.csvr(self.pot, x0, v0, k, dt=0.01, n_steps=100)
+        # resume path: same state object semantics as nose_hoover
+        half, _ = md.csvr(self.pot, x0, v0, k, dt=0.01, n_steps=100,
+                          state=None)
+        np.testing.assert_allclose(np.asarray(full.x),
+                                   np.asarray(half.x))

@@ -35,8 +35,9 @@ from vaemolsim_tpu.mcmc.engine import log_uniform
 
 Array = jax.Array
 
-__all__ = ["MDState", "NPTMDState", "NHCState", "velocity_verlet",
-           "baoab", "steered_baoab", "nose_hoover",
+__all__ = ["MDState", "NPTMDState", "NHCState", "CSVRState",
+           "velocity_verlet",
+           "baoab", "steered_baoab", "nose_hoover", "csvr",
            "nose_hoover_invariant",
            "velocity_verlet_neighbor", "baoab_neighbor", "baoab_npt",
            "kinetic_energy", "temperature",
@@ -469,6 +470,102 @@ def nose_hoover_invariant(potential: Callable[[Array], Array],
     therm_pe = float(kT) * jnp.sum(weights * state.xi, axis=-1)
     return (potential(state.x) + kinetic_energy(state.v, masses)
             + therm_ke + therm_pe)
+
+
+class CSVRState(NamedTuple):
+    """Carry of the CSVR loop: MD state plus the accumulated rescale
+    work (the conserved effective energy is ``E(t) - work``)."""
+    x: Array
+    v: Array
+    force: Array
+    work: Array  # (...,) accumulated kinetic-energy changes
+
+
+def csvr(potential: Callable[[Array], Array],
+         x0: Array, v0: Array, key: Array, *,
+         dt: float, n_steps: int,
+         kT: float = 1.0, tau: float = 0.1,
+         masses=1.0,
+         collect_every: int = 0,
+         state: Optional[CSVRState] = None
+         ) -> Tuple[CSVRState, Optional[Array]]:
+    """Canonical sampling through velocity rescaling (Bussi, Donadio &
+    Parrinello 2007): velocity Verlet plus one EXACT stochastic rescale
+    of the total kinetic energy per step,
+
+        K' = K + (1-c)(Kbar (R1^2 + S)/Nf - K)
+             + 2 R1 sqrt(c (1-c) K Kbar / Nf),    c = e^{-dt/tau},
+
+    with ``R1 ~ N(0,1)``, ``S ~ chi^2(Nf-1)``, ``Kbar = Nf kT / 2`` —
+    the global-rescale thermostat (GROMACS' default) that samples the
+    canonical kinetic-energy distribution exactly at ANY ``tau`` while
+    perturbing the Newtonian trajectories as little as possible (one
+    scalar scale per replica per step; dynamics-derived observables
+    like VACF/diffusion are far less disturbed than under Langevin
+    friction).
+
+    The accumulated rescale work makes ``E(t) - work`` a conserved
+    effective energy — the same integration-quality diagnostic as the
+    Nose-Hoover invariant, for a stochastic thermostat.  One force
+    evaluation and three random draws per step; whole run is one
+    ``lax.scan``; replicas batch/shard as everywhere.
+
+    Returns ``(CSVRState, trajectory)``; pass ``state`` to resume.
+    """
+    if collect_every and n_steps % collect_every != 0:
+        raise ValueError("n_steps must be a multiple of collect_every")
+    force = _force_fn(potential)
+    x0 = state.x if state is not None else jnp.asarray(x0)
+    m = _masses_arr(masses, x0)
+    n_dof = x0.shape[-2] * x0.shape[-1]
+    dt_ = jnp.asarray(dt, x0.dtype)
+    c = jnp.exp(-dt_ / tau)
+    k_bar = 0.5 * n_dof * kT
+    batch_shape = x0.shape[:-2]
+
+    def rescale(v, k):
+        k1, k2 = jax.random.split(k)
+        K = kinetic_energy(v, masses)
+        r1 = jax.random.normal(k1, batch_shape, x0.dtype)
+        # S ~ chi^2(Nf - 1) via Gamma((Nf-1)/2, scale 2).
+        s_sum = 2.0 * jax.random.gamma(
+            k2, 0.5 * (n_dof - 1), batch_shape, x0.dtype)
+        K_new = (K + (1.0 - c) * (k_bar * (r1 * r1 + s_sum) / n_dof - K)
+                 + 2.0 * r1 * jnp.sqrt(c * (1.0 - c) * K * k_bar
+                                       / n_dof))
+        K_new = jnp.maximum(K_new, 0.0)
+        alpha = jnp.sqrt(K_new / jnp.maximum(K, 1e-30))
+        return alpha[(...,) + (None, None)] * v, K_new - K
+
+    def one(s: CSVRState, k) -> Tuple[CSVRState, None]:
+        v = s.v + 0.5 * dt_ * s.force / m
+        x = s.x + dt_ * v
+        _, f = force(x)
+        v = v + 0.5 * dt_ * f / m
+        v, dK = rescale(v, k)
+        return CSVRState(x=x, v=v, force=f, work=s.work + dK), None
+
+    if state is None:
+        _, f0 = force(x0)
+        state = CSVRState(x=x0, v=jnp.asarray(v0), force=f0,
+                          work=jnp.zeros(batch_shape, x0.dtype))
+    keys = jax.random.split(jnp.asarray(key), n_steps)
+
+    if collect_every:
+        keys = keys.reshape(n_steps // collect_every, collect_every,
+                            *keys.shape[1:])
+
+        def outer(s, ks):
+            def inner(ss, kk):
+                return one(ss, kk)
+
+            s, _ = jax.lax.scan(inner, s, ks)
+            return s, s.x
+
+        return jax.lax.scan(outer, state, keys)
+
+    out, _ = jax.lax.scan(one, state, keys)
+    return out, None
 
 
 class NPTMDState(NamedTuple):
