@@ -71,14 +71,17 @@ class SplineConditioner:
     bin_min: float = struct.field(pytree_node=False, default=-10.0)
     bin_max: float = struct.field(pytree_node=False, default=10.0)
     num_bins: int = struct.field(pytree_node=False, default=32)
+    circular: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(cls, key: Array, in_dim: int, data_dim: int,
                bin_range: Sequence[float] = (-10.0, 10.0),
                num_bins: int = 32, hidden_dim: int = 200,
+               circular: bool = False,
                kernel_initializer="truncated_normal") -> "SplineConditioner":
         k1, k2, k3, k4 = jax.random.split(key, 4)
         eff_in = max(in_dim, 1)  # zero-width input is replaced by ones
+        n_slopes = num_bins if circular else num_bins - 1
         return cls(
             trunk=Dense.create(k1, eff_in, hidden_dim, "tanh",
                                kernel_initializer),
@@ -86,10 +89,11 @@ class SplineConditioner:
                                 kernel_initializer),
             h_head=Dense.create(k3, hidden_dim, data_dim * num_bins, None,
                                 kernel_initializer),
-            s_head=Dense.create(k4, hidden_dim, data_dim * (num_bins - 1),
+            s_head=Dense.create(k4, hidden_dim, data_dim * n_slopes,
                                 None, kernel_initializer),
             data_dim=data_dim, bin_min=float(bin_range[0]),
-            bin_max=float(bin_range[1]), num_bins=num_bins)
+            bin_max=float(bin_range[1]), num_bins=num_bins,
+            circular=circular)
 
     def __call__(self, x: Array) -> RationalQuadraticSpline:
         from vaemolsim_tpu.ops.fused_mlp import fused_dense_stack
@@ -112,8 +116,10 @@ class SplineConditioner:
         shp = out.shape[:-1] + (D, K)
         w = _bin_positions(raw_w.reshape(shp), self.bin_min, self.bin_max, K)
         hh = _bin_positions(raw_h.reshape(shp), self.bin_min, self.bin_max, K)
-        s = _slopes(raw_s.reshape(out.shape[:-1] + (D, K - 1)))
-        return RationalQuadraticSpline(w, hh, s, range_min=self.bin_min)
+        n_slopes = K if self.circular else K - 1
+        s = _slopes(raw_s.reshape(out.shape[:-1] + (D, n_slopes)))
+        return RationalQuadraticSpline(w, hh, s, range_min=self.bin_min,
+                                       circular=self.circular)
 
 
 @struct.dataclass
@@ -331,6 +337,7 @@ class MaskedSplineConditioner:
     bin_min: float = struct.field(pytree_node=False, default=-10.0)
     bin_max: float = struct.field(pytree_node=False, default=10.0)
     num_bins: int = struct.field(pytree_node=False, default=32)
+    circular: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(cls, key: Array, data_dim: int,
@@ -339,6 +346,7 @@ class MaskedSplineConditioner:
                conditional: bool = False,
                conditional_event_shape: Optional[int] = None,
                input_order="left-to-right",
+               circular: bool = False,
                kernel_initializer="truncated_normal"
                ) -> "MaskedSplineConditioner":
         k1, k2, k3 = jax.random.split(key, 3)
@@ -347,12 +355,13 @@ class MaskedSplineConditioner:
                       conditional_event_size=conditional_event_shape,
                       activation="tanh",
                       kernel_initializer=kernel_initializer)
+        n_slopes = num_bins if circular else num_bins - 1
         return cls(
             w_net=MADE.create(k1, data_dim, num_bins, **common),
             h_net=MADE.create(k2, data_dim, num_bins, **common),
-            s_net=MADE.create(k3, data_dim, num_bins - 1, **common),
+            s_net=MADE.create(k3, data_dim, n_slopes, **common),
             bin_min=float(bin_range[0]), bin_max=float(bin_range[1]),
-            num_bins=num_bins)
+            num_bins=num_bins, circular=circular)
 
     @property
     def conditional(self) -> bool:
@@ -438,7 +447,8 @@ class MaskedSplineConditioner:
         D, K = self.w_net.event_size, self.num_bins
         raw_w = out[..., : D * K].reshape(out.shape[:-1] + (D, K))
         raw_h = out[..., D * K: 2 * D * K].reshape(out.shape[:-1] + (D, K))
-        raw_s = out[..., 2 * D * K:].reshape(out.shape[:-1] + (D, K - 1))
+        n_slopes = K if self.circular else K - 1
+        raw_s = out[..., 2 * D * K:].reshape(out.shape[:-1] + (D, n_slopes))
         return raw_w, raw_h, raw_s
 
     def __call__(self, x: Array,
@@ -448,7 +458,8 @@ class MaskedSplineConditioner:
         w = _bin_positions(raw_w, self.bin_min, self.bin_max, self.num_bins)
         h = _bin_positions(raw_h, self.bin_min, self.bin_max, self.num_bins)
         s = _slopes(raw_s)
-        return RationalQuadraticSpline(w, h, s, range_min=self.bin_min)
+        return RationalQuadraticSpline(w, h, s, range_min=self.bin_min,
+                                       circular=self.circular)
 
 
 _MAF_FUSED = False  # see set_maf_fused()
@@ -494,6 +505,7 @@ class MAFLayer(bj.Bijector):
         cond = self.conditioner
         if not (_MAF_FUSED and cond.mergeable and t.ndim == 2
                 and (context is None or context.ndim == 2)
+                and not cond.circular  # fused kernel is linear-tail only
                 and jax.default_backend() == "tpu"):
             return None
         cond._check_conditional(context)

@@ -35,7 +35,8 @@ from vaemolsim_tpu.ops.bijectors import Bijector
 
 Array = jax.Array
 
-__all__ = ["rqs_forward", "rqs_inverse", "RationalQuadraticSpline",
+__all__ = ["rqs_forward", "rqs_inverse", "rqs_forward_circular",
+           "rqs_inverse_circular", "RationalQuadraticSpline",
            "set_implementation"]
 
 
@@ -184,21 +185,104 @@ def _rqs_inverse_xla(y: Array, widths: Array, heights: Array, slopes: Array,
     return x, ldj
 
 
+def _rqs_circular(t: Array, widths: Array, heights: Array,
+                  slopes: Array, range_min: float,
+                  inverse: bool) -> Tuple[Array, Array]:
+    """Circular RQS (Rezende et al. 2020, "Normalizing Flows on Tori and
+    Spheres"): a diffeomorphism of the circle lifted to the line.
+
+    ``slopes`` has K entries — the derivative at EVERY knot, with knot K
+    identified with knot 0 (``d_K = d_0``), which makes the transform's
+    derivative continuous across the seam (the linear spline's
+    identity-tail boundary condition breaks exactly there).  Inputs are
+    wrapped into the base period and the winding offset added back, so
+    ``f(t + P) = f(t) + P`` exactly."""
+    x_knots, y_knots = _knots(widths, heights, range_min)
+    d = jnp.concatenate([slopes, slopes[..., :1]], axis=-1)  # d_K = d_0
+    period = x_knots[..., -1] - range_min
+
+    t_wrap = range_min + jnp.mod(t - range_min, period)
+    winding = t - t_wrap
+
+    knots_in = y_knots if inverse else x_knots
+    idx = jnp.clip(_search(knots_in, t_wrap), 0, widths.shape[-1] - 1)
+    xk = _gather(x_knots, idx)
+    yk = _gather(y_knots, idx)
+    wk = _gather(widths, idx)
+    hk = _gather(heights, idx)
+    dk = _gather(d, idx)
+    dk1 = _gather(d, idx + 1)
+    s = hk / wk
+
+    if not inverse:
+        xi = (t_wrap - xk) / wk
+        xi1m = 1.0 - xi
+        den = s + (dk1 + dk - 2.0 * s) * xi * xi1m
+        out = yk + hk * (s * xi * xi + dk * xi * xi1m) / den
+    else:
+        tt = t_wrap - yk
+        dsum = dk1 + dk - 2.0 * s
+        a = hk * (s - dk) + tt * dsum
+        b = hk * dk - tt * dsum
+        c = -s * tt
+        disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+        xi = jnp.clip((2.0 * c) / (-b - jnp.sqrt(disc)), 0.0, 1.0)
+        xi1m = 1.0 - xi
+        den = s + dsum * xi * xi1m
+        out = xk + xi * wk
+
+    deriv = (s * s) * (dk1 * xi * xi + 2.0 * s * xi * xi1m
+                       + dk * xi1m * xi1m) / (den * den)
+    ldj = jnp.log(deriv)
+    return out + winding, (-ldj if inverse else ldj)
+
+
+def rqs_forward_circular(x: Array, widths: Array, heights: Array,
+                         slopes: Array, range_min: float
+                         ) -> Tuple[Array, Array]:
+    """Forward circular spline (``slopes``: (..., K), periodic seam
+    derivative).  Returns (y, log|dy/dx|)."""
+    return _rqs_circular(x, widths, heights, slopes, range_min, False)
+
+
+def rqs_inverse_circular(y: Array, widths: Array, heights: Array,
+                         slopes: Array, range_min: float
+                         ) -> Tuple[Array, Array]:
+    """Inverse circular spline.  Returns (x, log|dx/dy|)."""
+    return _rqs_circular(y, widths, heights, slopes, range_min, True)
+
+
 @struct.dataclass
 class RationalQuadraticSpline(Bijector):
     """Scalar-acting RQS bijector (wrap in ``Block(..., 1)`` for vector
     events).  Parameters may carry arbitrary leading batch axes; each
-    element of the input has its own spline."""
+    element of the input has its own spline.
+
+    ``circular=True`` selects the Rezende-et-al. circle variant:
+    ``knot_slopes`` then has K entries (one per knot, seam shared) and
+    the transform is an exact circle diffeomorphism — periodic with
+    continuous derivative across the seam — instead of an
+    identity-tailed line transform.  (The Pallas backend covers the
+    linear variant only; circular always runs the XLA path.)"""
 
     bin_widths: Array  # (..., K)
     bin_heights: Array  # (..., K)
-    knot_slopes: Array  # (..., K-1)
+    knot_slopes: Array  # (..., K-1); (..., K) when circular
     range_min: float = struct.field(pytree_node=False, default=-1.0)
+    circular: bool = struct.field(pytree_node=False, default=False)
 
     def forward_and_log_det(self, x, context=None):
+        if self.circular:
+            return rqs_forward_circular(x, self.bin_widths,
+                                        self.bin_heights,
+                                        self.knot_slopes, self.range_min)
         return rqs_forward(x, self.bin_widths, self.bin_heights,
                            self.knot_slopes, self.range_min)
 
     def inverse_and_log_det(self, y, context=None):
+        if self.circular:
+            return rqs_inverse_circular(y, self.bin_widths,
+                                        self.bin_heights,
+                                        self.knot_slopes, self.range_min)
         return rqs_inverse(y, self.bin_widths, self.bin_heights,
                            self.knot_slopes, self.range_min)
