@@ -553,3 +553,60 @@ class TestCSVR:
                           state=None)
         np.testing.assert_allclose(np.asarray(full.x),
                                    np.asarray(half.x))
+
+
+class TestRESPA:
+
+    # Stiff bond (omega = 400 -> plain-Verlet limit dt < 2/400 = 0.005;
+    # impulse-resonance limit ~ half the fast period = pi/400 = 0.0079)
+    # plus a soft confining well.  The outer step 0.006 sits in the
+    # window where plain Verlet is unstable and RESPA is resonance-free.
+    @staticmethod
+    def fast(x):
+        q = x[..., 0, :]
+        return 0.5 * 1.6e5 * jnp.sum((q - 1.0) ** 2, -1)
+
+    @staticmethod
+    def slow(x):
+        q = x[..., 0, :]
+        return 0.5 * 1.0 * jnp.sum(q ** 2, -1)
+
+    def total(self, x):
+        return self.fast(x) + self.slow(x)
+
+    def test_conserves_beyond_plain_verlet_limit(self):
+        x0 = jnp.full((8, 1, 1), 1.002)
+        v0 = 0.5 * jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+        e0 = np.asarray(self.total(x0) + kinetic_energy(v0))
+
+        # plain Verlet above the stiff stability limit: blows up
+        st_plain, _ = velocity_verlet(self.total, x0, v0, dt=0.006,
+                                      n_steps=500)
+        e_plain = np.asarray(self.total(st_plain.x)
+                             + kinetic_energy(st_plain.v))
+        assert (~np.isfinite(e_plain)).any() or \
+            np.abs(e_plain - e0).max() > 10 * np.abs(e0).max()
+
+        # r-RESPA at the SAME outer dt with n_inner = 8: conserved
+        st, _ = md.respa_verlet(self.fast, self.slow, x0, v0, dt=0.006,
+                                n_steps=500, n_inner=8)
+        e = np.asarray(self.total(st.x) + kinetic_energy(st.v))
+        np.testing.assert_allclose(e, e0, rtol=0.02)
+
+    def test_matches_verlet_at_fine_steps(self):
+        # With a tiny outer step both integrators follow the same
+        # trajectory to discretization error.
+        x0 = jnp.full((4, 1, 1), 1.001)
+        v0 = jnp.zeros_like(x0)
+        st_r, _ = md.respa_verlet(self.fast, self.slow, x0, v0,
+                                  dt=0.002, n_steps=200, n_inner=2)
+        st_v, _ = velocity_verlet(self.total, x0, v0, dt=0.001,
+                                  n_steps=400)
+        np.testing.assert_allclose(np.asarray(st_r.x),
+                                   np.asarray(st_v.x), atol=1e-4)
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="n_inner"):
+            md.respa_verlet(self.fast, self.slow, jnp.zeros((1, 1, 1)),
+                            jnp.zeros((1, 1, 1)), dt=0.01, n_steps=2,
+                            n_inner=0)
