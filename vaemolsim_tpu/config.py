@@ -181,6 +181,7 @@ class RQSParams:
     kernel_initializer: str = "truncated_normal"
     conditional: bool = False
     conditional_event_shape: Optional[int] = None
+    circular: bool = False  # Rezende-et-al. circle spline (periodic DOFs)
 
     def asdict(self, coupling: bool = False) -> Dict[str, Any]:
         """kwargs for the conditioner factories.  ``coupling=True`` targets
