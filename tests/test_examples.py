@@ -1,6 +1,6 @@
-"""Example-workflow smoke tests: ALL twenty-five user-facing scripts must run
+"""Example-workflow smoke tests: ALL twenty-six user-facing scripts must run
 end to end at their CI scale (the reference's four notebooks are
-executable documents — examples 01-04 are their ports, 05-25 the
+executable documents — examples 01-04 are their ports, 05-26 the
 beyond-reference workflows).  Wall-clock is compile-dominated on CPU;
 the --full scales are exercised manually / on hardware."""
 
@@ -233,4 +233,14 @@ def test_example_25_msm_kinetics():
     import re
     m = re.search(r"total-variation error vs quadrature ([0-9.]+)", out)
     assert m is not None and float(m.group(1)) < 0.12
+    assert out.strip().endswith("OK")
+
+
+@pytest.mark.slow
+def test_example_26_temperature_extrapolation():
+    out = run_example("26_temperature_extrapolation.py", timeout=1200)
+    import re
+    m = re.search(r"midpoint disagreement \(worst\): ([0-9.]+)%", out)
+    assert m is not None and float(m.group(1)) < 8.0
+    assert "Cv peak at T*" in out
     assert out.strip().endswith("OK")
