@@ -1,6 +1,6 @@
-"""Example-workflow smoke tests: ALL twenty-six user-facing scripts must run
+"""Example-workflow smoke tests: ALL twenty-seven user-facing scripts must run
 end to end at their CI scale (the reference's four notebooks are
-executable documents — examples 01-04 are their ports, 05-26 the
+executable documents — examples 01-04 are their ports, 05-27 the
 beyond-reference workflows).  Wall-clock is compile-dominated on CPU;
 the --full scales are exercised manually / on hardware."""
 
@@ -243,4 +243,13 @@ def test_example_26_temperature_extrapolation():
     m = re.search(r"midpoint disagreement \(worst\): ([0-9.]+)%", out)
     assert m is not None and float(m.group(1)) < 8.0
     assert "Cv peak at T*" in out
+    assert out.strip().endswith("OK")
+
+
+@pytest.mark.slow
+def test_example_27_weighted_ensemble():
+    out = run_example("27_weighted_ensemble.py", timeout=1200)
+    import re
+    m = re.search(r"rate ratio: ([0-9.]+)", out)
+    assert m is not None and 1 / 2.5 < float(m.group(1)) < 2.5
     assert out.strip().endswith("OK")
