@@ -174,22 +174,7 @@ def run_st(step_fn: Callable[[STState], STState], state: STState,
     """Scan ``n_steps`` tempering steps.  With ``collect_every = k``,
     also returns ``(xs, temp_idxs)`` stacked every k-th step — filter
     by ``temp_idxs == 0`` for target-ensemble samples."""
-    if collect_every and n_steps % collect_every != 0:
-        raise ValueError("n_steps must be a multiple of collect_every")
-
-    if collect_every:
-        def outer(s, _):
-            def body(ss, __):
-                return step_fn(ss), None
-
-            s, _ = jax.lax.scan(body, s, None, length=collect_every)
-            return s, (s.x, s.temp_idx)
-
-        return jax.lax.scan(outer, state, None,
-                            length=n_steps // collect_every)
-
-    def body(s, _):
-        return step_fn(s), None
-
-    state, _ = jax.lax.scan(body, state, None, length=n_steps)
-    return state, None
+    from vaemolsim_tpu.utils.scan import scan_collect
+    return scan_collect(step_fn, state, n_steps,
+                        collect_every=collect_every,
+                        snapshot_fn=lambda s: (s.x, s.temp_idx))

@@ -493,11 +493,11 @@ def respa_verlet(fast_potential: Callable[[Array], Array],
     stability limit of the stiff force (pinned by test: a stiff bond
     whose plain-Verlet limit is exceeded 2x).
 
-    One slow force + ``n_inner`` fast forces per outer step, the whole
-    run one nested ``lax.scan``; ``MDState.force`` carries the FAST
-    force (the inner loop's reuse), with the slow force recomputed at
-    the two kicks.  Replicas batch/shard over leading axes as
-    everywhere.
+    One slow force + ``n_inner`` fast forces per outer step (the
+    closing slow force of step k is the opening slow force of step
+    k+1, carried in the scan), the whole run one nested ``lax.scan``;
+    ``MDState.force`` carries the FAST force for the inner loop's
+    reuse.  Replicas batch/shard over leading axes as everywhere.
     """
     if collect_every and n_steps % collect_every != 0:
         raise ValueError("n_steps must be a multiple of collect_every")
@@ -515,32 +515,24 @@ def respa_verlet(fast_potential: Callable[[Array], Array],
         _, f = f_fast(x)
         return MDState(x=x, v=v_half + 0.5 * h * f / m, force=f)
 
-    def outer_step(s: MDState) -> MDState:
-        _, fs = f_slow(s.x)
+    def outer_step(carry):
+        s, fs = carry                                # fs = slow force at s.x
         v = s.v + 0.5 * dt_ * fs / m                 # slow half kick
         s = MDState(x=s.x, v=v, force=s.force)
         s = jax.lax.fori_loop(0, n_inner, lambda i, ss: inner(ss), s)
         _, fs = f_slow(s.x)
-        return MDState(x=s.x, v=s.v + 0.5 * dt_ * fs / m,
-                       force=s.force)
+        return (MDState(x=s.x, v=s.v + 0.5 * dt_ * fs / m,
+                        force=s.force), fs)
 
     _, f0 = f_fast(jnp.asarray(x0))
-    init = MDState(x=jnp.asarray(x0), v=jnp.asarray(v0), force=f0)
-
-    if collect_every:
-        def body(s, _):
-            s = jax.lax.fori_loop(0, collect_every,
-                                  lambda i, ss: outer_step(ss), s)
-            return s, s.x
-
-        return jax.lax.scan(body, init, None,
-                            length=n_steps // collect_every)
-
-    def body(s, _):
-        return outer_step(s), None
-
-    out, _ = jax.lax.scan(body, init, None, length=n_steps)
-    return out, None
+    _, fs0 = f_slow(jnp.asarray(x0))
+    init = (MDState(x=jnp.asarray(x0), v=jnp.asarray(v0), force=f0),
+            fs0)
+    from vaemolsim_tpu.utils.scan import scan_collect
+    (out, _fs), traj = scan_collect(
+        outer_step, init, n_steps, collect_every=collect_every,
+        snapshot_fn=lambda c: c[0].x)
+    return out, traj
 
 
 class CSVRState(NamedTuple):
@@ -605,8 +597,15 @@ def csvr(potential: Callable[[Array], Array],
                  + 2.0 * r1 * jnp.sqrt(c * (1.0 - c) * K * k_bar
                                        / n_dof))
         K_new = jnp.maximum(K_new, 0.0)
-        alpha = jnp.sqrt(K_new / jnp.maximum(K, 1e-30))
-        return alpha[(...,) + (None, None)] * v, K_new - K
+        # A replica with EXACTLY zero kinetic energy (v0 = 0 at a
+        # stationary point) cannot be rescaled into motion: leave it
+        # untouched and accrue no phantom work (document: draw
+        # Maxwell-Boltzmann initial velocities to thermalize).
+        has_ke = K > 0.0
+        alpha = jnp.where(has_ke,
+                          jnp.sqrt(K_new / jnp.maximum(K, 1e-30)), 1.0)
+        dK = jnp.where(has_ke, K_new - K, 0.0)
+        return alpha[(...,) + (None, None)] * v, dK
 
     def one(s: CSVRState, k) -> Tuple[CSVRState, None]:
         v = s.v + 0.5 * dt_ * s.force / m
@@ -620,23 +619,18 @@ def csvr(potential: Callable[[Array], Array],
         _, f0 = force(x0)
         state = CSVRState(x=x0, v=jnp.asarray(v0), force=f0,
                           work=jnp.zeros(batch_shape, x0.dtype))
-    keys = jax.random.split(jnp.asarray(key), n_steps)
 
-    if collect_every:
-        keys = keys.reshape(n_steps // collect_every, collect_every,
-                            *keys.shape[1:])
+    def keyed_step(carry):
+        s, k = carry
+        k, sub = jax.random.split(k)
+        s, _ = one(s, sub)
+        return (s, k)
 
-        def outer(s, ks):
-            def inner(ss, kk):
-                return one(ss, kk)
-
-            s, _ = jax.lax.scan(inner, s, ks)
-            return s, s.x
-
-        return jax.lax.scan(outer, state, keys)
-
-    out, _ = jax.lax.scan(one, state, keys)
-    return out, None
+    from vaemolsim_tpu.utils.scan import scan_collect
+    (out, _k), traj = scan_collect(
+        keyed_step, (state, jnp.asarray(key)), n_steps,
+        collect_every=collect_every, snapshot_fn=lambda c: c[0].x)
+    return out, traj
 
 
 class NPTMDState(NamedTuple):

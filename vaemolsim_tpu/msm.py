@@ -87,14 +87,23 @@ def kmeans(key: Array, x: Array, k: int, n_iter: int = 50
     if k < 1 or k > n:
         raise ValueError(f"k must be in [1, {n}], got {k}")
 
+    x_sq = jnp.sum(flat * flat, axis=-1)                 # (n,)
+
+    def dist2(c):
+        # ||x - c||^2 via the matmul form: the (n, k) result is the
+        # only materialized tensor (the (n, k, d) broadcast would be
+        # gigabytes at MSM scale: 1e6 frames x 100 states x 10 dims).
+        return (x_sq[:, None] - 2.0 * flat @ c.T
+                + jnp.sum(c * c, axis=-1)[None, :])
+
     # Farthest-point seeding (deterministic given the keyed start).
     first = flat[jax.random.randint(key, (), 0, n)]
 
     def seed_step(carry, _):
         centers, m = carry  # centers (k, d) with rows >= m garbage
-        d2 = jnp.min(
-            jnp.sum((flat[:, None, :] - centers[None]) ** 2, -1)
-            + jnp.where(jnp.arange(k) < m, 0.0, jnp.inf)[None], axis=1)
+        d2 = jnp.min(dist2(centers)
+                     + jnp.where(jnp.arange(k) < m, 0.0,
+                                 jnp.inf)[None], axis=1)
         nxt = flat[jnp.argmax(d2)]
         centers = jnp.where(
             (jnp.arange(k) == m)[:, None], nxt[None], centers)
@@ -105,8 +114,7 @@ def kmeans(key: Array, x: Array, k: int, n_iter: int = 50
                                    length=k - 1)
 
     def lloyd(c, _):
-        d2 = jnp.sum((flat[:, None, :] - c[None]) ** 2, -1)  # (n, k)
-        lbl = jnp.argmin(d2, axis=1)
+        lbl = jnp.argmin(dist2(c), axis=1)
         oh = jax.nn.one_hot(lbl, k, dtype=flat.dtype)        # (n, k)
         counts = oh.sum(axis=0)                              # (k,)
         sums = oh.T @ flat                                   # (k, d)
@@ -115,8 +123,7 @@ def kmeans(key: Array, x: Array, k: int, n_iter: int = 50
         return c_new, None
 
     centers, _ = jax.lax.scan(lloyd, centers, None, length=n_iter)
-    d2 = jnp.sum((flat[:, None, :] - centers[None]) ** 2, -1)
-    inertia = jnp.sum(jnp.min(d2, axis=1))
+    inertia = jnp.sum(jnp.maximum(jnp.min(dist2(centers), axis=1), 0.0))
     return centers, inertia
 
 

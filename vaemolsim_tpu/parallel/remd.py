@@ -193,22 +193,7 @@ def run_remd(step_fn: Callable[[REMDState], REMDState], state: REMDState,
     every k-th round, shape ``(n_rounds // k, R, *batch, n_atoms, dim)``
     (collection granularity is a round, i.e. ``md_steps_per_exchange``
     MD steps)."""
-    if collect_every and n_rounds % collect_every != 0:
-        raise ValueError("n_rounds must be a multiple of collect_every")
-
-    if collect_every:
-        def outer(s, _):
-            def body(ss, __):
-                return step_fn(ss), None
-
-            s, _ = jax.lax.scan(body, s, None, length=collect_every)
-            return s, s.x
-
-        return jax.lax.scan(outer, state, None,
-                            length=n_rounds // collect_every)
-
-    def body(s, _):
-        return step_fn(s), None
-
-    state, _ = jax.lax.scan(body, state, None, length=n_rounds)
-    return state, None
+    from vaemolsim_tpu.utils.scan import scan_collect
+    return scan_collect(step_fn, state, n_rounds,
+                        collect_every=collect_every,
+                        snapshot_fn=lambda s: s.x)

@@ -12,3 +12,4 @@ from vaemolsim_tpu.utils.debug import (  # noqa: F401
     assert_shape,
     checked,
 )
+from vaemolsim_tpu.utils.scan import scan_collect  # noqa: F401

@@ -105,13 +105,20 @@ def _systematic_resample(x: Any, w: Array, bins: Array, n_bins: int,
     S = w.shape[0]
     onehot_bin = (bins[None, :] == jnp.arange(n_bins)[:, None])  # (B,S)
     w_in = jnp.where(onehot_bin, w[None, :], 0.0)                # (B,S)
-    W_b = w_in.sum(axis=1)                                       # (B,)
-    cdf = jnp.cumsum(w_in, axis=1) / jnp.maximum(W_b, 1e-30)[:, None]
-    # Systematic points: one uniform offset per bin.
-    u0 = jax.random.uniform(key, (n_bins, 1))
+    csum = jnp.cumsum(w_in, axis=1)                              # (B,S)
+    # Use the cumsum's OWN final entry as the bin total: comparing the
+    # points against pts * W_b with W_b from a separate reduction can
+    # disagree with the cumsum at float32 resolution and select a slot
+    # from another bin (cross-bin probability teleportation).  With
+    # W_b = csum[:, -1] and pts in (0, 1), pts * W_b <= W_b exactly, so
+    # the selected slot is always one carrying in-bin weight; u0 is
+    # clamped away from 0 so the first point cannot select slot 0 of a
+    # foreign bin.
+    W_b = csum[:, -1]                                            # (B,)
+    u0 = jax.random.uniform(key, (n_bins, 1), minval=1e-6)
     pts = (jnp.arange(m_per_bin)[None, :] + u0) / m_per_bin      # (B,m)
-    # index of first cdf entry >= point  ==  count of cdf < point
-    idx = jnp.sum(cdf[:, None, :] < pts[:, :, None],
+    target = pts * W_b[:, None]
+    idx = jnp.sum(csum[:, None, :] < target[:, :, None],
                   axis=-1).astype(jnp.int32)                     # (B,m)
     idx = jnp.clip(idx, 0, S - 1)
     flat_idx = idx.reshape(-1)
@@ -171,22 +178,7 @@ def run_we(step_fn: Callable[[WEState], WEState], state: WEState,
     """Scan ``n_iters`` WE iterations; with ``collect_every = k``, also
     return ``(xs, ws)`` snapshots every k-th iteration (weighted
     ensemble estimates use BOTH)."""
-    if collect_every and n_iters % collect_every != 0:
-        raise ValueError("n_iters must be a multiple of collect_every")
-
-    if collect_every:
-        def outer(s, _):
-            def body(ss, __):
-                return step_fn(ss), None
-
-            s, _ = jax.lax.scan(body, s, None, length=collect_every)
-            return s, (s.x, s.w)
-
-        return jax.lax.scan(outer, state, None,
-                            length=n_iters // collect_every)
-
-    def body(s, _):
-        return step_fn(s), None
-
-    state, _ = jax.lax.scan(body, state, None, length=n_iters)
-    return state, None
+    from vaemolsim_tpu.utils.scan import scan_collect
+    return scan_collect(step_fn, state, n_iters,
+                        collect_every=collect_every,
+                        snapshot_fn=lambda s: (s.x, s.w))
