@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from vaemolsim_tpu import potentials
 from vaemolsim_tpu.potentials import (as_log_prob, com_restraint, composite,
                                       exclusions_from_bonds, harmonic_angles,
                                       harmonic_bonds, lennard_jones,
@@ -825,3 +826,107 @@ class TestLBFGSPolish:
                             polish_lbfgs=40))
         per_cfg = np.asarray(jnp.max(jnp.abs(g), axis=(1, 2)))
         assert (per_cfg < 1e-2).sum() >= 12, per_cfg
+
+
+class TestMorse:
+
+    def test_zero_at_minimum_and_dissociation(self):
+        u = potentials.morse_bonds([[0, 1]], D=3.0, a=1.5, r0=1.1)
+        x_min = jnp.asarray([[0.0, 0, 0], [1.1, 0, 0]])
+        np.testing.assert_allclose(float(u(x_min)), 0.0, atol=1e-6)
+        x_far = jnp.asarray([[0.0, 0, 0], [60.0, 0, 0]])
+        np.testing.assert_allclose(float(u(x_far)), 3.0, rtol=1e-5)
+
+    def test_curvature_matches_harmonic(self):
+        # k_harm = 2 D a^2 at the minimum.
+        D, a, r0 = 2.0, 1.2, 1.0
+        u = potentials.morse_bonds([[0, 1]], D=D, a=a, r0=r0)
+        eps = 1e-3
+        vals = [float(u(jnp.asarray([[0.0, 0, 0], [r0 + s, 0, 0]])))
+                for s in (-eps, 0.0, eps)]
+        k_fd = (vals[0] - 2 * vals[1] + vals[2]) / eps ** 2
+        np.testing.assert_allclose(k_fd, 2 * D * a * a, rtol=1e-2)
+
+    def test_gradient_finite_difference(self):
+        u = potentials.morse_bonds([[0, 1], [1, 2]], D=1.5, a=2.0,
+                                   r0=0.9)
+        x = jnp.asarray([[0.0, 0, 0], [1.0, 0.2, 0], [1.8, -0.1, 0.4]])
+        g = jax.grad(lambda xx: u(xx))(x)
+        eps = 1e-3
+        for idx in [(0, 0), (1, 1), (2, 2)]:
+            xp = x.at[idx].add(eps)
+            xm = x.at[idx].add(-eps)
+            fd = (float(u(xp)) - float(u(xm))) / (2 * eps)
+            np.testing.assert_allclose(float(g[idx]), fd, atol=2e-3)
+
+
+class TestImpropers:
+
+    def test_zero_at_reference_and_quadratic(self):
+        from vaemolsim_tpu.coords import dihedrals
+        quad = np.array([[0, 1, 2, 3]])
+        x = jnp.asarray([[1.0, 0.0, 0.3], [0.0, 0.0, 0.0],
+                         [0.0, 1.0, 0.0], [0.7, 1.0, 0.9]])
+        phi = float(dihedrals(x, quad)[0])
+        u0 = potentials.harmonic_impropers(quad, k=4.0, phi0=phi)
+        np.testing.assert_allclose(float(u0(x)), 0.0, atol=1e-6)
+        u1 = potentials.harmonic_impropers(quad, k=4.0, phi0=phi - 0.3)
+        np.testing.assert_allclose(float(u1(x)), 0.5 * 4.0 * 0.09,
+                                   rtol=1e-4)
+
+    def test_wrap_across_seam(self):
+        from vaemolsim_tpu.coords import dihedrals
+        quad = np.array([[0, 1, 2, 3]])
+        x = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 0.0, 0.0],
+                         [0.0, 1.0, 0.0], [-1.0, 1.0, -0.2]])
+        phi = float(dihedrals(x, quad)[0])  # near +-pi
+        assert abs(phi) > 2.9
+        # reference on the OTHER side of the seam: deviation must wrap
+        phi0 = -np.sign(phi) * (np.pi - 0.05)
+        u = potentials.harmonic_impropers(quad, k=2.0, phi0=phi0)
+        dev = abs(abs(phi) + np.pi - 0.05 - 2 * np.pi)
+        np.testing.assert_allclose(float(u(x)), 0.5 * 2.0 * dev ** 2,
+                                   rtol=1e-3)
+
+
+class TestBuckingham:
+
+    def test_hand_value_two_atoms(self):
+        A, rho, C = 5.0, 0.5, 0.8
+        u = potentials.buckingham(A=A, rho=rho, C=C)
+        x = jnp.asarray([[0.0, 0, 0], [1.3, 0, 0]])
+        expect = A * np.exp(-1.3 / rho) - C / 1.3 ** 6
+        np.testing.assert_allclose(float(u(x)), expect, rtol=1e-5)
+
+    def test_core_is_c1_continuous(self):
+        u = potentials.buckingham(A=5.0, rho=0.5, C=0.8, r_core=0.6)
+        eps = 1e-3
+        vals = {}
+        for r in (0.6 - eps, 0.6, 0.6 + eps):
+            vals[r] = float(u(jnp.asarray([[0.0, 0, 0], [r, 0, 0]])))
+        left = (vals[0.6] - vals[0.6 - eps]) / eps
+        right = (vals[0.6 + eps] - vals[0.6]) / eps
+        np.testing.assert_allclose(left, right, rtol=2e-2)
+        # finite far below the core (the Buckingham catastrophe guarded)
+        x_overlap = jnp.asarray([[0.0, 0, 0], [1e-4, 0, 0]])
+        assert np.isfinite(float(u(x_overlap)))
+        g = jax.grad(lambda xx: u(xx))(x_overlap)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_cutoff_shift_and_exclusions(self):
+        u = potentials.buckingham(A=5.0, rho=0.5, C=0.8, cutoff=2.0)
+        x = jnp.asarray([[0.0, 0, 0], [2.5, 0, 0]])
+        np.testing.assert_allclose(float(u(x)), 0.0, atol=1e-7)
+        excl = np.zeros((2, 2), bool)
+        excl[0, 1] = excl[1, 0] = True
+        u_ex = potentials.buckingham(A=5.0, rho=0.5, C=0.8,
+                                     exclusions=excl)
+        np.testing.assert_allclose(
+            float(u_ex(jnp.asarray([[0.0, 0, 0], [1.0, 0, 0]]))), 0.0)
+
+    def test_minimum_image(self):
+        u = potentials.buckingham(A=5.0, rho=0.5, C=0.8,
+                                  box=[4.0, 4.0, 4.0])
+        xa = jnp.asarray([[0.1, 0, 0], [3.9, 0, 0]])   # 0.2 apart via pbc
+        xb = jnp.asarray([[0.0, 0, 0], [0.2, 0, 0]])
+        np.testing.assert_allclose(float(u(xa)), float(u(xb)), rtol=1e-5)

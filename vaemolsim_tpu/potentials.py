@@ -39,7 +39,8 @@ __all__ = ["harmonic_bonds", "harmonic_angles", "periodic_torsions",
            "lennard_jones_tail",
            "CellNeighborList", "coulomb", "ewald_coulomb",
            "com_restraint", "composite", "as_log_prob",
-           "exclusions_from_bonds", "minimize_energy"]
+           "exclusions_from_bonds", "minimize_energy",
+           "morse_bonds", "harmonic_impropers", "buckingham"]
 
 
 def _squeeze_box(box_arr: Array) -> Array:
@@ -133,6 +134,101 @@ def periodic_torsions(torsions, k, n, phase) -> Callable[[Array], Array]:
     def energy(x: Array) -> Array:
         phi = dihedrals(x, torsions)
         return jnp.sum(k * (1.0 + jnp.cos(n * phi - phase)), axis=-1)
+
+    return energy
+
+
+def morse_bonds(bonds, D, a, r0) -> Callable[[Array], Array]:
+    """Morse bond-stretch term ``sum_b D_b (1 - e^{-a_b (r - r0_b)})^2``
+    — anharmonic bonds with a finite dissociation energy ``D`` (zero at
+    ``r0``, ``D`` at infinite separation; curvature at the minimum is
+    ``2 D a^2``, so ``k_harmonic = 2 D a^2`` matches a harmonic term).
+
+    ``bonds``: (B, 2) static index pairs; ``D``/``a``/``r0``: scalars
+    or (B,).
+    """
+    bonds = np.asarray(bonds, np.int32)
+    if bonds.ndim != 2 or bonds.shape[1] != 2:
+        raise ValueError(f"bonds must be (B, 2); got {bonds.shape}")
+    i, j = bonds[:, 0], bonds[:, 1]
+    D = jnp.asarray(D, jnp.float32)
+    a = jnp.asarray(a, jnp.float32)
+    r0 = jnp.asarray(r0, jnp.float32)
+
+    def energy(x: Array) -> Array:
+        r = _norm(x[..., i, :] - x[..., j, :])
+        e = 1.0 - jnp.exp(-a * (r - r0))
+        return jnp.sum(D * e * e, axis=-1)
+
+    return energy
+
+
+def harmonic_impropers(impropers, k, phi0=0.0) -> Callable[[Array], Array]:
+    """Harmonic improper-dihedral term
+    ``sum_t k_t/2 wrap(phi - phi0_t)^2`` over i-j-k-l quadruples (the
+    planarity / chirality restraint form; ``phi`` is the same
+    praxeolitic dihedral as :func:`periodic_torsions` and
+    ``coords.dihedrals``).  The deviation is wrapped to (-pi, pi] so
+    ``phi0 = pi`` restraints do not see a seam discontinuity.
+    """
+    from vaemolsim_tpu.coords import dihedrals
+
+    impropers = np.asarray(impropers, np.int32)
+    if impropers.ndim != 2 or impropers.shape[1] != 4:
+        raise ValueError(
+            f"impropers must be (T, 4); got {impropers.shape}")
+    k = jnp.asarray(k, jnp.float32)
+    phi0 = jnp.asarray(phi0, jnp.float32)
+
+    def energy(x: Array) -> Array:
+        phi = dihedrals(x, impropers)
+        d = phi - phi0
+        d = d - 2.0 * jnp.pi * jnp.round(d / (2.0 * jnp.pi))
+        return jnp.sum(0.5 * k * d * d, axis=-1)
+
+    return energy
+
+
+def buckingham(A=1.0, rho=0.1, C=1.0, *, box=None, cutoff=None,
+               exclusions=None, r_core=0.4) -> Callable[[Array], Array]:
+    """Buckingham (exp-6) pair potential
+    ``sum_{i<j} A e^{-r/rho} - C / r^6`` — the classic ionic/oxide
+    form (Born-Mayer repulsion + dispersion).
+
+    Same conventions as :func:`lennard_jones`: dense all pairs,
+    optional orthorhombic minimum image ``box``, ``cutoff`` with energy
+    shift, static bool ``exclusions``.  The exp-6 form turns over and
+    diverges to -inf at small r (the well-known Buckingham
+    catastrophe): below ``r_core`` the energy continues LINEARLY (value
+    and slope matched), so minimization/MD from overlaps stays finite
+    — the same float32-safe core device as the LJ term.
+    """
+
+    def energy(x: Array) -> Array:
+        n = x.shape[-2]
+        d = x[..., :, None, :] - x[..., None, :, :]
+        if box is not None:
+            b = jnp.asarray(box, x.dtype)
+            d = d - b * jnp.round(d / b)
+        r2 = jnp.sum(d * d, axis=-1) + jnp.eye(n, dtype=x.dtype)
+        r = jnp.sqrt(r2)
+
+        def pair_u(rr):
+            return A * jnp.exp(-rr / rho) - C / rr ** 6
+
+        # linear continuation below r_core (value+slope matched)
+        u_core = pair_u(r_core)
+        g_core = (-A / rho * jnp.exp(-r_core / rho)
+                  + 6.0 * C / r_core ** 7)
+        r_safe = jnp.maximum(r, r_core)
+        u = jnp.where(r < r_core,
+                      u_core + g_core * (r - r_core), pair_u(r_safe))
+        if cutoff is not None:
+            u = jnp.where(r_safe < cutoff, u - pair_u(cutoff), 0.0)
+        mask = jnp.triu(jnp.ones((n, n), bool), 1)
+        if exclusions is not None:
+            mask = mask & ~jnp.asarray(exclusions, bool)
+        return jnp.sum(jnp.where(mask, u, 0.0), axis=(-1, -2))
 
     return energy
 
