@@ -16,4 +16,9 @@ from vaemolsim_tpu.flows.flow_matching import (  # noqa: F401
     FlowMatchingLayer,
     VelocityField,
 )
+from vaemolsim_tpu.flows.diffusion import (  # noqa: F401
+    Diffusion,
+    DiffusionDist,
+    DiffusionLayer,
+)
 from vaemolsim_tpu.ops.bijectors import make_domain_transform  # noqa: F401

@@ -81,11 +81,21 @@ class VelocityField:
     def create(cls, key: Array, event_dim: int, *,
                hidden_dim: Union[int, Sequence[int]] = (128, 128),
                n_freqs: int = 4, cond_dim: int = 0,
-               activation: str = "gelu") -> "VelocityField":
+               activation: str = "gelu",
+               zero_init_head: bool = False) -> "VelocityField":
+        """``zero_init_head=True`` zeroes the linear head so the fresh
+        field is identically zero — for score/diffusion uses where the
+        untrained model should BE the Gaussian prior (a random field
+        amplified by ``1/sigma`` makes the reverse ODE exponentially
+        unstable; gradients to the head are unaffected)."""
         in_dim = event_dim + 1 + 2 * n_freqs + cond_dim
         net = FCDeepNN.create(key, in_dim, event_dim,
                               hidden_dim=hidden_dim,
                               activation=activation)
+        if zero_init_head:
+            head = net.head.replace(
+                kernel=jnp.zeros_like(net.head.kernel))
+            net = net.replace(head=head)
         return cls(net=net, event_dim=event_dim, n_freqs=n_freqs,
                    cond_dim=cond_dim)
 
