@@ -182,6 +182,82 @@ class TestFit:
         assert len(hist["loss"]) == 2
 
 
+class TestFitEMA:
+    """Exponential-moving-average parameter tracking in fit."""
+
+    @staticmethod
+    def _quad_loss(m, batch, key):
+        del key
+        return jnp.mean((m["w"] - batch) ** 2)
+
+    def test_ema_matches_hand_shadow(self):
+        """Deterministic SGD, one batch/epoch: the returned model is
+        exactly the hand-iterated shadow ema_0 = p_0,
+        ema_{t+1} = d ema_t + (1-d) p_{t+1}."""
+        import optax
+        lr, decay, steps = 0.1, 0.8, 6
+        data = jnp.full((8,), 3.0)
+        model = {"w": jnp.array(0.0)}
+        out, _ = fit(model, self._quad_loss, data,
+                     key=jax.random.PRNGKey(0), num_epochs=steps,
+                     batch_size=8, optimizer=optax.sgd(lr),
+                     shuffle=False, ema_decay=decay)
+        p, e = 0.0, 0.0
+        for _ in range(steps):
+            p = p - lr * 2.0 * (p - 3.0)
+            e = decay * e + (1 - decay) * p
+        np.testing.assert_allclose(float(out["w"]), e, rtol=1e-6)
+
+    def test_ema_host_and_scanned_paths_agree(self):
+        import optax
+        data = jnp.linspace(-1.0, 1.0, 64)
+        outs = []
+        for scan in (False, True):
+            model = {"w": jnp.array(5.0)}
+            out, _ = fit(model, self._quad_loss, data,
+                         key=jax.random.PRNGKey(0), num_epochs=3,
+                         batch_size=16, optimizer=optax.sgd(0.05),
+                         shuffle=True, scan_epochs=scan, ema_decay=0.95)
+            outs.append(float(out["w"]))
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6)
+
+    def test_ema_zero_decay_is_raw_weights(self):
+        data = jnp.full((8,), 1.0)
+        kwargs = dict(key=jax.random.PRNGKey(0), num_epochs=4,
+                      batch_size=8, learning_rate=0.1, shuffle=False)
+        raw, _ = fit({"w": jnp.array(0.0)}, self._quad_loss, data, **kwargs)
+        ema, _ = fit({"w": jnp.array(0.0)}, self._quad_loss, data,
+                     ema_decay=0.0, **kwargs)
+        np.testing.assert_allclose(float(ema["w"]), float(raw["w"]),
+                                   rtol=1e-7)
+
+    def test_ema_invalid_decay_raises(self):
+        with pytest.raises(ValueError, match="ema_decay"):
+            fit({"w": jnp.array(0.0)}, self._quad_loss, jnp.ones((4,)),
+                key=jax.random.PRNGKey(0), ema_decay=1.0)
+
+    def test_ema_with_restore_best_returns_ema_snapshot(self):
+        """With a huge LR the raw weights diverge epoch over epoch; the
+        restored best-epoch snapshot must be the EMA state at the best
+        epoch, which equals the hand shadow at that step."""
+        import optax
+        lr, decay = 1.2, 0.5  # |1 - 2 lr| = 1.4 > 1: divergent SGD
+        data = jnp.full((4,), 1.0)
+        out, hist = fit({"w": jnp.array(0.5)}, self._quad_loss, data,
+                        key=jax.random.PRNGKey(0), num_epochs=5,
+                        batch_size=4, optimizer=optax.sgd(lr),
+                        shuffle=False, ema_decay=decay, restore_best=True)
+        best_epoch = int(np.argmin(hist["loss"]))
+        p, e = 0.5, 0.5
+        shadows = []
+        for _ in range(5):
+            p = p - lr * 2.0 * (p - 1.0)
+            e = decay * e + (1 - decay) * p
+            shadows.append(e)
+        np.testing.assert_allclose(float(out["w"]), shadows[best_epoch],
+                                   rtol=1e-6)
+
+
 class TestFitValidation:
     """Held-out evaluation, early stopping, and best-epoch restore."""
 

@@ -228,6 +228,7 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
         early_stopping_patience: Optional[int] = None,
         min_delta: float = 0.0,
         restore_best: bool = False,
+        ema_decay: Optional[float] = None,
         verbose: bool = False) -> Tuple[Any, Dict[str, List[float]]]:
     """Fit ``model`` by minimizing ``loss_fn`` over ``data``.
 
@@ -272,7 +273,20 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
     ``EarlyStopping(restore_best_weights=True)`` analog).  Not
     supported with ``process_local_data`` (each host would need the
     full validation set; evaluate after training instead).
+
+    ``ema_decay``: exponential moving average of the parameters,
+    ``ema <- d ema + (1 - d) params`` after every optimizer step
+    (initialized at the initial params).  The RETURNED model carries
+    the averaged weights — the standard deployment weights for
+    score/diffusion models and a variance reducer for any SGD
+    trajectory; pass ``ema_decay=None`` (default) for raw final
+    weights.  Composes with ``restore_best`` (the snapshot taken at
+    the best epoch is the EMA state at that epoch).  Validation /
+    early stopping monitor the RAW weights' loss (the quantity the
+    optimizer actually descends).
     """
+    if ema_decay is not None and not (0.0 <= ema_decay < 1.0):
+        raise ValueError(f"ema_decay must be in [0, 1); got {ema_decay}")
     optimizer = optimizer or optax.adam(learning_rate)
     opt_state = optimizer.init(model)
 
@@ -381,11 +395,22 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
     if eval_step is not None:
         key, k_eval = jax.random.split(key)
 
+    # EMA shadow initialized AFTER sharding so it inherits the model's
+    # (possibly replicated) placement.
+    ema = model if ema_decay is not None else None
+    if ema_decay is not None:
+
+        @jax.jit
+        def ema_update(e, m):
+            return jax.tree_util.tree_map(
+                lambda ev, mv: ema_decay * ev + (1.0 - ema_decay) * mv,
+                e, m)
+
     if scan_epochs:
         data = jax.tree_util.tree_map(jnp.asarray, data)
 
         @jax.jit
-        def run_epoch(model, opt_state, key, data):
+        def run_epoch(model, opt_state, ema, key, data):
             # data rides as an ARGUMENT (not a closure): jit cannot
             # close over multi-process global arrays, and as an argument
             # the donated/committed sharding is honored either way.
@@ -398,7 +423,7 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
                 n_batches, batch_size)
 
             def body(carry, bidx):
-                model, opt_state, k = carry
+                model, opt_state, ema, k = carry
                 k, k_step = jax.random.split(k)
                 batch = _take(data, bidx)
                 if batch_sharding is not None:
@@ -409,12 +434,17 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
                             a, batch_sharding(a)), batch)
                 model, opt_state, loss, metrics = _train_step(
                     loss_fn, optimizer, model, opt_state, batch, k_step)
-                return (model, opt_state, k), (loss, metrics)
+                if ema_decay is not None:
+                    ema = jax.tree_util.tree_map(
+                        lambda ev, mv: (ema_decay * ev
+                                        + (1.0 - ema_decay) * mv),
+                        ema, model)
+                return (model, opt_state, ema, k), (loss, metrics)
 
-            (model, opt_state, _), (losses, metrics) = jax.lax.scan(
-                body, (model, opt_state, k_eps), batch_idx)
+            (model, opt_state, ema, _), (losses, metrics) = jax.lax.scan(
+                body, (model, opt_state, ema, k_eps), batch_idx)
             mean_metrics = jax.tree_util.tree_map(jnp.mean, metrics)
-            return model, opt_state, jnp.mean(losses), mean_metrics
+            return model, opt_state, ema, jnp.mean(losses), mean_metrics
     else:
         step = make_train_step(loss_fn, optimizer)
 
@@ -427,8 +457,8 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
         t0 = time.perf_counter()
         key, k_epoch = jax.random.split(key)
         if scan_epochs:
-            model, opt_state, mean_loss, mean_metrics = run_epoch(
-                model, opt_state, k_epoch, data)
+            model, opt_state, ema, mean_loss, mean_metrics = run_epoch(
+                model, opt_state, ema, k_epoch, data)
             history["loss"].append(float(mean_loss))
             for name, v in mean_metrics.items():
                 if name not in ("loss", "epoch_time_s"):
@@ -453,6 +483,8 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
                 key2, k_step = jax.random.split(key2)
                 model, opt_state, loss, metrics = step(model, opt_state,
                                                        batch, k_step)
+                if ema_decay is not None:
+                    ema = ema_update(ema, model)
                 # Keep device scalars; one host sync per epoch below
                 # (per-step float() would serialize JAX's async dispatch).
                 epoch_loss.append(loss)
@@ -483,12 +515,14 @@ def fit(model: Any, loss_fn: Callable, data: Any, *,
             if restore_best:
                 # Pytrees of immutable jax arrays: keeping the
                 # reference IS a snapshot.
-                best_model = model
+                best_model = model if ema_decay is None else ema
         else:
             epochs_without_improvement += 1
             if (early_stopping_patience is not None
                     and epochs_without_improvement >= early_stopping_patience):
                 break
+    if ema_decay is not None:
+        model = ema
     if restore_best and best_model is not None:
         model = best_model
     return model, history
