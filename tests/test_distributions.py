@@ -270,6 +270,37 @@ class TestMixture:
             comp.log_prob(x[:, None]) + jnp.log(0.25), axis=-1)
         np.testing.assert_allclose(mix.log_prob(x), want, rtol=1e-6)
 
+    def test_vector_event_mixture(self):
+        # TFP parity: components with a vector event
+        # (Independent(Normal(locs[K, d], scales), 1)).
+        locs = jnp.array([[-2.0, 0.0], [2.0, 1.0], [0.0, -2.0]])
+        scales = jnp.array([[0.5, 0.3], [0.4, 0.6], [0.3, 0.3]])
+        logits = jnp.log(jnp.array([0.5, 0.3, 0.2]))
+        comp = d.Independent(d.Normal(locs, scales), 1)
+        mix = d.MixtureSameFamily(logits, comp)
+        assert mix.event_shape == (2,)
+        assert mix.batch_shape == ()
+
+        s = mix.sample(jax.random.PRNGKey(0), (60000,))
+        assert s.shape == (60000, 2)
+        # Mode weights from nearest-center assignment (well-separated).
+        d2 = jnp.sum((s[:, None, :] - locs[None]) ** 2, axis=-1)
+        idx = jnp.argmin(d2, axis=-1)
+        for k, w in enumerate([0.5, 0.3, 0.2]):
+            np.testing.assert_allclose(jnp.mean(idx == k), w, atol=0.01)
+        # Sample mean vs analytic mixture mean.
+        want_mean = jnp.sum(jnp.array([0.5, 0.3, 0.2])[:, None] * locs, 0)
+        np.testing.assert_allclose(jnp.mean(s, axis=0), want_mean,
+                                   atol=0.02)
+
+        # log_prob vs manual per-component logsumexp.
+        x = jax.random.normal(jax.random.PRNGKey(1), (64, 2)) * 2.0
+        per_comp = jnp.sum(d.Normal(locs, scales).log_prob(x[:, None, :]),
+                           axis=-1)  # (64, 3)
+        want = jax.scipy.special.logsumexp(
+            per_comp + jax.nn.log_softmax(logits), axis=-1)
+        np.testing.assert_allclose(mix.log_prob(x), want, rtol=1e-6)
+
 
 class TestBlockwise:
 

@@ -1,6 +1,6 @@
 """Example-workflow smoke tests: ALL twenty-seven user-facing scripts must run
 end to end at their CI scale (the reference's four notebooks are
-executable documents — examples 01-04 are their ports, 05-27 the
+executable documents — examples 01-04 are their ports, 05-28 the
 beyond-reference workflows).  Wall-clock is compile-dominated on CPU;
 the --full scales are exercised manually / on hardware."""
 
@@ -252,4 +252,15 @@ def test_example_27_weighted_ensemble():
     import re
     m = re.search(r"rate ratio: ([0-9.]+)", out)
     assert m is not None and 1 / 2.5 < float(m.group(1)) < 2.5
+    assert out.strip().endswith("OK")
+
+
+@pytest.mark.slow
+def test_example_28_score_diffusion():
+    out = run_example("28_score_diffusion.py", timeout=1200)
+    import re
+    m = re.search(r"mean \|p_model - p_target\| on grid = ([0-9.]+)", out)
+    assert m is not None and float(m.group(1)) < 6e-3
+    m = re.search(r"independence-MH acceptance ([0-9.]+)", out)
+    assert m is not None and float(m.group(1)) > 0.5
     assert out.strip().endswith("OK")

@@ -14,6 +14,10 @@ from vaemolsim_tpu.nn.core import (  # noqa: F401
     Dense,
     LayerNorm,
 )
+from vaemolsim_tpu.nn.painn import (  # noqa: F401
+    PaiNNBlock,
+    PaiNNPotential,
+)
 from vaemolsim_tpu.nn.schnet import (  # noqa: F401
     SchNetEmbedding,
     SchNetInteraction,

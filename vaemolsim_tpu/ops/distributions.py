@@ -474,20 +474,31 @@ class Categorical(Distribution):
 class MixtureSameFamily(Distribution):
     """Mixture with a shared component family.
 
-    ``components`` is any scalar-event distribution whose *last batch axis*
-    indexes the mixture components.  Used for analytic multi-mode targets in
+    ``components`` is any distribution whose *last batch axis* indexes the
+    mixture components — scalar-event (``Normal``) or vector-event
+    (``Independent(Normal(locs, scales), 1)`` with ``locs`` of shape
+    ``(K, d)``), matching ``tfp.distributions.MixtureSameFamily``'s
+    event-shape semantics.  Used for analytic multi-mode targets in
     tests/benchmarks (reference notebooks build tfp Mixture data sources).
     """
 
     mixing_logits: Array  # (..., K)
-    components: Distribution  # batch shape (..., K)
+    components: Distribution  # batch shape (..., K), any event shape
 
     @property
     def batch_shape(self):
         return jnp.shape(self.mixing_logits)[:-1]
 
+    @property
+    def event_shape(self):
+        return self.components.event_shape
+
     def log_prob(self, x: Array) -> Array:
-        lp_comp = self.components.log_prob(x[..., None])  # (..., K)
+        e = len(self.components.event_shape)
+        # Insert the K axis just before the event dims so x broadcasts
+        # against the components' (..., K) batch.
+        lp_comp = self.components.log_prob(
+            jnp.expand_dims(x, axis=-(e + 1)))  # (..., K)
         log_mix = jax.nn.log_softmax(self.mixing_logits, axis=-1)
         return jax.scipy.special.logsumexp(lp_comp + log_mix, axis=-1)
 
@@ -495,9 +506,13 @@ class MixtureSameFamily(Distribution):
         k1, k2 = jax.random.split(key)
         shape = tuple(sample_shape) + self.batch_shape
         idx = jax.random.categorical(k1, self.mixing_logits, axis=-1, shape=shape)
-        comp_samples = self.components.sample(k2, sample_shape)  # (..., K)
-        return jnp.take_along_axis(
-            comp_samples, idx[..., None], axis=-1)[..., 0]
+        # (sample, ..., K, *event)
+        comp_samples = self.components.sample(k2, sample_shape)
+        e = len(self.components.event_shape)
+        k_axis = -(e + 1)
+        idx_e = idx.reshape(idx.shape + (1,) * (e + 1))
+        picked = jnp.take_along_axis(comp_samples, idx_e, axis=k_axis)
+        return jnp.squeeze(picked, axis=k_axis)
 
 
 # ---------------------------------------------------------------------------
