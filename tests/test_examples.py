@@ -1,6 +1,6 @@
 """Example-workflow smoke tests: ALL twenty-seven user-facing scripts must run
 end to end at their CI scale (the reference's four notebooks are
-executable documents — examples 01-04 are their ports, 05-28 the
+executable documents — examples 01-04 are their ports, 05-29 the
 beyond-reference workflows).  Wall-clock is compile-dominated on CPU;
 the --full scales are exercised manually / on hardware."""
 
@@ -263,4 +263,15 @@ def test_example_28_score_diffusion():
     assert m is not None and float(m.group(1)) < 6e-3
     m = re.search(r"independence-MH acceptance ([0-9.]+)", out)
     assert m is not None and float(m.group(1)) > 0.5
+    assert out.strip().endswith("OK")
+
+
+@pytest.mark.slow
+def test_example_29_vampnet_kinetics():
+    out = run_example("29_vampnet_kinetics.py", timeout=1200)
+    import re
+    m = re.search(r"VAMP-2: net ([0-9.]+) vs linear \(TICA\) ([0-9.]+)", out)
+    assert m is not None and float(m.group(1)) > float(m.group(2)) - 0.01
+    m = re.search(r"accuracy ([0-9.]+)", out)
+    assert m is not None and float(m.group(1)) > 0.9
     assert out.strip().endswith("OK")
