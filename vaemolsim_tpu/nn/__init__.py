@@ -24,6 +24,11 @@ from vaemolsim_tpu.nn.schnet import (  # noqa: F401
     SchNetPotential,
     energy_force_loss,
 )
+from vaemolsim_tpu.nn.uq import (  # noqa: F401
+    EnsemblePrediction,
+    ensemble_energy_forces,
+    max_force_uncertainty,
+)
 from vaemolsim_tpu.nn.mappings import (  # noqa: F401
     CGCenterOfMass,
     CGCentroid,
