@@ -1,6 +1,6 @@
-"""Example-workflow smoke tests: ALL twenty-seven user-facing scripts must run
+"""Example-workflow smoke tests: ALL user-facing scripts must run
 end to end at their CI scale (the reference's four notebooks are
-executable documents — examples 01-04 are their ports, 05-29 the
+executable documents — examples 01-04 are their ports, 05-31 the
 beyond-reference workflows).  Wall-clock is compile-dominated on CPU;
 the --full scales are exercised manually / on hardware."""
 
@@ -275,3 +275,26 @@ def test_example_29_vampnet_kinetics():
     m = re.search(r"accuracy ([0-9.]+)", out)
     assert m is not None and float(m.group(1)) > 0.9
     assert out.strip().endswith("OK")
+
+
+@pytest.mark.slow
+def test_example_30_active_learning():
+    out = run_example("30_active_learning.py", timeout=1200)
+    import re
+    rmses = re.findall(r"force RMSE [0-9.]+ \(([0-9.]+)% of rms\)", out)
+    assert len(rmses) >= 3
+    # AL rounds must beat the initial committee decisively.
+    assert float(rmses[2]) < 0.7 * float(rmses[0]), rmses
+    assert "flagged-frame uncertainty" in out
+    assert out.strip().endswith("OK") or out.strip().split("\n")[-1].startswith("OK")
+
+
+@pytest.mark.slow
+def test_example_31_difftre():
+    out = run_example("31_difftre_top_down.py", timeout=1200)
+    import re
+    m = re.search(r"fitted epsilon ([0-9.]+) .* sigma ([0-9.]+)", out)
+    assert m is not None
+    assert abs(float(m.group(1)) - 1.0) < 0.2
+    assert abs(float(m.group(2)) - 1.0) < 0.05
+    assert out.strip().split("\n")[-1].startswith("OK")

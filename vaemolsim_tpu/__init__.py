@@ -43,6 +43,7 @@ from vaemolsim_tpu import paths  # noqa: F401
 from vaemolsim_tpu import observables  # noqa: F401
 from vaemolsim_tpu import msm  # noqa: F401
 from vaemolsim_tpu import extrapolation  # noqa: F401
+from vaemolsim_tpu import difftre  # noqa: F401
 from vaemolsim_tpu import vamp  # noqa: F401
 from vaemolsim_tpu import we  # noqa: F401
 from vaemolsim_tpu import data  # noqa: F401
