@@ -398,3 +398,95 @@ class TestVibrationalSpectrum:
         total = float((spec[1:-1]).sum() * df)
         np.testing.assert_allclose(total, 0.5 * float(jnp.mean(v**2)),
                                    rtol=0.05)
+
+
+class TestNormalModes:
+
+    def test_isotropic_harmonic_exact(self):
+        """U = 0.5 k |x|^2 per atom: every mode omega = sqrt(k/m)."""
+        k, m = 2.0, 4.0
+        pot = lambda x: 0.5 * k * jnp.sum(x ** 2)
+        w, v = observables.normal_modes(pot, jnp.zeros((3, 3)), masses=m)
+        np.testing.assert_allclose(np.asarray(w), np.sqrt(k / m),
+                                   rtol=1e-5)
+        # Mass-weighted orthonormality of the Cartesian columns.
+        gram = v.T @ (m * v)
+        np.testing.assert_allclose(np.asarray(gram), np.eye(9),
+                                   atol=1e-5)
+
+    def test_lj_dimer_stretch_and_zero_modes(self):
+        """LJ dimer at its minimum: 5 rigid modes (3 translations + 2
+        rotations) at omega ~ 0 and ONE stretch at the analytic
+        omega = sqrt(2 U''(r0) / m), U''(r0) = 4 eps (156 r0^-14
+        - 42 r0^-8), r0 = 2^(1/6)."""
+        from vaemolsim_tpu import potentials
+        pot = potentials.lennard_jones()
+        r0 = 2.0 ** (1.0 / 6.0)
+        x = jnp.array([[0.0, 0.0, 0.0], [r0, 0.0, 0.0]])
+        w, _ = observables.normal_modes(pot, x)
+        w = np.sort(np.asarray(w))
+        upp = 4.0 * (156.0 * r0 ** -14 - 42.0 * r0 ** -8)
+        np.testing.assert_allclose(w[-1], np.sqrt(2.0 * upp), rtol=1e-4)
+        np.testing.assert_allclose(w[:5], 0.0, atol=1e-3)
+
+    def test_saddle_gives_negative_mode(self):
+        """1-D double well (x^2-1)^2 at x=0: U'' = -4 -> omega = -2."""
+        pot = lambda x: jnp.reshape((x[..., 0, 0] ** 2 - 1.0) ** 2, ())
+        w, _ = observables.normal_modes(pot, jnp.zeros((1, 1)))
+        np.testing.assert_allclose(float(w[0]), -2.0, rtol=1e-5)
+
+    def test_harmonic_free_energy_quadrature_identity(self):
+        """One harmonic mode: A = kT ln(hbar omega / kT) equals
+        -kT ln[ (1/2 pi hbar) Int e^{-beta p^2/2m} dp
+                 Int e^{-beta k x^2/2} dx ]."""
+        k, m, kt, hbar = 3.0, 2.0, 0.8, 1.0
+        omega = np.sqrt(k / m)
+        a = float(observables.harmonic_free_energy(
+            jnp.asarray([omega]), kt=kt, hbar=hbar))
+        z = (np.sqrt(2 * np.pi * m * kt) * np.sqrt(2 * np.pi * kt / k)
+             / (2 * np.pi * hbar))
+        np.testing.assert_allclose(a, -kt * np.log(z), rtol=1e-6)
+
+    def test_harmonic_free_energy_skips_zero_flags_negative(self):
+        a = observables.harmonic_free_energy(
+            jnp.asarray([1e-7, 2.0, 3.0]), kt=1.0)
+        want = np.log(2.0) + np.log(3.0)
+        np.testing.assert_allclose(float(a), want, rtol=1e-6)
+        bad = observables.harmonic_free_energy(
+            jnp.asarray([-0.5, 2.0]), kt=1.0)
+        assert np.isnan(float(bad))
+
+    def test_quasi_harmonic_recovers_hessian_frequencies(self):
+        """Exact Gaussian sampling of a diagonal harmonic well: the
+        fluctuation route must match the Hessian route."""
+        ks = np.array([0.5, 2.0, 8.0])
+        m, kt = 1.5, 0.7
+        key = jax.random.PRNGKey(0)
+        std = np.sqrt(kt / ks)
+        traj = (jax.random.normal(key, (40000, 1, 3))
+                * jnp.asarray(std))
+        w = observables.quasi_harmonic_frequencies(traj, kt=kt,
+                                                   masses=m)
+        want = np.sort(np.sqrt(ks / m))[::-1]
+        np.testing.assert_allclose(np.asarray(w), want, rtol=0.03)
+
+    def test_quasi_harmonic_matches_normal_modes_on_md(self):
+        """BAOAB sampling of a stiff anisotropic well: quasi-harmonic
+        frequencies from the trajectory match normal_modes at the
+        minimum within sampling error."""
+        from vaemolsim_tpu import md
+        ks = jnp.array([4.0, 9.0, 16.0])
+        pot = lambda x: jnp.sum(0.5 * ks * x[..., 0, :] ** 2, axis=-1)
+        kt = 0.5
+        x0 = jnp.zeros((16, 1, 3))
+        _, traj = md.baoab(pot, x0, jnp.zeros_like(x0),
+                           jax.random.PRNGKey(1), dt=0.02,
+                           n_steps=4000, friction=1.0, kT=kt,
+                           collect_every=4)
+        flat = traj.reshape(-1, 1, 3)
+        w_qh = observables.quasi_harmonic_frequencies(flat, kt=kt)
+        w_nm, _ = observables.normal_modes(
+            lambda x: jnp.reshape(pot(x[None]), ()), jnp.zeros((1, 3)))
+        np.testing.assert_allclose(np.sort(np.asarray(w_qh)),
+                                   np.sort(np.asarray(w_nm)),
+                                   rtol=0.08)

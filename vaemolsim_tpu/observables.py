@@ -24,7 +24,8 @@ __all__ = ["radius_of_gyration", "pair_distance_histogram",
            "structure_factor", "widom_insertion",
            "autocorrelation_fft", "diffusion_coefficient",
            "green_kubo_diffusion", "kabsch_align", "rmsd",
-           "vibrational_spectrum"]
+           "vibrational_spectrum", "normal_modes",
+           "harmonic_free_energy", "quasi_harmonic_frequencies"]
 
 
 def radius_of_gyration(x: Array) -> Array:
@@ -441,3 +442,101 @@ def vibrational_spectrum(vtraj: Array, *, dt: float
     spec = power * (dt / (t * n_vectors))
     freqs = jnp.fft.rfftfreq(t, d=dt)
     return freqs, spec
+
+
+def _mass_vector(masses, n_atoms: int, dim: int) -> Array:
+    m = jnp.asarray(masses, jnp.float32)
+    if m.ndim == 0:
+        m = jnp.full((n_atoms,), m)
+    return jnp.repeat(m, dim)                       # (n_atoms * dim,)
+
+
+def normal_modes(potential, x: Array, *, masses=1.0
+                 ) -> Tuple[Array, Array]:
+    """Mass-weighted normal-mode analysis at a configuration ``x``
+    ``(n_atoms, dim)`` (a minimum or saddle from
+    :func:`potentials.minimize_energy` / :func:`paths.climbing_neb`).
+
+    Diagonalizes ``M^{-1/2} H M^{-1/2}`` with ``H`` the full Cartesian
+    Hessian of ``potential`` (one ``jax.hessian`` — forward-over-
+    reverse, no finite differences) and returns ``(omega, modes)``:
+    ``omega (n_atoms*dim,)`` ascending angular frequencies, SIGNED as
+    ``sign(lambda) sqrt(|lambda|)`` so saddle points show up as
+    negative entries (imaginary modes) instead of silent NaNs, and
+    ``modes (n_atoms*dim, n_modes)`` the corresponding CARTESIAN
+    displacement directions (columns; mass-weighted-orthonormal, i.e.
+    ``v_i^T M v_j = delta_ij``).  Rigid-body translations (and
+    rotations of nonperiodic clusters) appear as ``omega ~ 0``.
+
+    ``potential`` follows the framework contract (``(n_atoms, dim) ->
+    scalar``); ``masses``: scalar or ``(n_atoms,)``.
+    """
+    x = jnp.asarray(x)
+    n, d = x.shape
+    mvec = _mass_vector(masses, n, d)
+
+    def u_flat(xf):
+        return jnp.reshape(potential(xf.reshape(n, d)), ())
+
+    h = jax.hessian(u_flat)(x.reshape(-1))          # (nd, nd)
+    inv_sqrt_m = 1.0 / jnp.sqrt(mvec)
+    h_mw = h * inv_sqrt_m[:, None] * inv_sqrt_m[None, :]
+    lam, v = jnp.linalg.eigh(0.5 * (h_mw + h_mw.T))
+    omega = jnp.sign(lam) * jnp.sqrt(jnp.abs(lam))
+    modes = inv_sqrt_m[:, None] * v                 # back to Cartesian
+    return omega, modes
+
+
+def harmonic_free_energy(omega: Array, *, kt: float, hbar: float = 1.0,
+                         zero_tol: float = 1e-4) -> Array:
+    """Classical harmonic (vibrational) free energy at a minimum:
+
+        ``A = kT sum_i ln(hbar omega_i / kT)``
+
+    over the modes with ``omega_i > zero_tol`` — each harmonic mode
+    contributes a full phase-space partition function ``kT/(hbar
+    omega)`` (configurational Gaussian x Maxwell momentum, divided by
+    ``2 pi hbar``; pinned against that quadrature identity by test).
+    Rigid-body zero modes are excluded by the tolerance; NEGATIVE
+    entries beyond it (imaginary modes — ``x`` was a saddle) poison the
+    result with NaN rather than silently contributing.  ``hbar`` sets
+    the phase-space measure in the caller's unit system (reduced units:
+    leave at 1; the CHOICE shifts A by a constant and cancels in free
+    energy differences)."""
+    omega = jnp.asarray(omega)
+    real = omega > zero_tol
+    bad = omega < -zero_tol
+    term = jnp.where(real, jnp.log(hbar * jnp.abs(omega) / kt), 0.0)
+    a = kt * jnp.sum(term)
+    return jnp.where(jnp.any(bad), jnp.nan, a)
+
+
+def quasi_harmonic_frequencies(traj: Array, *, kt: float, masses=1.0
+                               ) -> Array:
+    """Quasi-harmonic effective frequencies from equilibrium
+    FLUCTUATIONS (Karplus & Kushick 1981): diagonalize the
+    mass-weighted covariance ``C = M^{1/2} cov(x) M^{1/2}`` of a
+    trajectory ``(T, n_atoms, dim)`` and invert equipartition per mode,
+
+        ``omega_i = sqrt(kT / lambda_i)``,
+
+    the sampling-based complement of :func:`normal_modes` (exactly the
+    Hessian frequencies for a harmonic well, softened by anharmonicity
+    in general; feed the frequencies to :func:`harmonic_free_energy`
+    for the quasi-harmonic entropy/free-energy estimate).  Align the
+    trajectory first (:func:`kabsch_align`) for nonperiodic clusters,
+    or the rigid-body drift shows up as spurious soft modes.  Returns
+    ``(n_atoms*dim,)`` DESCENDING frequencies (stiffest first; the
+    trailing entries are inf when the covariance is rank-deficient,
+    e.g. fewer frames than DOFs or removed rigid-body motion)."""
+    traj = jnp.asarray(traj)
+    t = traj.shape[0]
+    n, d = traj.shape[-2], traj.shape[-1]
+    flat = traj.reshape(t, n * d)
+    flat = flat - jnp.mean(flat, axis=0)
+    cov = flat.T @ flat / t
+    mvec = _mass_vector(masses, n, d)
+    sqrt_m = jnp.sqrt(mvec)
+    c_mw = cov * sqrt_m[:, None] * sqrt_m[None, :]
+    lam = jnp.linalg.eigvalsh(0.5 * (c_mw + c_mw.T))  # ascending
+    return jnp.sqrt(kt / jnp.maximum(lam, 0.0))
