@@ -123,3 +123,65 @@ class TestStringMethod:
         out = jax.vmap(run)(batch)
         assert out.shape == (2, 8, 1, 2)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestHarmonicTST:
+
+    def test_1d_double_well_matches_exact_tst_quadrature(self):
+        """U = h (x^2 - 1)^2, high barrier: harmonic TST must match the
+        exact flux-over-population TST rate
+        k = sqrt(kT / 2 pi m) e^{-beta U(0)} / Int_well e^{-beta U}."""
+        h, kt, m = 4.0, 0.5, 1.0
+        pot = lambda x: jnp.reshape(h * (x[0, 0] ** 2 - 1.0) ** 2, ())
+        x_min = jnp.array([[1.0]])
+        x_sad = jnp.array([[0.0]])
+        k_h = float(paths.harmonic_tst_rate(pot, x_min, x_sad, kt=kt,
+                                            masses=m))
+        xs = np.linspace(0.0, 3.0, 20001)
+        u = h * (xs ** 2 - 1.0) ** 2
+        z_well = np.trapezoid(np.exp(-u / kt), xs)
+        k_exact = (np.sqrt(kt / (2 * np.pi * m))
+                   * np.exp(-h / kt) / z_well)
+        np.testing.assert_allclose(k_h, k_exact, rtol=0.05)
+
+    def test_transverse_modes_cancel(self):
+        """Adding identical harmonic transverse dimensions must not
+        change the rate (their frequencies cancel min/saddle)."""
+        h, kt = 4.0, 0.5
+        pot1 = lambda x: jnp.reshape(h * (x[0, 0] ** 2 - 1) ** 2, ())
+        pot3 = lambda x: jnp.reshape(
+            h * (x[0, 0] ** 2 - 1) ** 2
+            + 0.5 * 7.0 * x[0, 1] ** 2 + 0.5 * 2.5 * x[0, 2] ** 2, ())
+        k1 = float(paths.harmonic_tst_rate(
+            pot1, jnp.array([[1.0]]), jnp.array([[0.0]]), kt=kt))
+        k3 = float(paths.harmonic_tst_rate(
+            pot3, jnp.array([[1.0, 0.0, 0.0]]),
+            jnp.array([[0.0, 0.0, 0.0]]), kt=kt))
+        np.testing.assert_allclose(k3, k1, rtol=1e-4)
+
+    def test_misidentified_stationary_points_are_loud(self):
+        h = 4.0
+        pot = lambda x: jnp.reshape(h * (x[0, 0] ** 2 - 1) ** 2, ())
+        # Swapped min/saddle -> NaN, not a garbage number.
+        k = paths.harmonic_tst_rate(pot, jnp.array([[0.0]]),
+                                    jnp.array([[1.0]]), kt=0.5)
+        assert np.isnan(float(k))
+
+    def test_composes_with_climbing_neb_on_muller_brown(self, mb_minima):
+        """End-to-end: NEB saddle + quadrature-free rate on the
+        Muller-Brown surface — finite, and Arrhenius-consistent
+        between two temperatures (ratio pinned by the exact barrier)."""
+        ma, mc = mb_minima
+        res = paths.climbing_neb(muller_brown, paths.interpolate_path(
+            ma, mc, 24), n_steps=3000, k_spring=50.0, dt=0.002,
+            climb_after=500)
+        x_sad = res.saddle
+        kt1, kt2 = 5.0, 10.0
+        k1 = float(paths.harmonic_tst_rate(muller_brown, ma, x_sad,
+                                           kt=kt1))
+        k2 = float(paths.harmonic_tst_rate(muller_brown, ma, x_sad,
+                                           kt=kt2))
+        assert np.isfinite(k1) and np.isfinite(k2) and 0 < k1 < k2
+        de = float(muller_brown(x_sad) - muller_brown(ma))
+        np.testing.assert_allclose(np.log(k2 / k1),
+                                   de * (1 / kt1 - 1 / kt2), rtol=1e-3)

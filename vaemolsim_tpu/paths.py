@@ -40,7 +40,7 @@ import jax.numpy as jnp
 Array = jax.Array
 
 __all__ = ["MEPResult", "interpolate_path", "climbing_neb",
-           "string_method"]
+           "string_method", "harmonic_tst_rate"]
 
 
 class MEPResult(NamedTuple):
@@ -250,3 +250,50 @@ def string_method(potential: Callable[[Array], Array],
                              keepdims=True) * tau
     return MEPResult(path=path, energies=e,
                      f_max=jnp.max(jnp.abs(f_perp)))
+
+
+def harmonic_tst_rate(potential: Callable[[Array], Array],
+                      x_min: Array, x_saddle: Array, *, kt: float,
+                      masses=1.0, zero_tol: float = 1e-4) -> Array:
+    """Harmonic transition-state-theory escape rate (Vineyard 1957):
+
+        ``k = [prod_i omega_i(min) / prod_j omega_j(saddle)]
+              / (2 pi) * exp(-(E_saddle - E_min) / kT)``,
+
+    where the saddle product runs over its REAL modes only (the single
+    imaginary mode is the reaction coordinate).  Both stationary points
+    get a mass-weighted :func:`observables.normal_modes` analysis;
+    modes with ``|omega| <= zero_tol`` (rigid-body translations/
+    rotations) are excluded on both sides.  The result is NaN — loud,
+    never silently wrong — unless the saddle has EXACTLY one imaginary
+    mode, the minimum has none, and the excluded-zero-mode counts
+    match (a saddle from :func:`climbing_neb` at loose convergence, or
+    mismatched cluster orientations, trips this).
+
+    This is the no-recrossing upper bound of classical rate theory
+    (exact TST flux through the dividing surface, harmonic wells);
+    compare :func:`vaemolsim_tpu.msm.mfpt` or weighted-ensemble rates
+    for dynamically corrected numbers.
+    """
+    from vaemolsim_tpu.observables import normal_modes
+
+    w_min, _ = normal_modes(potential, x_min, masses=masses)
+    w_sad, _ = normal_modes(potential, x_saddle, masses=masses)
+
+    pos_min = w_min > zero_tol
+    pos_sad = w_sad > zero_tol
+    neg_min = w_min < -zero_tol
+    neg_sad = w_sad < -zero_tol
+    ok = ((jnp.sum(neg_min) == 0)
+          & (jnp.sum(neg_sad) == 1)
+          & (jnp.sum(pos_min) == jnp.sum(pos_sad) + 1))
+
+    log_prod_min = jnp.sum(jnp.where(pos_min, jnp.log(jnp.abs(w_min)),
+                                     0.0))
+    log_prod_sad = jnp.sum(jnp.where(pos_sad, jnp.log(jnp.abs(w_sad)),
+                                     0.0))
+    de = (jnp.reshape(potential(x_saddle), ())
+          - jnp.reshape(potential(x_min), ()))
+    log_k = (log_prod_min - log_prod_sad - jnp.log(2.0 * jnp.pi)
+             - de / kt)
+    return jnp.where(ok, jnp.exp(log_k), jnp.nan)
