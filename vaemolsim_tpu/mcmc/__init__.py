@@ -42,6 +42,13 @@ from vaemolsim_tpu.mcmc.moves import (  # noqa: F401
     mix_moves,
     tune_scale,
 )
+from vaemolsim_tpu.mcmc.tps import (  # noqa: F401
+    TPSState,
+    make_tps_step,
+    reactive_windows,
+    run_tps,
+    tps_init,
+)
 from vaemolsim_tpu.mcmc.npt import (  # noqa: F401
     NPTState,
     make_npt_step,

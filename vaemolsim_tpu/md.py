@@ -143,7 +143,8 @@ def baoab(potential: Callable[[Array], Array],
           friction: float = 1.0, kT: float = 1.0,
           masses=1.0,
           collect_every: int = 0,
-          f0: Optional[Array] = None
+          f0: Optional[Array] = None,
+          collect_v: bool = False
           ) -> Tuple[MDState, Optional[Array]]:
     """Langevin (NVT) dynamics via the BAOAB splitting: B half-kick,
     A half-drift, O exact Ornstein-Uhlenbeck velocity refresh, A, B.
@@ -154,6 +155,11 @@ def baoab(potential: Callable[[Array], Array],
     and one Gaussian draw per step, scanned on device.  ``friction`` is
     the collision rate gamma (units 1/time); ``friction=0`` reduces to
     velocity Verlet.
+
+    With ``collect_every`` the second return is the position
+    trajectory, or an ``(x_traj, v_traj)`` pair when ``collect_v`` is
+    set (phase-space consumers: vibrational spectra, transition path
+    sampling).
     """
     if collect_every and n_steps % collect_every != 0:
         raise ValueError("n_steps must be a multiple of collect_every")
@@ -187,7 +193,7 @@ def baoab(potential: Callable[[Array], Array],
                 return one(s, k), None
 
             s, _ = jax.lax.scan(inner, s, ks)
-            return s, s.x
+            return s, (s.x, s.v) if collect_v else s.x
 
         return jax.lax.scan(body, init, keys)
 
