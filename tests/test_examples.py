@@ -1,6 +1,6 @@
 """Example-workflow smoke tests: ALL user-facing scripts must run
 end to end at their CI scale (the reference's four notebooks are
-executable documents — examples 01-04 are their ports, 05-31 the
+executable documents — examples 01-04 are their ports, 05-32 the
 beyond-reference workflows).  Wall-clock is compile-dominated on CPU;
 the --full scales are exercised manually / on hardware."""
 
@@ -297,4 +297,15 @@ def test_example_31_difftre():
     assert m is not None
     assert abs(float(m.group(1)) - 1.0) < 0.2
     assert abs(float(m.group(2)) - 1.0) < 0.05
+    assert out.strip().split("\n")[-1].startswith("OK")
+
+
+@pytest.mark.slow
+def test_example_32_tps():
+    out = run_example("32_transition_path_sampling.py", timeout=1200)
+    import re
+    m = re.search(r"\|mean - saddle\| = ([0-9.]+)", out)
+    assert m is not None and float(m.group(1)) < 0.25
+    m = re.search(r"acceptance ([0-9.]+)", out)
+    assert m is not None and float(m.group(1)) > 0.1
     assert out.strip().split("\n")[-1].startswith("OK")
