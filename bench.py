@@ -495,6 +495,59 @@ def bench_cell_list_md(jax, jnp, n_atoms=8192, n_steps=200, rho=0.8,
             "final_kt": round(2.0 * ke / (3.0 * n_atoms), 4)}
 
 
+def bench_ml_potential_md(jax, jnp, n_replicas=256, n_atoms=32,
+                          n_steps=100, features=64, num_blocks=3,
+                          n_rbf=32, rho=0.6, cutoff=2.5):
+    """ML-force-field MD throughput: BAOAB Langevin with forces from a
+    SchNetPotential (continuous-filter message passing over the dense
+    masked pair grid — the MXU-dense molecular workload: every step is
+    num_blocks filter matmuls + one backward pass through them).  Rate
+    is replica-atom-steps/sec; the model is untrained (weights don't
+    change the FLOP count), energies asserted finite."""
+    import numpy as np
+
+    from vaemolsim_tpu.md import baoab, kinetic_energy
+    from vaemolsim_tpu.nn import SchNetPotential
+
+    L = float((n_atoms / rho) ** (1.0 / 3.0))
+    model = SchNetPotential.create(jax.random.PRNGKey(0), 1,
+                                   features=features,
+                                   num_blocks=num_blocks, n_rbf=n_rbf,
+                                   cutoff=cutoff)
+    species = jnp.ones((n_atoms, 1))
+    pot = model.as_potential(species, box=jnp.full((3,), L))
+
+    m = int(np.ceil(n_atoms ** (1.0 / 3.0)))
+    g = np.stack(np.meshgrid(*[np.arange(m)] * 3, indexing="ij"),
+                 -1).reshape(-1, 3)[:n_atoms] * (L / m)
+    x0 = (jnp.asarray(g, jnp.float32)[None]
+          + 0.05 * jax.random.normal(jax.random.PRNGKey(1),
+                                     (n_replicas, n_atoms, 3)))
+    v0 = jax.random.normal(jax.random.PRNGKey(2), x0.shape)
+
+    run = jax.jit(lambda x, v, k: baoab(
+        pot, x, v, k, dt=0.002, friction=1.0, kT=1.0,
+        n_steps=n_steps)[0])
+    st = run(x0, v0, jax.random.PRNGKey(3))       # compile + equilibrate
+    jax.block_until_ready(st.x)
+
+    def rep():
+        out = run(st.x, st.v, jax.random.PRNGKey(4))
+        jax.block_until_ready(out.x)
+        return out
+
+    best, median, times = _time_reps(rep)
+    out = rep()
+    e = pot(out.x)
+    ke = float(jnp.mean(kinetic_energy(out.v)))
+    assert bool(jnp.all(jnp.isfinite(e))) and np.isfinite(ke)
+    steps = n_replicas * n_atoms * n_steps
+    return {"rate": steps / best, "median_rate": steps / median,
+            "times": times, "n_replicas": n_replicas,
+            "n_atoms": n_atoms, "features": features,
+            "num_blocks": num_blocks}
+
+
 def bench_gcmc(jax, jnp, n_chains=8192, n_max=64, n_sweeps=100,
                box_l=5.0, kt=2.0, z=0.1):
     """Grand-canonical MC throughput (mcmc/gcmc.py): muVT LJ sweeps —
@@ -859,6 +912,20 @@ def main():
         })
     except Exception as e:
         extras.append({"metric": "cell_list_md_atom_steps_per_sec",
+                       "error": repr(e)})
+    try:
+        ml = bench_ml_potential_md(jax, jnp)
+        extras.append({
+            "metric": "schnet_md_replica_atom_steps_per_sec",
+            "value": round(ml["rate"], 1),
+            "unit": f"replica-atom-steps/sec (BAOAB on a SchNet ML "
+                    f"potential: {ml['n_replicas']} replicas x "
+                    f"{ml['n_atoms']} atoms, {ml['features']} features "
+                    f"x {ml['num_blocks']} blocks, fwd+bwd per step)",
+            "median": round(ml["median_rate"], 1),
+        })
+    except Exception as e:
+        extras.append({"metric": "schnet_md_replica_atom_steps_per_sec",
                        "error": repr(e)})
     try:
         gc = bench_gcmc(jax, jnp)
