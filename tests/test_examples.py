@@ -1,6 +1,6 @@
 """Example-workflow smoke tests: ALL user-facing scripts must run
 end to end at their CI scale (the reference's four notebooks are
-executable documents — examples 01-04 are their ports, 05-32 the
+executable documents — examples 01-04 are their ports, 05-33 the
 beyond-reference workflows).  Wall-clock is compile-dominated on CPU;
 the --full scales are exercised manually / on hardware."""
 
@@ -308,4 +308,13 @@ def test_example_32_tps():
     assert m is not None and float(m.group(1)) < 0.25
     m = re.search(r"acceptance ([0-9.]+)", out)
     assert m is not None and float(m.group(1)) > 0.1
+    assert out.strip().split("\n")[-1].startswith("OK")
+
+
+@pytest.mark.slow
+def test_example_33_neural_committor():
+    out = run_example("33_neural_committor.py", timeout=1200)
+    import re
+    m = re.search(r"correlation ([0-9.-]+)", out)
+    assert m is not None and float(m.group(1)) > 0.85
     assert out.strip().split("\n")[-1].startswith("OK")

@@ -183,3 +183,35 @@ class TestTwoChannelErgodicity:
         assert 0.15 < frac_lower < 0.85, frac_lower
         acc = float(jnp.mean(state.acceptance_rate))
         assert acc > 0.05, acc
+
+
+class TestFirstHittingCommittor:
+
+    def test_overdamped_matches_quadrature(self):
+        """High friction: the MC committor must equal the exact
+        overdamped quadrature q(x) = int_a^x e^{U/kT} / int_a^b."""
+        from vaemolsim_tpu.mcmc import first_hitting_committor
+        xs = jnp.array([-0.5, -0.25, 0.0, 0.25, 0.5])
+        q, unres = first_hitting_committor(
+            dwell, xs[:, None, None], in_a=in_a, in_b=in_b,
+            key=jax.random.PRNGKey(0), n_shots=512, max_steps=4000,
+            dt=0.005, kt=KT, friction=25.0)
+        assert float(jnp.max(unres)) < 0.02, np.asarray(unres)
+        grid = np.linspace(-0.7, 0.7, 4001)
+        w = np.exp(H * (grid ** 2 - 1.0) ** 2 / KT)
+        cum = np.concatenate([[0.0], np.cumsum(
+            0.5 * (w[1:] + w[:-1]) * np.diff(grid))])
+        q_exact = np.interp(np.asarray(xs), grid, cum / cum[-1])
+        np.testing.assert_allclose(np.asarray(q), q_exact, atol=0.07)
+        # Monotone in x (the defining property of a 1-D committor).
+        assert np.all(np.diff(np.asarray(q)) > -0.05)
+
+    def test_basin_configs_are_trivial(self):
+        from vaemolsim_tpu.mcmc import first_hitting_committor
+        xs = jnp.array([-1.0, 1.0])[:, None, None]
+        q, unres = first_hitting_committor(
+            dwell, xs, in_a=in_a, in_b=in_b,
+            key=jax.random.PRNGKey(1), n_shots=64, max_steps=50,
+            dt=0.005, kt=KT, friction=25.0)
+        np.testing.assert_allclose(np.asarray(q), [0.0, 1.0], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(unres), 0.0, atol=1e-6)

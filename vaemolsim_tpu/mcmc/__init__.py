@@ -44,6 +44,7 @@ from vaemolsim_tpu.mcmc.moves import (  # noqa: F401
 )
 from vaemolsim_tpu.mcmc.tps import (  # noqa: F401
     TPSState,
+    first_hitting_committor,
     make_tps_step,
     reactive_windows,
     run_tps,

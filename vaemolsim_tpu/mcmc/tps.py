@@ -55,7 +55,7 @@ from vaemolsim_tpu import md
 Array = jax.Array
 
 __all__ = ["TPSState", "tps_init", "make_tps_step", "run_tps",
-           "reactive_windows"]
+           "reactive_windows", "first_hitting_committor"]
 
 
 class TPSState(NamedTuple):
@@ -258,3 +258,57 @@ def reactive_windows(traj: Array, *, n_frames: int,
     offsets = jnp.arange(n_frames)
     windows = traj[safe[:, None] + offsets[None, :]]
     return windows, valid
+
+
+def first_hitting_committor(potential: Callable[[Array], Array],
+                            x0: Array, *,
+                            in_a: Callable[[Array], Array],
+                            in_b: Callable[[Array], Array],
+                            key: Array, n_shots: int, max_steps: int,
+                            dt: float, kt: float, friction: float = 1.0,
+                            masses=1.0) -> Tuple[Array, Array]:
+    """Monte Carlo committor estimates: from each configuration in
+    ``x0 (B, n_atoms, dim)``, fire ``n_shots`` fleeting BAOAB
+    trajectories (fresh Maxwell velocities) and record which basin each
+    hits first — ``q(x) = P(reach B before A | x)``, THE reaction
+    coordinate (Peters & Trout 2006 use exactly these shooting outcomes
+    to train committor models; :func:`vaemolsim_tpu.msm.committor` is
+    the discrete-state analog).
+
+    Returns ``(q (B,), frac_unresolved (B,))`` where unresolved shots
+    (neither basin within ``max_steps``) are excluded from ``q``'s
+    denominator — size ``max_steps`` to the basin relaxation time and
+    check ``frac_unresolved`` stays small.  In the high-friction limit
+    the 1-D result equals the overdamped quadrature
+    ``q(x) = int_a^x e^{U/kT} / int_a^b e^{U/kT}`` (pinned by test).
+
+    Memory note: labels come from one collected trajectory block of
+    shape ``(max_steps, B * n_shots, ...)`` — sized for reaction-
+    coordinate workloads (small systems, many configs), not for large-N
+    molecular frames.
+    """
+    x0 = jnp.asarray(x0)
+    b = x0.shape[0]
+    m = jnp.asarray(masses, x0.dtype)
+    kx, kv = jax.random.split(key)
+    x_rep = jnp.repeat(x0, n_shots, axis=0)           # (B*S, n, d)
+    v0 = jnp.sqrt(kt / m) * jax.random.normal(kv, x_rep.shape, x0.dtype)
+    _, traj = md.baoab(potential, x_rep, v0, kx, dt=dt,
+                       n_steps=max_steps, friction=friction, kT=kt,
+                       masses=masses, collect_every=1)
+
+    a_t = in_a(traj)                                   # (T, B*S)
+    b_t = in_b(traj)
+    t_idx = jnp.arange(max_steps)
+    big = max_steps + 1
+    first_a = jnp.min(jnp.where(a_t, t_idx[:, None], big), axis=0)
+    first_b = jnp.min(jnp.where(b_t, t_idx[:, None], big), axis=0)
+    resolved = (first_a < big) | (first_b < big)
+    hit_b = (first_b < first_a) & resolved
+
+    hit_b = hit_b.reshape(b, n_shots)
+    resolved = resolved.reshape(b, n_shots)
+    n_res = jnp.sum(resolved, axis=1)
+    q = jnp.sum(hit_b, axis=1) / jnp.maximum(n_res, 1)
+    q = jnp.where(n_res > 0, q, jnp.nan)
+    return q, 1.0 - n_res / n_shots
