@@ -1,6 +1,6 @@
 """Example-workflow smoke tests: ALL user-facing scripts must run
 end to end at their CI scale (the reference's four notebooks are
-executable documents — examples 01-04 are their ports, 05-33 the
+executable documents — examples 01-04 are their ports, 05-34 the
 beyond-reference workflows).  Wall-clock is compile-dominated on CPU;
 the --full scales are exercised manually / on hardware."""
 
@@ -317,4 +317,16 @@ def test_example_33_neural_committor():
     import re
     m = re.search(r"correlation ([0-9.-]+)", out)
     assert m is not None and float(m.group(1)) > 0.85
+    assert out.strip().split("\n")[-1].startswith("OK")
+
+
+@pytest.mark.slow
+def test_example_34_path_integral_md():
+    out = run_example("34_path_integral_md.py", timeout=1200)
+    import re
+    m = re.search(r"quantum energy error vs DVR: ([0-9.]+)%", out)
+    assert m is not None and float(m.group(1)) < 5.0
+    m = re.search(r"tunneling enhancement of barrier density: ([0-9.]+)x",
+                  out)
+    assert m is not None and float(m.group(1)) > 1.5
     assert out.strip().split("\n")[-1].startswith("OK")
