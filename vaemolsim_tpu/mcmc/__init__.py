@@ -42,6 +42,14 @@ from vaemolsim_tpu.mcmc.moves import (  # noqa: F401
     mix_moves,
     tune_scale,
 )
+from vaemolsim_tpu.mcmc.ffs import (  # noqa: F401
+    FFSResult,
+    FluxResult,
+    StageResult,
+    basin_flux,
+    ffs_stage,
+    run_ffs,
+)
 from vaemolsim_tpu.mcmc.tps import (  # noqa: F401
     TPSState,
     first_hitting_committor,
