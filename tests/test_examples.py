@@ -1,6 +1,6 @@
 """Example-workflow smoke tests: ALL user-facing scripts must run
 end to end at their CI scale (the reference's four notebooks are
-executable documents — examples 01-04 are their ports, 05-34 the
+executable documents — examples 01-04 are their ports, 05-35 the
 beyond-reference workflows).  Wall-clock is compile-dominated on CPU;
 the --full scales are exercised manually / on hardware."""
 
@@ -329,4 +329,14 @@ def test_example_34_path_integral_md():
     m = re.search(r"tunneling enhancement of barrier density: ([0-9.]+)x",
                   out)
     assert m is not None and float(m.group(1)) > 1.5
+    assert out.strip().split("\n")[-1].startswith("OK")
+
+
+@pytest.mark.slow
+def test_example_35_rare_event_rates():
+    out = run_example("35_rare_event_rates.py", timeout=1200)
+    import re
+    for name in ("FFS", "WE", "Kramers-TST"):
+        m = re.search(rf"{name}/brute = ([0-9.]+)", out)
+        assert m is not None and 0.35 < float(m.group(1)) < 2.8
     assert out.strip().split("\n")[-1].startswith("OK")
