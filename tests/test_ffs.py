@@ -203,3 +203,24 @@ class TestRunFFS:
             run_ffs(pot, lam_x, x0, x0, jax.random.PRNGKey(0),
                     interfaces=[0.5, 0.2], dt=0.01, kT=1.0,
                     flux_steps=10, max_steps=10)
+
+
+class TestEmptySeeds:
+
+    def test_empty_seed_mask_poisons_stage(self):
+        """Regression: categorical over all -inf logits returns index
+        0, so an all-False seed_mask silently shot every trial from the
+        zero-initialized slot 0 and reported a physically meaningless
+        nonzero p.  The public stage now returns p = NaN with success
+        all-False instead."""
+        n_store = 8
+        x = jnp.zeros((n_store, 1, 1))
+        v = jnp.zeros_like(x)
+        mask = jnp.zeros((n_store,), bool)
+        res = ffs_stage(well_1d(), lam_x, x, v, mask,
+                        jax.random.PRNGKey(0), lambda_next=1.0,
+                        lambda_fail=-1.0, dt=0.05, max_steps=10,
+                        kT=1.0, n_trials=16)
+        assert np.isnan(float(res.p))
+        assert int(res.n_success) == 0
+        assert not bool(np.asarray(res.success).any())

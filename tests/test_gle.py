@@ -187,3 +187,44 @@ class TestPlumbing:
             gle.gle_baoab(pot, x0, jnp.zeros_like(x0),
                           jax.random.PRNGKey(11), dt=0.01, n_steps=41,
                           kT=1.0, a_matrix=a, collect_every=20)
+
+
+class TestExpmFallback:
+    """Regression: the scipy-free expm fallback was a raw 40-term
+    Taylor series — catastrophically wrong at moderate ``||A dt||``
+    (gamma*dt = 40 gave T ~ -7.5e15 instead of 4.2e-18, so valid
+    (A, C) pairs were rejected and milder ones silently thermostatted
+    at the wrong covariance).  Now scaling-and-squaring."""
+
+    def test_scaled_taylor_exact_cases(self):
+        import math
+        from vaemolsim_tpu.gle import _expm_scaled
+        assert _expm_scaled(np.array([[-40.0]]))[0, 0] == pytest.approx(
+            math.exp(-40.0), rel=1e-10)
+        th = 1.3
+        rot = _expm_scaled(np.array([[0.0, th], [-th, 0.0]]))
+        expect = np.array([[math.cos(th), math.sin(th)],
+                           [-math.sin(th), math.cos(th)]])
+        np.testing.assert_allclose(rot, expect, atol=1e-12)
+
+    def test_matches_scipy_on_stiff_memory_matrix(self):
+        from vaemolsim_tpu.gle import _expm_scaled
+        try:
+            from scipy.linalg import expm as ref
+        except Exception:
+            pytest.skip("scipy not available")
+        m = -gle.exp_memory_matrix(50.0, 0.016) * 0.8
+        np.testing.assert_allclose(_expm_scaled(m), ref(m),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_scipy_free_gle_matrices_valid_pair_accepted(self, monkeypatch):
+        import math
+        import sys
+        # Force `from scipy.linalg import expm` to fail inside
+        # gle_matrices so the fallback path is the one under test.
+        monkeypatch.setitem(sys.modules, "scipy.linalg", None)
+        t, s = gle.gle_matrices(gle.white_noise_matrix(50.0), 0.8, 2.0)
+        assert t[0, 0] == pytest.approx(math.exp(-40.0), abs=1e-12)
+        cov = s @ s.T
+        assert cov[0, 0] == pytest.approx(2.0 * (1 - math.exp(-80.0)),
+                                          rel=1e-10)

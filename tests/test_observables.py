@@ -490,3 +490,20 @@ class TestNormalModes:
         np.testing.assert_allclose(np.sort(np.asarray(w_qh)),
                                    np.sort(np.asarray(w_nm)),
                                    rtol=0.08)
+
+
+class TestQuasiHarmonicRankDeficiency:
+
+    def test_infs_lead_not_trail(self):
+        """Regression (doc contract): eigvalsh is ascending, so the
+        null directions of a rank-deficient covariance surface as inf
+        frequencies at the FRONT of the descending output — a user
+        dropping 'trailing entries' per the old docstring kept the infs
+        and discarded the softest real modes."""
+        traj = jax.random.normal(jax.random.PRNGKey(0), (3, 2, 3))
+        w = np.asarray(observables.quasi_harmonic_frequencies(
+            traj, kt=1.0))
+        n_inf = int(np.sum(~np.isfinite(w)))
+        assert n_inf >= 4                    # rank <= n_frames - 1 = 2
+        assert not np.isfinite(w[:n_inf]).any()
+        assert np.isfinite(w[n_inf:]).all()

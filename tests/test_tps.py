@@ -215,3 +215,56 @@ class TestFirstHittingCommittor:
             dt=0.005, kt=KT, friction=25.0)
         np.testing.assert_allclose(np.asarray(q), [0.0, 1.0], atol=1e-6)
         np.testing.assert_allclose(np.asarray(unres), 0.0, atol=1e-6)
+
+
+class TestPerAtomMasses:
+    """Regression: the Maxwell-Boltzmann draws in tps_init,
+    step_two_way, and first_hitting_committor used raw
+    ``jnp.asarray(masses)``, aligning an (n_atoms,) masses array with
+    the trailing DIM axis — a hard broadcast error for n_atoms != dim
+    and a silently wrong path measure for n_atoms == dim.  All three
+    now go through ``md._masses_arr`` like the dynamics itself."""
+
+    MASSES = jnp.array([1.0, 16.0])
+
+    @staticmethod
+    def _pot2(x):
+        # dwell on atom 0's first coordinate, harmonic tether on the rest
+        rest = jnp.sum(x[..., 1, :] ** 2, axis=-1) + jnp.sum(
+            x[..., 0, 1:] ** 2, axis=-1)
+        return dwell(x[..., :1, :1]) + 0.5 * rest
+
+    def test_init_draw_is_per_atom(self):
+        path = jnp.zeros((16, 50, 2, 3))         # n_atoms=2 != dim=3
+        state = tps_init(path, key=jax.random.PRNGKey(0), kt=KT,
+                         masses=self.MASSES)
+        v = np.asarray(state.vel)
+        var = v.var(axis=(0, 1, 3)).mean(axis=-1) \
+            if v.ndim == 5 else v.var(axis=(0, 1, 3))
+        # equipartition per atom: var(v_i) = kT / m_i
+        assert var[0] / var[1] == pytest.approx(16.0, rel=0.15)
+
+    def test_two_way_step_runs_with_per_atom_masses(self):
+        w, f = 4, 31
+        line = jnp.linspace(-1.0, 1.0, f)
+        path = jnp.zeros((w, f, 2, 3)).at[:, :, 0, 0].set(line[None])
+        state = tps_init(path, key=jax.random.PRNGKey(1), kt=KT,
+                         masses=self.MASSES)
+        step = make_tps_step(self._pot2, in_a=in_a, in_b=in_b, dt=DT,
+                             kt=KT, friction=FRICTION,
+                             masses=self.MASSES, mode="two_way")
+        out = jax.jit(step)(state, jax.random.PRNGKey(2))
+        assert np.isfinite(np.asarray(out.path)).all()
+        assert out.path.shape == state.path.shape
+
+    def test_committor_runs_with_per_atom_masses(self):
+        from vaemolsim_tpu.mcmc import first_hitting_committor
+        x0 = jnp.zeros((3, 2, 3)).at[:, 0, 0].set(
+            jnp.array([-1.0, 0.0, 1.0]))
+        q, unres = first_hitting_committor(
+            self._pot2, x0, key=jax.random.PRNGKey(3), in_a=in_a,
+            in_b=in_b, dt=DT, kt=KT, friction=FRICTION,
+            masses=self.MASSES, n_shots=8, max_steps=400)
+        q = np.asarray(q)
+        assert q.shape == (3,)
+        assert q[0] <= q[2]

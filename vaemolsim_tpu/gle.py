@@ -80,6 +80,26 @@ def exp_memory_matrix(friction: float, tau: float) -> np.ndarray:
     return np.array([[0.0, a], [-a, 1.0 / tau]])
 
 
+def _expm_scaled(m: np.ndarray) -> np.ndarray:
+    """Host float64 matrix exponential by scaling-and-squaring over a
+    Taylor series.  A raw Taylor series alone diverges catastrophically
+    for moderate ``||m||`` (e.g. ``gamma*dt = 40`` gave ``-7.5e15``
+    instead of ``4.2e-18``); scaling to ``||m/2^s|| <= 0.5`` first
+    keeps every term well-conditioned, then ``s`` squarings restore the
+    full exponent."""
+    norm = np.linalg.norm(m, 1)
+    s = max(0, int(np.ceil(np.log2(max(norm, 1e-300)))) + 1) if norm > 0.5 else 0
+    a = m / (2.0 ** s)
+    t = np.eye(m.shape[0])
+    term = np.eye(m.shape[0])
+    for k in range(1, 30):
+        term = term @ a / k
+        t = t + term
+    for _ in range(s):
+        t = t @ t
+    return t
+
+
 def gle_matrices(a_matrix, dt: float, kT: float,
                  c_matrix=None) -> Tuple[np.ndarray, np.ndarray]:
     """Exact OU propagator pair ``(T, S)`` for time ``dt``:
@@ -103,11 +123,7 @@ def gle_matrices(a_matrix, dt: float, kT: float,
         from scipy.linalg import expm
         t = expm(-a * float(dt))
     except Exception:                           # scipy-free fallback
-        t = np.eye(n)
-        term = np.eye(n)
-        for k in range(1, 40):
-            term = term @ (-a * float(dt)) / k
-            t = t + term
+        t = _expm_scaled(-a * float(dt))
     cov = c - t @ c @ t.T
     cov = 0.5 * (cov + cov.T)
     w, v = np.linalg.eigh(cov)

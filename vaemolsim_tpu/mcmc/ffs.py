@@ -78,6 +78,30 @@ class FFSResult(NamedTuple):
     n_unresolved: Array    # (n_stages,) int32
 
 
+def _baoab_step_kernel(potential, masses, dt, kT, friction, x0):
+    """Shared one-step BAOAB kernel (B half-kick, A, O, A, B) for the
+    flux and shooting stages: returns ``step(x, v, f, key) ->
+    (xn, vn, fn)`` plus the initial force, so both scans use literally
+    the same integrator and a future change cannot desynchronize them."""
+    force = _force_fn(potential)
+    m = _masses_arr(masses, x0)
+    dtj = jnp.asarray(dt, x0.dtype)
+    c1 = jnp.exp(-friction * dtj)
+    c2 = jnp.sqrt(kT * (1.0 - c1 * c1) / m)
+
+    def step(x, v, f, k):
+        vh = v + 0.5 * dtj * f / m
+        xn = x + 0.5 * dtj * vh
+        vh = c1 * vh + c2 * jax.random.normal(k, v.shape, v.dtype)
+        xn = xn + 0.5 * dtj * vh
+        _, fn = force(xn)
+        vn = vh + 0.5 * dtj * fn / m
+        return xn, vn, fn
+
+    _, f0 = force(x0)
+    return step, f0
+
+
 def basin_flux(potential: Callable[[Array], Array],
                lambda_fn: Callable[[Array], Array],
                x0: Array, v0: Array, key: Array, *,
@@ -100,22 +124,14 @@ def basin_flux(potential: Callable[[Array], Array],
     """
     x0, v0 = jnp.asarray(x0), jnp.asarray(v0)
     lam_a = lambda0 if lambda_a is None else lambda_a
-    force = _force_fn(potential)
-    m = _masses_arr(masses, x0)
-    dtj = jnp.asarray(dt, x0.dtype)
-    c1 = jnp.exp(-friction * dtj)
-    c2 = jnp.sqrt(kT * (1.0 - c1 * c1) / m)
+    step, f0 = _baoab_step_kernel(potential, masses, dt, kT, friction,
+                                  x0)
     r = x0.shape[0]
 
     def body(carry, k):
         x, v, f, armed, count, sx, sv, nst = carry
         lam_prev = lambda_fn(x)
-        vh = v + 0.5 * dtj * f / m
-        xn = x + 0.5 * dtj * vh
-        vh = c1 * vh + c2 * jax.random.normal(k, v.shape, v.dtype)
-        xn = xn + 0.5 * dtj * vh
-        _, fn = force(xn)
-        vn = vh + 0.5 * dtj * fn / m
+        xn, vn, fn = step(x, v, f, k)
         lam = lambda_fn(xn)
         crossed = armed & (lam_prev < lambda0) & (lam >= lambda0)
         armed = jnp.where(crossed, False,
@@ -131,7 +147,6 @@ def basin_flux(potential: Callable[[Array], Array],
         count = count + jnp.sum(crossed.astype(jnp.int32))
         return (xn, vn, fn, armed, count, sx, sv, nst), None
 
-    _, f0 = force(x0)
     armed0 = lambda_fn(x0) < lam_a
     slots_x = jnp.zeros((n_store,) + x0.shape[1:], x0.dtype)
     slots_v = jnp.zeros_like(slots_x)
@@ -151,20 +166,12 @@ def _absorbing_baoab(potential, lambda_fn, x0, v0, key, *, lam_up,
     """Batched BAOAB where each walker freezes at its first boundary
     hit.  Returns final ``(x, v, status)`` with status 0 = running,
     1 = reached ``lam_up``, 2 = fell to/below ``lam_down``."""
-    force = _force_fn(potential)
-    m = _masses_arr(masses, x0)
-    dtj = jnp.asarray(dt, x0.dtype)
-    c1 = jnp.exp(-friction * dtj)
-    c2 = jnp.sqrt(kT * (1.0 - c1 * c1) / m)
+    step, f0 = _baoab_step_kernel(potential, masses, dt, kT, friction,
+                                  x0)
 
     def body(carry, k):
         x, v, f, status = carry
-        vh = v + 0.5 * dtj * f / m
-        xn = x + 0.5 * dtj * vh
-        vh = c1 * vh + c2 * jax.random.normal(k, v.shape, v.dtype)
-        xn = xn + 0.5 * dtj * vh
-        _, fn = force(xn)
-        vn = vh + 0.5 * dtj * fn / m
+        xn, vn, fn = step(x, v, f, k)
         lam = lambda_fn(xn)
         hit = jnp.where(lam >= lam_up, 1,
                         jnp.where(lam <= lam_down, 2, 0)).astype(
@@ -176,7 +183,6 @@ def _absorbing_baoab(potential, lambda_fn, x0, v0, key, *, lam_up,
         fn = jnp.where(frozen, f, fn)
         return (xn, vn, fn, new_status), None
 
-    _, f0 = force(x0)
     # Seeds sit exactly at the launch interface (>= lam_down by
     # construction); start them as running.
     status0 = jnp.zeros(x0.shape[0], jnp.int8)
@@ -204,8 +210,17 @@ def ffs_stage(potential: Callable[[Array], Array],
     and raise ``max_steps`` if it is a visible fraction.  Stored
     velocities are kept (the standard DFFS continuation — fresh
     Langevin noise decorrelates the trials).
+
+    An all-False ``seed_mask`` (the previous stage stored nothing)
+    has no valid seeds to resample: the stage returns ``p = NaN`` with
+    ``success`` all-False rather than silently shooting from
+    zero-filled slot 0 (``categorical`` over all ``-inf`` logits
+    returns index 0).  :func:`run_ffs` never reaches this case — it
+    short-circuits a dead ladder to an exact rate of 0.
     """
     kc, kr = jax.random.split(key)
+    seed_mask = jnp.asarray(seed_mask)
+    has_seed = jnp.any(seed_mask)
     logits = jnp.where(seed_mask, 0.0, -jnp.inf)
     pick = jax.random.categorical(kc, logits, shape=(n_trials,))
     x0 = jnp.asarray(x_seed)[pick]
@@ -214,10 +229,11 @@ def ffs_stage(potential: Callable[[Array], Array],
         potential, lambda_fn, x0, v0, kr, lam_up=lambda_next,
         lam_down=lambda_fail, dt=dt, max_steps=max_steps, kT=kT,
         friction=friction, masses=masses, unroll=unroll)
-    success = status == 1
+    success = (status == 1) & has_seed
     n_success = jnp.sum(success.astype(jnp.int32))
     n_unresolved = jnp.sum((status == 0).astype(jnp.int32))
-    return StageResult(p=n_success / n_trials, n_success=n_success,
+    p = jnp.where(has_seed, n_success / n_trials, jnp.nan)
+    return StageResult(p=p, n_success=n_success,
                        n_unresolved=n_unresolved, x=x, v=v,
                        success=success)
 

@@ -94,7 +94,7 @@ def tps_init(path: Array, *, vel: Optional[Array] = None,
         if key is None:
             raise ValueError("pass seed velocities or a key to draw "
                              "Maxwell-Boltzmann placeholders")
-        m = jnp.asarray(masses, path.dtype)
+        m = md._masses_arr(masses, path)   # (n_atoms, 1) vs atom axis
         vel = jnp.sqrt(kt / m) * jax.random.normal(key, path.shape,
                                                    path.dtype)
     w = path.shape[0]
@@ -121,7 +121,6 @@ def make_tps_step(potential: Callable[[Array], Array], *,
     """
     if mode not in ("one_way", "two_way"):
         raise ValueError(f"unknown mode {mode!r}")
-    m = jnp.asarray(masses, jnp.float32)
 
     def run(x0, v0, key, t):
         _, (tx, tv) = md.baoab(potential, x0, v0, key, dt=dt,
@@ -179,6 +178,7 @@ def make_tps_step(potential: Callable[[Array], Array], *,
         j = jax.random.randint(kj, (w,), 1, t)
         xj = jnp.take_along_axis(
             path, j[:, None, None, None], axis=1)[:, 0]
+        m = md._masses_arr(masses, xj)     # per-atom masses on atom axis
         v = jnp.sqrt(kt / m) * jax.random.normal(kv, xj.shape, xj.dtype)
         fx, fv = run(xj, v, kf, t)
         bx, bv = run(xj, -v, kb, t)
@@ -289,9 +289,9 @@ def first_hitting_committor(potential: Callable[[Array], Array],
     """
     x0 = jnp.asarray(x0)
     b = x0.shape[0]
-    m = jnp.asarray(masses, x0.dtype)
     kx, kv = jax.random.split(key)
     x_rep = jnp.repeat(x0, n_shots, axis=0)           # (B*S, n, d)
+    m = md._masses_arr(masses, x_rep)      # per-atom masses, atom axis
     v0 = jnp.sqrt(kt / m) * jax.random.normal(kv, x_rep.shape, x0.dtype)
     _, traj = md.baoab(potential, x_rep, v0, kx, dt=dt,
                        n_steps=max_steps, friction=friction, kT=kt,

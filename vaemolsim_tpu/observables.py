@@ -526,9 +526,11 @@ def quasi_harmonic_frequencies(traj: Array, *, kt: float, masses=1.0
     for the quasi-harmonic entropy/free-energy estimate).  Align the
     trajectory first (:func:`kabsch_align`) for nonperiodic clusters,
     or the rigid-body drift shows up as spurious soft modes.  Returns
-    ``(n_atoms*dim,)`` DESCENDING frequencies (stiffest first; the
-    trailing entries are inf when the covariance is rank-deficient,
-    e.g. fewer frames than DOFs or removed rigid-body motion)."""
+    ``(n_atoms*dim,)`` DESCENDING frequencies — stiffest first, so a
+    rank-deficient covariance (fewer frames than DOFs, removed
+    rigid-body motion) puts its spurious ``inf`` frequencies at the
+    FRONT: drop ``omega[:k]`` for ``k`` null directions, not the tail
+    (the tail holds the softest REAL modes)."""
     traj = jnp.asarray(traj)
     t = traj.shape[0]
     n, d = traj.shape[-2], traj.shape[-1]
@@ -539,4 +541,10 @@ def quasi_harmonic_frequencies(traj: Array, *, kt: float, masses=1.0
     sqrt_m = jnp.sqrt(mvec)
     c_mw = cov * sqrt_m[:, None] * sqrt_m[None, :]
     lam = jnp.linalg.eigvalsh(0.5 * (c_mw + c_mw.T))  # ascending
-    return jnp.sqrt(kt / jnp.maximum(lam, 0.0))
+    # Rank tolerance: float32 eigvalsh renders exact null directions as
+    # tiny POSITIVE eigenvalues (huge-but-finite garbage frequencies);
+    # clip them to 0 so null modes come out as exactly inf, up front,
+    # as documented.
+    tol = lam[-1] * lam.shape[0] * jnp.finfo(lam.dtype).eps
+    lam = jnp.where(lam <= jnp.maximum(tol, 0.0), 0.0, lam)
+    return jnp.sqrt(kt / lam)
