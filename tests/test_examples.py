@@ -340,3 +340,12 @@ def test_example_35_rare_event_rates():
         m = re.search(rf"{name}/brute = ([0-9.]+)", out)
         assert m is not None and 0.35 < float(m.group(1)) < 2.8
     assert out.strip().split("\n")[-1].startswith("OK")
+
+
+@pytest.mark.slow
+def test_example_36_shear_viscosity():
+    out = run_example("36_shear_viscosity.py", timeout=1500)
+    import re
+    m = re.search(r"eta\* = ([0-9.]+)", out)
+    assert m and 1.0 < float(m.group(1)) < 8.0, out[-500:]
+    assert "OK" in out

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vaemolsim_tpu import observables
+from vaemolsim_tpu import observables, potentials
 from vaemolsim_tpu.observables import (mean_squared_displacement,
                                        pair_distance_histogram,
                                        radial_distribution,
@@ -507,3 +507,156 @@ class TestQuasiHarmonicRankDeficiency:
         assert n_inf >= 4                    # rank <= n_frames - 1 = 2
         assert not np.isfinite(w[:n_inf]).any()
         assert np.isfinite(w[n_inf:]).all()
+
+
+class TestStressTensor:
+    """Pressure-tensor stack: kinetic part exactness, the per-axis
+    dilation diagonal vs the scalar virial, the cell-list analytic
+    full tensor vs a test-local dense pair formula, and the
+    Kirkwood-Buff surface-tension reduction."""
+
+    L, CUT = 10.0, 2.5
+
+    def _config(self, seed=0, n_side=4, jitter=0.15):
+        # Jittered lattice: keeps every pair outside the 0.3 sigma
+        # linear-core region so the plain LJ derivative is the truth.
+        g = jnp.stack(jnp.meshgrid(*[jnp.arange(float(n_side))] * 3,
+                                   indexing="ij"), -1).reshape(-1, 3)
+        g = g * (self.L / n_side)
+        return g + jitter * jax.random.normal(jax.random.PRNGKey(seed),
+                                              g.shape)
+
+    def test_kinetic_stress_trace_is_2ke_over_v(self):
+        from vaemolsim_tpu.md import kinetic_energy
+        v = jax.random.normal(jax.random.PRNGKey(1), (5, 32, 3))
+        m = jnp.linspace(1.0, 3.0, 32)
+        p = observables.kinetic_stress(v, box=[self.L] * 3, masses=m)
+        assert p.shape == (5, 3, 3)
+        tr = np.trace(np.asarray(p), axis1=-2, axis2=-1)
+        ke = np.asarray(jax.vmap(lambda vv: kinetic_energy(vv, m))(v))
+        np.testing.assert_allclose(tr, 2.0 * ke / self.L ** 3,
+                                   rtol=1e-6)
+
+    def test_diag_mean_equals_virial_pressure(self):
+        pfb = lambda b: potentials.lennard_jones(box=b, cutoff=self.CUT)
+        x = self._config()
+        kt = 1.3
+        diag = observables.pressure_tensor_diag(
+            pfb, x, box=[self.L] * 3, kt=kt)
+        p = observables.virial_pressure(pfb, x, box=[self.L] * 3, kt=kt)
+        np.testing.assert_allclose(float(diag.mean()), float(p),
+                                   rtol=1e-6)
+        # Instantaneous kinetic part: trace consistency by hand.
+        v = jax.random.normal(jax.random.PRNGKey(2), x.shape)
+        diag_v = observables.pressure_tensor_diag(
+            pfb, x, box=[self.L] * 3, v=v)
+        manual_kin = np.asarray(jnp.sum(v * v, axis=0)) / self.L ** 3
+        np.testing.assert_allclose(
+            np.asarray(diag_v - diag), manual_kin - kt * x.shape[0]
+            / self.L ** 3, rtol=1e-5, atol=1e-7)
+
+    def _dense_stress(self, x, charges=None, alpha=None):
+        """Test-local O(N^2) pair virial: the independent truth."""
+        x = np.asarray(x, np.float64)
+        box = np.array([self.L] * 3)
+        d = x[:, None, :] - x[None, :, :]
+        d -= box * np.round(d / box)
+        r = np.sqrt((d ** 2).sum(-1))
+        n = x.shape[0]
+        mask = (r < self.CUT) & ~np.eye(n, dtype=bool)
+        r = np.where(mask, r, 1.0)
+        sr6 = 1.0 / r ** 6
+        dudr = 24.0 / r * (sr6 - 2.0 * sr6 * sr6)
+        if charges is not None:
+            from scipy.special import erfc
+            qq = np.asarray(charges)[:, None] * np.asarray(charges)[None]
+            dudr = dudr - qq * (erfc(alpha * r) / r ** 2
+                                + 2.0 / np.sqrt(np.pi) * alpha
+                                * np.exp(-(alpha * r) ** 2) / r)
+        w = np.where(mask, dudr / r, 0.0)
+        return -0.5 * np.einsum("ij,ija,ijb->ab", w, d, d) / self.L ** 3
+
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_cell_stress_matches_dense_pair_formula(self, backend):
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        x = self._config(seed=3)
+        n = x.shape[0]
+        q = jnp.where(jnp.arange(n) % 2 == 0, 1.0, -1.0)
+        kw = {"interpret": True} if backend == "pallas" else {}
+        build, energy = lennard_jones_cell_neighbor(
+            box=[self.L] * 3, cutoff=self.CUT, skin=0.5, capacity=32,
+            backend=backend, charges=q, coulomb_alpha=0.8, **kw)
+        nl = build(x)
+        sig = np.asarray(energy.stress(nl, x))
+        ref = self._dense_stress(x, charges=q, alpha=0.8)
+        np.testing.assert_allclose(sig, ref, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(sig, sig.T, rtol=1e-5)
+
+    def test_cell_stress_trace_matches_virial_pressure(self):
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        x = self._config(seed=4)
+        build, energy = lennard_jones_cell_neighbor(
+            box=[self.L] * 3, cutoff=self.CUT, skin=0.5, capacity=32)
+        nl = build(x)
+        tr3 = float(jnp.trace(energy.stress(nl, x))) / 3.0
+        pfb = lambda b: potentials.lennard_jones(box=b, cutoff=self.CUT)
+        p_conf = float(observables.virial_pressure(
+            pfb, x, box=[self.L] * 3, kt=0.0))
+        np.testing.assert_allclose(tr3, p_conf, rtol=1e-4)
+
+    def test_cell_stress_honors_drift_contract(self):
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        x = self._config(seed=5)
+        build, energy = lennard_jones_cell_neighbor(
+            box=[self.L] * 3, cutoff=self.CUT, skin=0.5, capacity=32)
+        nl = build(x)
+        x_far = x.at[0].add(jnp.asarray([0.6, 0.0, 0.0]))
+        assert np.isnan(np.asarray(energy.stress(nl, x_far))).all()
+
+    def test_surface_tension_reduction(self):
+        # Synthetic anisotropic diagonals: exact closed form.
+        diag = jnp.asarray([[1.0, 1.0, 2.0], [0.5, 1.5, 2.0]])
+        g = observables.surface_tension(diag, box=[4.0, 4.0, 8.0])
+        assert float(g) == pytest.approx(0.5 * 8.0 * 1.0)
+        iso = jnp.ones((16, 3)) * 0.7
+        assert float(observables.surface_tension(
+            iso, box=[4.0, 4.0, 8.0])) == pytest.approx(0.0, abs=1e-6)
+
+
+class TestGreenKuboViscosity:
+
+    def test_ar1_stress_integral(self):
+        """Synthetic AR(1) shear components with a closed-form GK
+        integral: eta = (V/kT) sigma^2 dt (1+a)/(2(1-a)) under the
+        trapezoidal rule."""
+        a, sig2, dt, t = 0.8, 0.09, 0.01, 32768
+        key = jax.random.PRNGKey(0)
+        noise = jnp.sqrt(sig2 * (1 - a * a)) * jax.random.normal(
+            key, (t, 5))
+        s = jax.lax.scan(lambda c, e: (a * c + e, a * c + e),
+                         jnp.sqrt(sig2) * jax.random.normal(
+                             jax.random.PRNGKey(1), (5,)),
+                         noise)[1]                       # (T, 5)
+        # Assemble full traceless tensors from the 5 components.
+        pyy = (2.0 * s[:, 4] - 2.0 * s[:, 3]) / 3.0
+        pxx = pyy + 2.0 * s[:, 3]
+        pzz = pyy - 2.0 * s[:, 4]
+        p = jnp.zeros((t, 3, 3))
+        p = p.at[:, 0, 0].set(pxx).at[:, 1, 1].set(pyy)
+        p = p.at[:, 2, 2].set(pzz)
+        p = p.at[:, 0, 1].set(s[:, 0]).at[:, 1, 0].set(s[:, 0])
+        p = p.at[:, 0, 2].set(s[:, 1]).at[:, 2, 0].set(s[:, 1])
+        p = p.at[:, 1, 2].set(s[:, 2]).at[:, 2, 1].set(s[:, 2])
+        vol, kt = 125.0, 1.0
+        eta, sacf = observables.green_kubo_viscosity(
+            p, dt=dt, volume=vol, kt=kt, t_max=60 * dt)
+        exact = vol / kt * sig2 * dt * (1 + a) / (2 * (1 - a))
+        assert float(eta) == pytest.approx(exact, rel=0.25)
+        # The averaged shear ACF is the AR(1) autocorrelation.
+        assert float(sacf[1] / sacf[0]) == pytest.approx(a, abs=0.03)
+        assert float(sacf[0]) == pytest.approx(sig2, rel=0.1)
+
+    def test_shape_validation(self):
+        with pytest.raises(ValueError, match="3-D"):
+            observables.green_kubo_viscosity(
+                jnp.zeros((10, 2, 2)), dt=0.1, volume=1.0, kt=1.0)

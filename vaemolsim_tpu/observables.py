@@ -25,7 +25,9 @@ __all__ = ["radius_of_gyration", "pair_distance_histogram",
            "autocorrelation_fft", "diffusion_coefficient",
            "green_kubo_diffusion", "kabsch_align", "rmsd",
            "vibrational_spectrum", "normal_modes",
-           "harmonic_free_energy", "quasi_harmonic_frequencies"]
+           "harmonic_free_energy", "quasi_harmonic_frequencies",
+           "kinetic_stress", "pressure_tensor_diag",
+           "green_kubo_viscosity", "surface_tension"]
 
 
 def radius_of_gyration(x: Array) -> Array:
@@ -265,6 +267,153 @@ def virial_pressure(potential_for_box, x: Array, *, box,
     one = jnp.ones((), x.dtype)
     _, du_ds = jax.jvp(scaled_energy, (one,), (one,))
     return (n * kt - du_ds / dim) / vol
+
+
+def kinetic_stress(v: Array, *, box, masses=1.0) -> Array:
+    """Kinetic (ideal) part of the instantaneous pressure tensor,
+
+        ``P^kin_ab = (1/V) sum_i m_i v_ia v_ib``,
+
+    shape ``(..., dim, dim)`` from velocities ``(..., n_atoms, dim)``.
+    ``trace(P^kin) = 2 KE / V`` exactly (pinned by test).  Add the
+    configurational part (``energy.stress`` on the cell-list
+    potentials, or :func:`pressure_tensor_diag` for diagonal-only) for
+    the full instantaneous tensor that :func:`green_kubo_viscosity`
+    and :func:`surface_tension` consume."""
+    v = jnp.asarray(v)
+    m = jnp.asarray(masses, v.dtype)
+    if m.ndim == 1:
+        m = m[:, None]
+    vol = jnp.prod(jnp.asarray(box, v.dtype))
+    mv = m * v
+    return jnp.einsum("...na,...nb->...ab", mv, v) / vol
+
+
+def pressure_tensor_diag(potential_for_box, x: Array, *, box,
+                         v: Optional[Array] = None, masses=1.0,
+                         kt: Optional[float] = None) -> Array:
+    """Diagonal of the instantaneous pressure tensor by per-axis
+    dilation,
+
+        ``P_aa = (K_aa - dU(s.x; s.L)/ds_a |_{s=1}) / V``,
+
+    the anisotropic generalization of :func:`virial_pressure` (whose
+    value is exactly ``mean(P_diag)`` — pinned by test): one ``jax.jvp``
+    per axis through an axis-wise scaling of coordinates AND box, exact
+    for any minimum-image potential built from the box-parametric
+    :mod:`vaemolsim_tpu.potentials` factories (including
+    ``ewald_coulomb`` — use its ``reference_box``).  Kinetic part
+    ``K_aa``: instantaneous ``sum_i m_i v_ia^2`` when ``v`` is given,
+    else the ensemble value ``N kT`` on every axis (pass ``kt``).
+
+    Off-diagonal (shear) components are NOT reachable this way — an
+    orthorhombic ``(dim,)`` box cannot represent a sheared cell; use
+    the analytic ``energy.stress`` of the cell-list potentials for the
+    full tensor.  The diagonal is what interfacial workloads need:
+    feed batches of slab configurations to :func:`surface_tension`.
+
+    ``x``: ``(..., n_atoms, dim)``; returns ``(..., dim)``.
+    """
+    x = jnp.asarray(x)
+    box_j = jnp.asarray(box, x.dtype)
+    n, dim = x.shape[-2], x.shape[-1]
+    vol = jnp.prod(box_j)
+
+    def scaled_energy(s):
+        return potential_for_box(s * box_j)(s * x)
+
+    ones = jnp.ones((dim,), x.dtype)
+
+    def du(axis):
+        _, d = jax.jvp(scaled_energy, (ones,),
+                       (jnp.zeros((dim,), x.dtype).at[axis].set(1.0),))
+        return d
+
+    du_diag = jnp.stack([du(a) for a in range(dim)], axis=-1)
+    if v is not None:
+        vv = jnp.asarray(v)
+        m = jnp.asarray(masses, vv.dtype)
+        if m.ndim == 1:
+            m = m[:, None]
+        kin = jnp.sum(m * vv * vv, axis=-2)          # (..., dim)
+    else:
+        if kt is None:
+            raise ValueError("pass velocities v for the instantaneous "
+                             "kinetic part, or kt for the ensemble "
+                             "N kT value")
+        kin = jnp.full((dim,), n * kt, x.dtype)
+    return (kin - du_diag) / vol
+
+
+# The five independent traceless symmetric components whose equal-time
+# autocorrelations all integrate to the same shear viscosity in an
+# isotropic fluid (Daivis & Evans 1994): P_xy, P_xz, P_yz,
+# (P_xx - P_yy)/2, (P_yy - P_zz)/2.
+def _shear_components(p: Array) -> Array:
+    off = jnp.stack([p[..., 0, 1], p[..., 0, 2], p[..., 1, 2]], -1)
+    diag = jnp.stack([0.5 * (p[..., 0, 0] - p[..., 1, 1]),
+                      0.5 * (p[..., 1, 1] - p[..., 2, 2])], -1)
+    return jnp.concatenate([off, diag], -1)
+
+
+def green_kubo_viscosity(ptensor: Array, *, dt: float, volume: float,
+                         kt: float, t_max: Optional[float] = None
+                         ) -> Tuple[Array, Array]:
+    """Shear viscosity by the Green-Kubo route,
+
+        ``eta = (V / kT) integral_0^inf <P_ab(0) P_ab(t)> dt``,
+
+    averaging the multi-origin autocorrelations of the FIVE independent
+    traceless components (``P_xy, P_xz, P_yz, (P_xx - P_yy)/2,
+    (P_yy - P_zz)/2`` — all equivalent in an isotropic fluid, so
+    averaging them is a free 5x variance reduction) with the same
+    FFT estimator and trapezoidal truncation as
+    :func:`green_kubo_diffusion`.
+
+    ``ptensor``: instantaneous pressure tensors ``(T, ..., dim, dim)``
+    — kinetic (:func:`kinetic_stress`) PLUS configurational
+    (``energy.stress`` of the cell-list potentials) — sampled every
+    ``dt`` from equilibrium dynamics; leading extra axes are replicas.
+    Subtracting the mean is NOT needed for the shear components (their
+    equilibrium average vanishes; any residual sample mean is noise the
+    truncation handles).  Returns ``(eta, sacf)`` with the averaged
+    unnormalized shear-stress ACF of shape ``(T,)``.
+    """
+    p = jnp.asarray(ptensor)
+    if p.shape[-1] != 3 or p.shape[-2] != 3:
+        raise ValueError("green_kubo_viscosity expects 3-D pressure "
+                         f"tensors (..., 3, 3); got {p.shape}")
+    comps = _shear_components(p)                     # (T, ..., 5)
+    t = comps.shape[0]
+    # autocorrelation_fft treats the last axis as vector components and
+    # SUMS their correlations; divide by 5 for the per-component mean.
+    sacf = autocorrelation_fft(comps[..., None, :]) / comps.shape[-1]
+    n_keep = t if t_max is None else min(int(round(t_max / dt)) + 1, t)
+    if t_max is None:
+        n_keep = max(t // 4, 2)
+    kept = sacf[:n_keep]
+    integral = dt * (jnp.sum(kept) - 0.5 * (kept[0] + kept[-1]))
+    return volume / kt * integral, sacf
+
+
+def surface_tension(ptensor_diag: Array, *, box,
+                    normal_axis: int = 2) -> Array:
+    """Kirkwood-Buff mechanical surface tension of a slab geometry,
+
+        ``gamma = (L_n / 2) < P_nn - (P_t1 + P_t2) / 2 >``,
+
+    from diagonal pressure tensors ``(..., dim)``
+    (:func:`pressure_tensor_diag`, or the diagonal of full tensors) of
+    configurations with TWO interfaces normal to ``normal_axis`` (the
+    factor 1/2 shares the anisotropy between them; standard slab
+    setup).  Bulk isotropic configurations give 0 within noise (pinned
+    by test).  Averages over all leading axes; returns a scalar."""
+    p = jnp.asarray(ptensor_diag)
+    box_j = jnp.asarray(box, p.dtype)
+    dim = p.shape[-1]
+    tang = [a for a in range(dim) if a != normal_axis]
+    anis = p[..., normal_axis] - sum(p[..., a] for a in tang) / len(tang)
+    return 0.5 * box_j[normal_axis] * jnp.mean(anis)
 
 
 def structure_factor(x: Array, *, box: Sequence[float],

@@ -409,6 +409,15 @@ def lennard_jones_cell_neighbor(
     pinned by test).  No exclusion support on this path (bulk ionic
     fluids); no core softening on the Coulomb term (the LJ core
     prevents opposite-charge collapse).
+
+    **Pressure tensor**: ``energy.stress(nl, x)`` returns the full
+    ``(dim, dim)`` configurational virial tensor (shear components
+    included) from the same analytic per-pair derivatives — the
+    large-N stress source for
+    :func:`~vaemolsim_tpu.observables.green_kubo_viscosity` and
+    NPT-style pressure control where the dilation-``jvp``
+    :func:`~vaemolsim_tpu.observables.virial_pressure` cannot reach
+    (this path has no forward-mode AD).
     """
     if backend not in ("xla", "pallas"):
         raise ValueError(f"backend must be 'xla' or 'pallas'; "
@@ -502,8 +511,9 @@ def lennard_jones_cell_neighbor(
 
     def _pair_qq(nl, n):
         """Per-pair charge products in the XLA candidate layout."""
+        nb_cid, _ = _nb_cid_mask(nl, n)
         cells = jnp.clip(nl.cell_atoms, 0, n - 1)
-        return q_at[:, None] * q_at[cells][nl.nb_cid].reshape(n, -1)
+        return q_at[:, None] * q_at[cells][nb_cid].reshape(n, -1)
 
     def _pair_params(nl, n):
         """Per-pair (sigma_ij, eps_ij) in the XLA candidate layout, or
@@ -512,9 +522,10 @@ def lennard_jones_cell_neighbor(
         positions."""
         if not per_atom:
             return sigma, epsilon
+        nb_cid, _ = _nb_cid_mask(nl, n)
         cells = jnp.clip(nl.cell_atoms, 0, n - 1)
-        sig_cand = sig_at[cells][nl.nb_cid].reshape(n, -1)
-        se_cand = seps_at[cells][nl.nb_cid].reshape(n, -1)
+        sig_cand = sig_at[cells][nb_cid].reshape(n, -1)
+        se_cand = seps_at[cells][nb_cid].reshape(n, -1)
         return (0.5 * (sig_at[:, None] + sig_cand),
                 seps_at[:, None] * se_cand)
 
@@ -576,6 +587,23 @@ def lennard_jones_cell_neighbor(
                                 nb_cid=nb_cid, mask=mask,
                                 overflow=overflow, atom_slot=atom_slot)
 
+    def _nb_cid_mask(nl: CellNeighborList, n):
+        """Per-atom neighbor-cell ids and candidate masks: stored on
+        XLA builds; recomputed from the frozen ``x_ref`` binning on
+        pallas builds (which skip them to stay lean — only the
+        occasional ``stress`` evaluation pays the recompute)."""
+        if nl.nb_cid.size:
+            return nl.nb_cid, nl.mask
+        c3 = jnp.clip((nl.x_ref / jnp.asarray(
+            cell_size, nl.x_ref.dtype)).astype(jnp.int32), 0,
+            jnp.asarray(n_grid - 1, jnp.int32))
+        nb3 = (c3[:, None, :] + jnp.asarray(offs, jnp.int32)[None]) \
+            % jnp.asarray(n_grid, jnp.int32)
+        nb_cid = nb3 @ jnp.asarray(strides, jnp.int32)
+        cand = nl.cell_atoms[nb_cid].reshape(n, 27 * capacity)
+        mask = (cand < n) & (cand != jnp.arange(n)[:, None])
+        return nb_cid, mask
+
     def _pairs(nl: CellNeighborList, xw):
         """Min-image displacements/distances from CURRENT positions to
         each frozen candidate, cutoff folded into the mask (masked
@@ -587,12 +615,13 @@ def lennard_jones_cell_neighbor(
         gather moves 12-byte rows and runs ~180x slower on TPU
         (measured 37.8 ms vs 0.03 ms at N=8192, capacity=64)."""
         n = xw.shape[0]
+        nb_cid, nb_mask = _nb_cid_mask(nl, n)
         cell_x = xw[jnp.clip(nl.cell_atoms, 0, n - 1)]   # (n_cells, C, 3)
-        xc = cell_x[nl.nb_cid].reshape(n, -1, 3)         # (N, K, 3)
+        xc = cell_x[nb_cid].reshape(n, -1, 3)            # (N, K, 3)
         d = xw[:, None, :] - xc
         d = d - box_j * jnp.round(d / box_j)
         r2 = jnp.sum(d * d, axis=-1)
-        mask = nl.mask & (r2 < rc2)
+        mask = nb_mask & (r2 < rc2)
         r = jnp.sqrt(jnp.maximum(jnp.where(mask, r2, 1.0), _EPS))
         return d, r, mask
 
@@ -644,8 +673,9 @@ def lennard_jones_cell_neighbor(
         e, xw = _energy_impl(nl, x)
         return e, (nl, xw)
 
-    def _energy_bwd(res, ct):
-        nl, xw = res
+    def _pair_dudr(nl, xw):
+        """Per-candidate ``(d, r, mask, du/dr)`` — the shared analytic
+        core of the force rule and the stress tensor."""
         d, r, mask = _pairs(nl, xw)
         sig_p, eps_p = _pair_params(nl, xw.shape[0])
         rcore_p = 0.3 * sig_p
@@ -659,12 +689,44 @@ def lennard_jones_cell_neighbor(
             dudr = dudr - qq * (erfc(c_alpha * r) / (r * r)
                                 + _TWO_OPI * c_alpha
                                 * jnp.exp(-(c_alpha * r) ** 2) / r)
-        dudr = jnp.where(mask, dudr, 0.0)
+        return d, r, mask, jnp.where(mask, dudr, 0.0)
+
+    def _energy_bwd(res, ct):
+        nl, xw = res
+        d, r, _, dudr = _pair_dudr(nl, xw)
         grad = jnp.sum((dudr / r)[..., None] * d, axis=1)
         grad = jnp.where(_invalid(nl, xw), jnp.nan, ct) * grad
         return (_nl_zero_cotangent(nl), grad)
 
     energy.defvjp(_energy_fwd, _energy_bwd)
+
+    vol_f = float(box_np.prod())
+
+    def stress(nl: CellNeighborList, x: Array) -> Array:
+        """CONFIGURATIONAL pressure tensor of this potential,
+
+            ``P^conf_ab = -(1/2V) sum_{i != j} (du/dr_ij) d_a d_b / r``
+
+        — the full pair virial including shear components, from the
+        SAME analytic per-pair derivative as the force rule (same
+        gathers, one extra outer-product contraction; works on both
+        backends and honors the drift/overflow NaN contract).  Add
+        :func:`vaemolsim_tpu.observables.kinetic_stress` for the total
+        instantaneous tensor; ``trace(P^conf)/dim`` equals the
+        configurational part of
+        :func:`~vaemolsim_tpu.observables.virial_pressure` (pinned by
+        test).  Returns ``(dim, dim)``; evaluate every sample interval
+        (it costs about one force call), feed the series to
+        :func:`~vaemolsim_tpu.observables.green_kubo_viscosity`."""
+        x = jnp.asarray(x)
+        _check_n(x.shape[0])
+        xw = _wrap(x)
+        d, r, _, dudr = _pair_dudr(nl, xw)
+        w = dudr / r
+        sig = -0.5 * jnp.einsum("nk,nka,nkb->ab", w, d, d) / vol_f
+        return jnp.where(_invalid(nl, xw), jnp.nan, sig)
+
+    energy.stress = stress
 
     if backend == "xla":
         return build, energy
@@ -757,6 +819,10 @@ def lennard_jones_cell_neighbor(
         return (_nl_zero_cotangent(nl), ct * grad)
 
     energy_pallas.defvjp(_ep_fwd, _ep_bwd)
+    # Stress rides the XLA candidate path (recomputed from the frozen
+    # build on demand — see _nb_cid_mask); it is a sampled observable,
+    # not a per-step hot path.
+    energy_pallas.stress = stress
     return build, energy_pallas
 
 
