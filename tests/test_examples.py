@@ -349,3 +349,12 @@ def test_example_36_shear_viscosity():
     m = re.search(r"eta\* = ([0-9.]+)", out)
     assert m and 1.0 < float(m.group(1)) < 8.0, out[-500:]
     assert "OK" in out
+
+
+@pytest.mark.slow
+def test_example_37_thermal_conductivity():
+    out = run_example("37_thermal_conductivity.py", timeout=1500)
+    import re
+    m = re.search(r"lambda\* = ([0-9.]+)", out)
+    assert m and 3.0 < float(m.group(1)) < 13.0, out[-500:]
+    assert "OK" in out

@@ -660,3 +660,210 @@ class TestGreenKuboViscosity:
         with pytest.raises(ValueError, match="3-D"):
             observables.green_kubo_viscosity(
                 jnp.zeros((10, 2, 2)), dt=0.1, volume=1.0, kt=1.0)
+
+
+class TestHeatFlux:
+    """energy.heat_flux: dense O(N^2) pair-formula parity on both
+    backends (incl. the Ewald real-space term and per-atom masses),
+    the exact non-interacting (pure-convective) limit, and the drift
+    contract."""
+
+    L, CUT = 10.0, 2.5
+
+    def _config(self, seed=0, n_side=4, jitter=0.15):
+        g = jnp.stack(jnp.meshgrid(*[jnp.arange(float(n_side))] * 3,
+                                   indexing="ij"), -1).reshape(-1, 3)
+        g = g * (self.L / n_side)
+        return g + jitter * jax.random.normal(jax.random.PRNGKey(seed),
+                                              g.shape)
+
+    def _dense_heat_flux(self, x, v, masses, charges=None, alpha=None,
+                         shift=True):
+        """Test-local O(N^2) Irving-Kirkwood energy flux (float64)."""
+        x = np.asarray(x, np.float64)
+        v = np.asarray(v, np.float64)
+        m = np.broadcast_to(np.asarray(masses, np.float64), (x.shape[0],))
+        box = np.array([self.L] * 3)
+        d = x[:, None, :] - x[None, :, :]
+        d -= box * np.round(d / box)
+        r = np.sqrt((d ** 2).sum(-1))
+        n = x.shape[0]
+        mask = (r < self.CUT) & ~np.eye(n, dtype=bool)
+        r = np.where(mask, r, 1.0)
+        sr6 = 1.0 / r ** 6
+        u = 4.0 * (sr6 * sr6 - sr6)
+        if shift:
+            sc6 = self.CUT ** -6
+            u = u - 4.0 * (sc6 * sc6 - sc6)
+        dudr = 24.0 / r * (sr6 - 2.0 * sr6 * sr6)
+        if charges is not None:
+            from scipy.special import erfc
+            qq = np.asarray(charges)[:, None] * np.asarray(charges)[None]
+            u = u + qq * erfc(alpha * r) / r
+            dudr = dudr - qq * (erfc(alpha * r) / r ** 2
+                                + 2.0 / np.sqrt(np.pi) * alpha
+                                * np.exp(-(alpha * r) ** 2) / r)
+        u = np.where(mask, u, 0.0)
+        dudr = np.where(mask, dudr, 0.0)
+        e_i = 0.5 * m * (v ** 2).sum(-1) + 0.5 * u.sum(1)
+        conv = (e_i[:, None] * v).sum(0)
+        vsum = v[:, None, :] + v[None, :, :]
+        fdotv = -(dudr / r) * np.einsum("ija,ija->ij", d, vsum)
+        vir = 0.25 * np.einsum("ij,ija->a", fdotv, d)
+        return (conv + vir) / self.L ** 3
+
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_matches_dense_pair_formula(self, backend):
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        x = self._config(seed=7)
+        n = x.shape[0]
+        v = jax.random.normal(jax.random.PRNGKey(8), x.shape)
+        m = jnp.linspace(1.0, 2.0, n)
+        q = jnp.where(jnp.arange(n) % 2 == 0, 1.0, -1.0)
+        kw = {"interpret": True} if backend == "pallas" else {}
+        build, energy = lennard_jones_cell_neighbor(
+            box=[self.L] * 3, cutoff=self.CUT, skin=0.5, capacity=32,
+            backend=backend, charges=q, coulomb_alpha=0.8, **kw)
+        nl = build(x)
+        j = np.asarray(energy.heat_flux(nl, x, v, masses=m))
+        ref = self._dense_heat_flux(x, v, m, charges=q, alpha=0.8)
+        np.testing.assert_allclose(j, ref, rtol=1e-4, atol=1e-7)
+
+    def test_non_interacting_limit_is_convective(self):
+        # 8 atoms on a 5.0-spaced lattice in L=10 with cutoff 2.5:
+        # every pair distance >= 5 > cutoff, so J = sum e_kin_i v_i / V
+        # EXACTLY (the pair terms vanish; shift only applies in-range).
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        g = jnp.stack(jnp.meshgrid(*[jnp.arange(2.0)] * 3,
+                                   indexing="ij"), -1).reshape(-1, 3)
+        x = g * 5.0 + 1.0
+        v = jax.random.normal(jax.random.PRNGKey(3), x.shape)
+        build, energy = lennard_jones_cell_neighbor(
+            box=[self.L] * 3, cutoff=self.CUT, skin=0.4, capacity=8)
+        nl = build(x)
+        j = energy.heat_flux(nl, x, v)
+        e_kin = 0.5 * jnp.sum(v * v, -1)
+        expected = jnp.sum(e_kin[:, None] * v, 0) / self.L ** 3
+        np.testing.assert_allclose(np.asarray(j), np.asarray(expected),
+                                   rtol=1e-6)
+
+    def test_honors_drift_contract(self):
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        x = self._config(seed=9)
+        v = jax.random.normal(jax.random.PRNGKey(10), x.shape)
+        build, energy = lennard_jones_cell_neighbor(
+            box=[self.L] * 3, cutoff=self.CUT, skin=0.5, capacity=32)
+        nl = build(x)
+        x_far = x.at[0].add(jnp.asarray([0.6, 0.0, 0.0]))
+        assert np.isnan(np.asarray(
+            energy.heat_flux(nl, x_far, v))).all()
+
+
+class TestGreenKuboThermalConductivity:
+
+    def test_ar1_flux_integral(self):
+        """Synthetic AR(1) flux components with the closed-form GK
+        integral lambda = (V/kT^2) sigma^2 dt (1+a)/(2(1-a))."""
+        a, sig2, dt, t = 0.7, 0.04, 0.02, 32768
+        noise = jnp.sqrt(sig2 * (1 - a * a)) * jax.random.normal(
+            jax.random.PRNGKey(0), (t, 3))
+        j = jax.lax.scan(lambda c, e: (a * c + e, a * c + e),
+                         jnp.sqrt(sig2) * jax.random.normal(
+                             jax.random.PRNGKey(1), (3,)),
+                         noise)[1]
+        vol, kt = 216.0, 0.9
+        lam, jacf = observables.green_kubo_thermal_conductivity(
+            j, dt=dt, volume=vol, kt=kt, t_max=50 * dt)
+        exact = vol / kt ** 2 * sig2 * dt * (1 + a) / (2 * (1 - a))
+        assert float(lam) == pytest.approx(exact, rel=0.25)
+        assert float(jacf[1] / jacf[0]) == pytest.approx(a, abs=0.03)
+
+    def test_mean_subtraction(self):
+        # A constant offset (nonzero total momentum artifact) must not
+        # poison the integral: pure-constant flux -> lambda ~ 0.
+        j = jnp.ones((4096, 3)) * 5.0
+        lam, _ = observables.green_kubo_thermal_conductivity(
+            j, dt=0.01, volume=100.0, kt=1.0, t_max=0.5)
+        assert abs(float(lam)) < 1e-3
+
+
+class TestResponseFunctions:
+    """Fluctuation-formula response functions pinned to closed-form
+    ensembles: chi-squared canonical energies (Cv, plus the
+    thermoextrap cross-identity), the exact Gamma(N+1, betaP) ideal-gas
+    NPT volume law (kappa_T = 1/P, alpha_P = 1/T, Cp = 5N/2 + 1), and
+    Gaussian dipole fluctuations (dielectric constant)."""
+
+    KT = 0.7
+
+    def test_cv_chi_squared_energies(self):
+        # U = sum of n quadratic modes -> Var(U) = n kT^2 / 2, Cv = n/2.
+        n, t = 10, 200_000
+        g = jax.random.normal(jax.random.PRNGKey(0), (t, n))
+        u = 0.5 * self.KT * jnp.sum(g * g, -1)
+        cv = observables.heat_capacity_nvt(u, kt=self.KT)
+        assert float(cv) == pytest.approx(n / 2, rel=0.03)
+        # Kinetic part is exact bookkeeping.
+        cv2 = observables.heat_capacity_nvt(u, kt=self.KT,
+                                            n_dof_kinetic=6)
+        assert float(cv2 - cv) == pytest.approx(3.0, abs=1e-5)
+
+    def test_cv_matches_beta_derivative(self):
+        # Cross-identity with extrapolation: d<U>/dbeta = -Var(U).
+        from vaemolsim_tpu.extrapolation import (
+            beta_extrapolation_coefficients)
+        u = 2.0 + 0.3 * jax.random.normal(jax.random.PRNGKey(1),
+                                          (50_000,))
+        cv = observables.heat_capacity_nvt(u, kt=self.KT)
+        coeffs = beta_extrapolation_coefficients(u, u, order=1)
+        np.testing.assert_allclose(float(cv),
+                                   -float(coeffs[1]) / self.KT ** 2,
+                                   rtol=1e-4)
+
+    def _ideal_gas_npt(self, n=64, p=1.3, t=400_000):
+        # Exact NPT volume law: V ~ Gamma(N+1, rate = P/kT) — the same
+        # law tests/test_npt.py pins the NPT engine against.
+        v = self.KT / p * jax.random.gamma(
+            jax.random.PRNGKey(2), n + 1.0, (t,))
+        return v, p, n
+
+    def test_kappa_t_ideal_gas(self):
+        v, p, _ = self._ideal_gas_npt()
+        kap = observables.isothermal_compressibility(v, kt=self.KT)
+        assert float(kap) == pytest.approx(1.0 / p, rel=0.03)
+
+    def test_alpha_p_ideal_gas(self):
+        v, p, _ = self._ideal_gas_npt()
+        alpha = observables.thermal_expansion(
+            jnp.zeros_like(v), v, kt=self.KT, pressure=p)
+        assert float(alpha) == pytest.approx(1.0 / self.KT, rel=0.03)
+
+    def test_cp_ideal_gas(self):
+        v, p, n = self._ideal_gas_npt()
+        cp = observables.heat_capacity_npt(
+            jnp.zeros_like(v), v, kt=self.KT, pressure=p,
+            n_dof_kinetic=3 * n)
+        # <H> = (3N/2 + N + 1) kT in this ensemble -> Cp = 5N/2 + 1.
+        assert float(cp) == pytest.approx(2.5 * n + 1, rel=0.03)
+
+    def test_dielectric_gaussian_dipoles(self):
+        s2, vol, t = 0.9, 50.0, 300_000
+        m = jnp.sqrt(s2) * jax.random.normal(jax.random.PRNGKey(3),
+                                             (t, 3))
+        eps = observables.dielectric_constant(m, volume=vol, kt=self.KT)
+        exact = 1.0 + 4.0 * np.pi * 3 * s2 / (3.0 * vol * self.KT)
+        assert float(eps) == pytest.approx(exact, rel=0.02)
+        # A net mean dipole (polar crystal, itinerant offset) must not
+        # enter the FLUCTUATION estimator.
+        eps_off = observables.dielectric_constant(
+            m + jnp.asarray([5.0, -2.0, 0.0]), volume=vol, kt=self.KT)
+        assert float(eps_off) == pytest.approx(float(eps), rel=1e-4)
+
+    def test_total_dipole(self):
+        x = jnp.asarray([[[0.0, 0.0, 0.0], [1.0, 2.0, 3.0]],
+                         [[1.0, 1.0, 1.0], [0.0, 0.0, 0.0]]])
+        q = jnp.asarray([1.0, -1.0])
+        m = observables.total_dipole(x, q)
+        np.testing.assert_allclose(np.asarray(m),
+                                   [[-1.0, -2.0, -3.0],
+                                    [1.0, 1.0, 1.0]], atol=1e-6)

@@ -27,7 +27,11 @@ __all__ = ["radius_of_gyration", "pair_distance_histogram",
            "vibrational_spectrum", "normal_modes",
            "harmonic_free_energy", "quasi_harmonic_frequencies",
            "kinetic_stress", "pressure_tensor_diag",
-           "green_kubo_viscosity", "surface_tension"]
+           "green_kubo_viscosity", "surface_tension",
+           "green_kubo_thermal_conductivity",
+           "heat_capacity_nvt", "heat_capacity_npt",
+           "isothermal_compressibility", "thermal_expansion",
+           "dielectric_constant", "total_dipole"]
 
 
 def radius_of_gyration(x: Array) -> Array:
@@ -396,6 +400,44 @@ def green_kubo_viscosity(ptensor: Array, *, dt: float, volume: float,
     return volume / kt * integral, sacf
 
 
+def green_kubo_thermal_conductivity(jflux: Array, *, dt: float,
+                                    volume: float, kt: float,
+                                    t_max: Optional[float] = None
+                                    ) -> Tuple[Array, Array]:
+    """Thermal conductivity by the Green-Kubo route,
+
+        ``lambda = (V / (d kT^2)) integral_0^inf <J(0) . J(t)> dt``,
+
+    from intensive heat-flux vectors ``(T, ..., dim)``
+    (``energy.heat_flux`` of the cell-list potentials, sampled every
+    ``dt`` from NVE dynamics at temperature ``kT``; leading extra axes
+    are replicas) with the same multi-origin FFT estimator and
+    trapezoidal truncation as :func:`green_kubo_diffusion`.
+
+    Unlike the shear-stress components, the energy flux carries a
+    systematic offset whenever the total momentum is not exactly zero
+    (each atom then drags its large negative mean energy), so the
+    sample mean IS subtracted per component before correlating.
+    Returns ``(lambda, jacf)`` with the averaged unnormalized per-
+    component flux ACF of shape ``(T,)``.
+    """
+    j = jnp.asarray(jflux)
+    dim = j.shape[-1]
+    t = j.shape[0]
+    j = j - jnp.mean(j, axis=0, keepdims=True)
+    # autocorrelation_fft sums the dot product over the last axis;
+    # divide by dim for the per-component mean, multiply back in the
+    # prefactor (the two cancel into 1/(kT^2) times the full dot ACF,
+    # but keeping jacf per-component matches the viscosity API).
+    jacf = autocorrelation_fft(j[..., None, :]) / dim
+    n_keep = t if t_max is None else min(int(round(t_max / dt)) + 1, t)
+    if t_max is None:
+        n_keep = max(t // 4, 2)
+    kept = jacf[:n_keep]
+    integral = dt * (jnp.sum(kept) - 0.5 * (kept[0] + kept[-1]))
+    return volume / (kt * kt) * integral, jacf
+
+
 def surface_tension(ptensor_diag: Array, *, box,
                     normal_axis: int = 2) -> Array:
     """Kirkwood-Buff mechanical surface tension of a slab geometry,
@@ -697,3 +739,102 @@ def quasi_harmonic_frequencies(traj: Array, *, kt: float, masses=1.0
     tol = lam[-1] * lam.shape[0] * jnp.finfo(lam.dtype).eps
     lam = jnp.where(lam <= jnp.maximum(tol, 0.0), 0.0, lam)
     return jnp.sqrt(kt / lam)
+
+def _flat_samples(*arrs) -> Tuple[Array, ...]:
+    """Broadcast scalar time series against each other and flatten all
+    leading axes into one sample axis (time plus any replica axes)."""
+    arrs = [jnp.asarray(a) for a in arrs]
+    arrs = jnp.broadcast_arrays(*arrs) if len(arrs) > 1 else arrs
+    return tuple(a.reshape(-1) for a in arrs)
+
+
+def heat_capacity_nvt(u: Array, *, kt: float,
+                      n_dof_kinetic: int = 0) -> Array:
+    """Canonical heat capacity from energy fluctuations,
+
+        ``C_V / k_B = Var(U) / (kT)^2 + n_dof_kinetic / 2``,
+
+    for sampled energies ``u`` of any shape (time plus replica axes,
+    all treated as samples).  Pass TOTAL energies from MD with
+    ``n_dof_kinetic=0``, or POTENTIAL energies (e.g. from the MC
+    engines, which never materialize momenta) with the number of
+    momentum DOFs so the exactly-known ideal kinetic part is added
+    analytically — kinetic-potential cross fluctuations vanish in the
+    canonical ensemble, so the split is exact.  Returns the EXTENSIVE
+    heat capacity in units of ``k_B`` (cross-check: the ``order=2``
+    coefficient of :func:`~vaemolsim_tpu.extrapolation.\
+beta_extrapolation_coefficients` applied to ``u`` is
+    ``d<U>/dbeta = -Var(U)``)."""
+    (u,) = _flat_samples(u)
+    return jnp.var(u) / (kt * kt) + 0.5 * n_dof_kinetic
+
+
+def heat_capacity_npt(u: Array, volume: Array, *, kt: float,
+                      pressure: float, n_dof_kinetic: int = 0) -> Array:
+    """Isobaric heat capacity from enthalpy fluctuations in NPT,
+
+        ``C_P / k_B = Var(U + P V) / (kT)^2 + n_dof_kinetic / 2``,
+
+    with ``u``/``volume`` sampled configurational energies and volumes
+    (e.g. :func:`~vaemolsim_tpu.mcmc.npt.run_npt` chains or
+    :func:`~vaemolsim_tpu.md.baoab_npt`), broadcast against each other.
+    Same kinetic-part convention as :func:`heat_capacity_nvt`."""
+    u, v = _flat_samples(u, volume)
+    return (jnp.var(u + pressure * v) / (kt * kt)
+            + 0.5 * n_dof_kinetic)
+
+
+def isothermal_compressibility(volume: Array, *, kt: float) -> Array:
+    """``kappa_T = Var(V) / (kT <V>)`` from NPT volume fluctuations
+    (exactly ``1/P`` for the ideal gas — pinned by test against the
+    closed-form Gamma volume law of the NPT engine)."""
+    (v,) = _flat_samples(volume)
+    return jnp.var(v) / (kt * jnp.mean(v))
+
+
+def thermal_expansion(u: Array, volume: Array, *, kt: float,
+                      pressure: float) -> Array:
+    """Isobaric thermal expansion coefficient from NPT cross
+    fluctuations,
+
+        ``alpha_P = Cov(V, U + P V) / (kT^2 <V>)``
+
+    (in units where ``k_B = 1`` so temperature is ``kt``; exactly
+    ``1/T`` for the ideal gas).  The kinetic energy is uncorrelated
+    with ``V`` in the canonical NPT ensemble, so configurational ``u``
+    needs no kinetic correction here."""
+    u, v = _flat_samples(u, volume)
+    h = u + pressure * v
+    cov = jnp.mean((v - jnp.mean(v)) * (h - jnp.mean(h)))
+    return cov / (kt * kt * jnp.mean(v))
+
+
+def total_dipole(x: Array, charges: Array) -> Array:
+    """``M = sum_i q_i r_i`` per configuration ``(..., n_atoms, dim)``
+    -> ``(..., dim)``.  Use UNWRAPPED or molecule-contiguous
+    coordinates: wrapping an atom of a charged site across the box
+    jumps ``M`` by ``q L`` (the itinerant-polarization branch), which
+    poisons the fluctuation estimator of :func:`dielectric_constant`.
+    Neutral rigid molecules whose atoms are kept whole are safe."""
+    q = jnp.asarray(charges)
+    return jnp.sum(q[..., :, None] * jnp.asarray(x), axis=-2)
+
+
+def dielectric_constant(m_traj: Array, *, volume: float,
+                        kt: float) -> Array:
+    """Static dielectric constant from total-dipole fluctuations under
+    tinfoil (conducting) boundary conditions,
+
+        ``eps = 1 + 4 pi (<M^2> - <M>^2) / (3 V kT)``,
+
+    matching this package's Gaussian-units Ewald convention
+    (:func:`~vaemolsim_tpu.potentials.ewald_coulomb`, Coulomb constant
+    ``= 1``, where the standard tinfoil k=0 treatment is implicit in
+    dropping the surface term).  ``m_traj`` is ``(T, ..., dim)`` total
+    dipoles from :func:`total_dipole`; all leading axes are samples."""
+    m = jnp.asarray(m_traj)
+    dim = m.shape[-1]
+    m = m.reshape(-1, dim)
+    dm = m - jnp.mean(m, axis=0)
+    fluct = jnp.mean(jnp.sum(dm * dm, axis=-1))
+    return 1.0 + 4.0 * jnp.pi * fluct / (3.0 * volume * kt)

@@ -635,12 +635,10 @@ def lennard_jones_cell_neighbor(
         d = d - box_j * jnp.round(d / box_j)
         return nl.overflow | (jnp.max(jnp.sum(d * d, -1)) > drift2_max)
 
-    def _energy_impl(nl, x):
-        x = jnp.asarray(x)
-        _check_n(x.shape[0])
-        xw = _wrap(x)
-        _, r, mask = _pairs(nl, xw)
-        sig_p, eps_p = _pair_params(nl, xw.shape[0])
+    def _pair_u_of(nl, r, n):
+        """Per-candidate pair energy u(r) (unmasked) — shared by the
+        total energy and the per-atom energies of the heat flux."""
+        sig_p, eps_p = _pair_params(nl, n)
         rcore_p = 0.3 * sig_p
         slope_p = _SLOPE_F * eps_p / sig_p
         r_eff = jnp.maximum(r, rcore_p)
@@ -652,7 +650,15 @@ def lennard_jones_cell_neighbor(
             u = u - 4.0 * eps_p * (sc6 * sc6 - sc6)
         if q_at is not None:
             from jax.scipy.special import erfc
-            u = u + _pair_qq(nl, xw.shape[0]) * erfc(c_alpha * r) / r
+            u = u + _pair_qq(nl, n) * erfc(c_alpha * r) / r
+        return u
+
+    def _energy_impl(nl, x):
+        x = jnp.asarray(x)
+        _check_n(x.shape[0])
+        xw = _wrap(x)
+        _, r, mask = _pairs(nl, xw)
+        u = _pair_u_of(nl, r, xw.shape[0])
         # Each pair appears from both sides: halve.
         e = 0.5 * jnp.sum(jnp.where(mask, u, 0.0))
         return jnp.where(_invalid(nl, xw), jnp.nan, e), xw
@@ -727,6 +733,56 @@ def lennard_jones_cell_neighbor(
         return jnp.where(_invalid(nl, xw), jnp.nan, sig)
 
     energy.stress = stress
+
+    def heat_flux(nl: CellNeighborList, x: Array, v: Array,
+                  masses=1.0) -> Array:
+        """Microscopic energy (heat) flux of this potential,
+
+            ``J V = sum_i e_i v_i
+                    + (1/2) sum_{i<j} (f_ij . (v_i + v_j)) d_ij``,
+
+        the Irving-Kirkwood pair form (LAMMPS ``compute heat/flux``
+        convention) with per-atom energies
+        ``e_i = m_i v_i^2 / 2 + (1/2) sum_j u(r_ij)`` and
+        ``f_ij = -(du/dr) d_ij / r`` — the same analytic per-pair
+        derivative and gathers as the force rule, plus one
+        candidate-layout velocity gather.  Works on both backends and
+        honors the drift/overflow NaN contract.  Returns the intensive
+        flux ``J`` of shape ``(dim,)``.
+
+        This is the ENERGY flux: it equals the heat flux (the input to
+        :func:`~vaemolsim_tpu.observables.green_kubo_thermal_conductivity`)
+        for a one-component fluid with zero total momentum — remove the
+        center-of-mass drift from ``v`` first; multi-species fluids
+        additionally need the partial-enthalpy subtraction this
+        function does not perform.  Evaluate on NVE dynamics every
+        sample interval (costs about one force call)."""
+        x = jnp.asarray(x)
+        v = jnp.asarray(v)
+        n = x.shape[0]
+        _check_n(n)
+        xw = _wrap(x)
+        d, r, mask, dudr = _pair_dudr(nl, xw)
+        u = jnp.where(mask, _pair_u_of(nl, r, n), 0.0)
+        nb_cid, _ = _nb_cid_mask(nl, n)
+        cell_v = v[jnp.clip(nl.cell_atoms, 0, n - 1)]
+        vc = cell_v[nb_cid].reshape(n, -1, v.shape[-1])
+        m = jnp.asarray(masses, v.dtype)
+        m_col = m[:, None] if m.ndim == 1 else m
+        e_i = (0.5 * jnp.sum(m_col * v * v, -1)
+               + 0.5 * jnp.sum(u, -1))                   # (N,)
+        conv = jnp.sum(e_i[:, None] * v, axis=0)         # (dim,)
+        # Ordered-pair sum counts each {i, j} twice and
+        # sum_{i<j} = (1/2) sum_{i != j} of the symmetric summand,
+        # so the 1/2 above becomes 1/4 here.
+        w = dudr / r
+        fdotv = -w * jnp.einsum("nka,nka->nk", d,
+                                v[:, None, :] + vc)
+        vir = 0.25 * jnp.einsum("nk,nka->a", fdotv, d)
+        j = (conv + vir) / vol_f
+        return jnp.where(_invalid(nl, xw), jnp.nan, j)
+
+    energy.heat_flux = heat_flux
 
     if backend == "xla":
         return build, energy
@@ -819,10 +875,11 @@ def lennard_jones_cell_neighbor(
         return (_nl_zero_cotangent(nl), ct * grad)
 
     energy_pallas.defvjp(_ep_fwd, _ep_bwd)
-    # Stress rides the XLA candidate path (recomputed from the frozen
-    # build on demand — see _nb_cid_mask); it is a sampled observable,
-    # not a per-step hot path.
+    # Stress/heat flux ride the XLA candidate path (recomputed from the
+    # frozen build on demand — see _nb_cid_mask); they are sampled
+    # observables, not per-step hot paths.
     energy_pallas.stress = stress
+    energy_pallas.heat_flux = heat_flux
     return build, energy_pallas
 
 
