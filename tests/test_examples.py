@@ -358,3 +358,14 @@ def test_example_37_thermal_conductivity():
     m = re.search(r"lambda\* = ([0-9.]+)", out)
     assert m and 3.0 < float(m.group(1)) < 13.0, out[-500:]
     assert "OK" in out
+
+
+@pytest.mark.slow
+def test_example_38_alchemical_free_energy():
+    out = run_example("38_alchemical_free_energy.py", timeout=900)
+    import re
+    vals = {k: float(v) for k, v in re.findall(
+        r"(TI|MBAR|Widom):\s+dF_couple = ([+-][0-9.]+)", out)}
+    assert set(vals) == {"TI", "MBAR", "Widom"}, out[-500:]
+    assert abs(vals["TI"] - vals["Widom"]) < 0.15, vals
+    assert "OK" in out

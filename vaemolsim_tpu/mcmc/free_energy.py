@@ -38,7 +38,8 @@ Array = jax.Array
 __all__ = ["work_values", "exp_free_energy", "bar_free_energy", "ais",
            "AISResult", "MBARResult", "mbar_free_energy",
            "mbar_from_samples", "mbar_perturbed_free_energy",
-           "mbar_expectation"]
+           "mbar_expectation", "ti_free_energy",
+           "gauss_legendre_lambdas"]
 
 
 def work_values(log_prob_from: Callable[[Array], Array],
@@ -476,3 +477,68 @@ def ais(log_prob_init: Callable[[Array], Array],
     ess = jnp.exp(-logsumexp(2.0 * log_norm))
     return AISResult(log_z=log_z, log_weights=logw, samples=x,
                      ess=ess, acceptance=jnp.mean(accs))
+
+
+def gauss_legendre_lambdas(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Gauss-Legendre nodes/weights mapped to the unit interval, the
+    standard lambda schedule for :func:`ti_free_energy`: sample each
+    state at ``nodes[k]``, integrate with ``weights[k]`` (which sum to
+    1).  Host-side numpy — the schedule is a static experiment design,
+    not traced.  An n-point rule is exact for polynomial
+    ``<dU/dlam>(lam)`` up to degree 2n-1, so smooth soft-core ladders
+    converge much faster than trapezoids on the same budget."""
+    x, w = np.polynomial.legendre.leggauss(int(n))
+    return (0.5 * (x + 1.0)).astype(np.float64), (0.5 * w).astype(np.float64)
+
+
+def ti_free_energy(dudl: Array, lambdas=None, *, weights=None,
+                   statistical_inefficiency=1.0) -> Tuple[Array, Array]:
+    """Thermodynamic integration ``dF = integral_0^1 <dU/dlam>_lam dlam``
+    from per-state samples of the REDUCED (beta-multiplied) alchemical
+    derivative.
+
+    ``dudl``: ``(K, n_samples...)`` — row ``k`` holds equilibrium
+    samples of ``dU/dlam`` at state ``k`` (trailing axes are all
+    flattened as samples; e.g. ``jax.grad(energy, argnums=1)`` of
+    :func:`~vaemolsim_tpu.potentials.lennard_jones_softcore` over an
+    HREX or per-state MC run).  Exactly one of
+
+    - ``weights``: ``(K,)`` quadrature weights on [0, 1] (pair with
+      :func:`gauss_legendre_lambdas`), or
+    - ``lambdas``: ``(K,)`` sorted grid — composite trapezoid weights
+      are built from it (endpoints 0 and 1 should be included)
+
+    selects the quadrature.  The standard error propagates each
+    state's independent SEM through the quadrature,
+    ``sqrt(sum_k w_k^2 g_k var_k / n_k)``; pass per-state (or scalar)
+    ``statistical_inefficiency`` ``g`` (e.g.
+    :func:`~vaemolsim_tpu.mcmc.diagnostics.statistical_inefficiency`)
+    for correlated chains — the default 1 assumes independent samples.
+    Returns ``(delta_f, stderr)`` in reduced units, the integration
+    complement of the perturbative estimators (EXP/BAR/MBAR): TI needs
+    only the derivative at each state, no configuration overlap
+    between neighbors."""
+    dudl = jnp.asarray(dudl)
+    k = dudl.shape[0]
+    flat = dudl.reshape(k, -1)
+    n = flat.shape[1]
+    if (weights is None) == (lambdas is None):
+        raise ValueError("pass exactly one of weights= or lambdas=")
+    if weights is not None:
+        w = jnp.asarray(weights, flat.dtype)
+    else:
+        lam = jnp.asarray(lambdas, flat.dtype)
+        if lam.shape != (k,):
+            raise ValueError(f"lambdas must be ({k},); got {lam.shape}")
+        d = jnp.diff(lam)
+        w = 0.5 * (jnp.concatenate([d, jnp.zeros(1, d.dtype)])
+                   + jnp.concatenate([jnp.zeros(1, d.dtype), d]))
+    if w.shape != (k,):
+        raise ValueError(f"weights must be ({k},); got {w.shape}")
+    means = jnp.mean(flat, axis=1)
+    var = jnp.var(flat, axis=1)
+    g = jnp.broadcast_to(
+        jnp.asarray(statistical_inefficiency, flat.dtype), (k,))
+    delta_f = jnp.sum(w * means)
+    stderr = jnp.sqrt(jnp.sum(w * w * g * var / n))
+    return delta_f, stderr

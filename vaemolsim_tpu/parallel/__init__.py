@@ -13,6 +13,11 @@ from vaemolsim_tpu.parallel.distributed import (  # noqa: F401
     shutdown_distributed,
     sync_processes,
 )
+from vaemolsim_tpu.parallel.hrex import (  # noqa: F401
+    HREXState,
+    make_hrex_step,
+    run_hrex,
+)
 from vaemolsim_tpu.parallel.remd import (  # noqa: F401
     REMDState,
     make_remd_step,

@@ -1033,9 +1033,12 @@ def lennard_jones_softcore(sigma=1.0, epsilon=1.0, *,
 
         # Soft-core pairs: finite at r=0 by construction for lam < 1;
         # the tiny floor only guards the exact-overlap lam=1 corner.
+        # lam broadcasts against the ENERGY (batch) shape — add the two
+        # pair axes so per-replica lambda ladders (HREX) work directly.
+        lam_p = lam[..., None, None]
         r6s = (jnp.where(soft_mask, r2, 1.0) / sigma ** 2) ** 3
-        den = jnp.maximum(alpha * (1.0 - lam) + r6s, 1e-12)
-        u_soft = 4.0 * epsilon * lam * (1.0 / den ** 2 - 1.0 / den)
+        den = jnp.maximum(alpha * (1.0 - lam_p) + r6s, 1e-12)
+        u_soft = 4.0 * epsilon * lam_p * (1.0 / den ** 2 - 1.0 / den)
 
         return (jnp.sum(jnp.where(full_mask, u_full, 0.0), axis=(-2, -1))
                 + jnp.sum(jnp.where(soft_mask, u_soft, 0.0),
