@@ -930,3 +930,141 @@ class TestBuckingham:
         xa = jnp.asarray([[0.1, 0, 0], [3.9, 0, 0]])   # 0.2 apart via pbc
         xb = jnp.asarray([[0.0, 0, 0], [0.2, 0, 0]])
         np.testing.assert_allclose(float(u(xa)), float(u(xb)), rtol=1e-5)
+
+
+class TestPME:
+    """Smooth particle-mesh Ewald against the exact classic sum (the
+    strongest golden: same alpha, same corrections — any disagreement
+    is PME interpolation error) plus the exact lattice constants,
+    spline identities, and the split-total contract."""
+
+    def _random_system(self, n=24, L=8.0, seed=0, neutral=True):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.uniform(0, L, (n, 3)), jnp.float32)
+        q = rng.uniform(-1, 1, n)
+        if neutral:
+            q -= q.mean()
+        return x, q, L
+
+    def test_bspline_partition_of_unity_and_direct_recursion(self):
+        from vaemolsim_tpu.potentials import _bspline_weights
+
+        def mn_direct(n, x):
+            if n == 2:
+                return np.where((x >= 0) & (x <= 2),
+                                1.0 - np.abs(x - 1.0), 0.0)
+            return (x * mn_direct(n - 1, x)
+                    + (n - x) * mn_direct(n - 1, x - 1.0)) / (n - 1)
+
+        t = np.linspace(0.0, 0.999, 9)
+        for order in (3, 4, 6):
+            w = np.asarray(_bspline_weights(order, jnp.asarray(t)))
+            np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-6)
+            direct = np.stack([mn_direct(order, t + j)
+                               for j in range(order)], -1)
+            np.testing.assert_allclose(w, direct, atol=1e-6)
+
+    def test_matches_exact_ewald_energy_and_forces(self):
+        from vaemolsim_tpu.potentials import ewald_coulomb, pme_coulomb
+        x, q, L = self._random_system()
+        e_ex = ewald_coulomb(q, box=[L] * 3, r_cutoff=3.0,
+                             tolerance=1e-5)
+        e_pme = pme_coulomb(q, box=[L] * 3, r_cutoff=3.0,
+                            tolerance=1e-5)
+        assert e_pme.ewald_alpha == e_ex.ewald_alpha
+        v1, v2 = float(e_ex(x)), float(e_pme(x))
+        assert abs(v2 - v1) < 2e-4 * abs(v1), (v1, v2)
+        g1 = np.asarray(jax.grad(e_ex)(x))
+        g2 = np.asarray(jax.grad(e_pme)(x))
+        assert np.max(np.abs(g2 - g1)) < 5e-4 * np.max(np.abs(g1))
+
+    def test_nacl_madelung_constant(self):
+        from vaemolsim_tpu.potentials import pme_coulomb
+        g = np.stack(np.meshgrid(*[np.arange(2)] * 3, indexing="ij"),
+                     -1).reshape(-1, 3).astype(np.float64)
+        qs = np.asarray([(-1.0) ** int(s.sum()) for s in g])
+        u = pme_coulomb(qs, box=[2.0] * 3, r_cutoff=0.99,
+                        tolerance=1e-6)
+        np.testing.assert_allclose(float(u(jnp.asarray(g))),
+                                   -4.0 * TestEwald.MADELUNG_NACL,
+                                   rtol=2e-5)
+
+    def test_wigner_net_charge_background(self):
+        from vaemolsim_tpu.potentials import pme_coulomb
+        L = 2.5
+        u = pme_coulomb(np.asarray([1.0]), box=[L] * 3,
+                        r_cutoff=0.45 * L, tolerance=1e-6)
+        np.testing.assert_allclose(float(u(jnp.zeros((1, 3)))),
+                                   TestEwald.WIGNER_CUBIC / (2 * L),
+                                   rtol=2e-5)
+
+    def test_exclusions_match_exact_ewald(self):
+        from vaemolsim_tpu.potentials import ewald_coulomb, pme_coulomb
+        x, q, L = self._random_system(n=12, seed=3)
+        excl = np.zeros((12, 12), bool)
+        excl[0, 1] = excl[1, 0] = True
+        excl[2, 5] = excl[5, 2] = True
+        kw = dict(box=[L] * 3, r_cutoff=3.0, tolerance=1e-5,
+                  exclude=excl)
+        v1 = float(ewald_coulomb(q, **kw)(x))
+        v2 = float(pme_coulomb(q, **kw)(x))
+        assert abs(v2 - v1) < 2e-4 * abs(v1)
+
+    def test_split_total_with_cell_list_real_space(self):
+        # O(N) contract: cell-list erfc real space + PME(recip only)
+        # == exact full Ewald, same alpha.
+        from vaemolsim_tpu.potentials import (ewald_coulomb,
+                                              lennard_jones_cell_neighbor,
+                                              pme_coulomb)
+        rng = np.random.default_rng(4)
+        L, cut, n_side = 12.0, 3.0, 4
+        g = np.stack(np.meshgrid(*[np.arange(n_side)] * 3,
+                                 indexing="ij"), -1).reshape(-1, 3)
+        x = jnp.asarray(g * (L / n_side) + rng.normal(0, 0.1, g.shape),
+                        jnp.float32)
+        n = x.shape[0]
+        q = rng.uniform(-1, 1, n)
+        q -= q.mean()
+        recip = pme_coulomb(q, box=[L] * 3, r_cutoff=cut,
+                            tolerance=1e-5, include_real_space=False)
+        build, energy = lennard_jones_cell_neighbor(
+            box=[L] * 3, cutoff=cut, skin=0.4, capacity=16,
+            epsilon=0.0, charges=q, coulomb_alpha=recip.ewald_alpha)
+        nl = build(x)
+        split = float(energy(nl, x)) + float(recip(x))
+        exact = float(ewald_coulomb(q, box=[L] * 3, r_cutoff=cut,
+                                    tolerance=1e-5)(x))
+        assert abs(split - exact) < 3e-4 * abs(exact), (split, exact)
+
+    def test_batched_configs(self):
+        from vaemolsim_tpu.potentials import pme_coulomb
+        x, q, L = self._random_system(n=10, seed=5)
+        xb = jnp.stack([x, x + 0.37, x * 0.9 + 1.0])
+        u = pme_coulomb(q, box=[L] * 3, r_cutoff=3.0, tolerance=1e-4)
+        vb = np.asarray(u(xb))
+        vs = np.asarray([float(u(xb[i])) for i in range(3)])
+        np.testing.assert_allclose(vb, vs, rtol=1e-6)
+
+    def test_translation_invariance(self):
+        from vaemolsim_tpu.potentials import pme_coulomb
+        x, q, L = self._random_system(n=16, seed=6)
+        u = pme_coulomb(q, box=[L] * 3, r_cutoff=3.0, tolerance=1e-5)
+        v0 = float(u(x))
+        # Generic shift crosses grid-cell boundaries: the B-spline
+        # interpolation must stay smooth through them.
+        v1 = float(u(x + jnp.asarray([0.123, -4.56, 17.89])))
+        assert abs(v1 - v0) < 5e-5 * abs(v0) + 1e-5
+
+    def test_validation(self):
+        from vaemolsim_tpu.potentials import pme_coulomb
+        with pytest.raises(ValueError, match="half the smallest"):
+            pme_coulomb(np.ones(4), box=[4.0] * 3, r_cutoff=3.0)
+        with pytest.raises(ValueError, match="order"):
+            pme_coulomb(np.ones(4), box=[8.0] * 3, r_cutoff=3.0,
+                        order=2)
+        with pytest.raises(ValueError, match="too coarse"):
+            pme_coulomb(np.ones(4), box=[8.0] * 3, r_cutoff=3.0,
+                        grid_shape=(8, 8, 8), order=6)
+        u = pme_coulomb(np.ones(4), box=[8.0] * 3, r_cutoff=3.0)
+        with pytest.raises(ValueError, match="atoms"):
+            u(jnp.zeros((5, 3)))

@@ -37,7 +37,7 @@ __all__ = ["harmonic_bonds", "harmonic_angles", "periodic_torsions",
            "lennard_jones", "lennard_jones_softcore",
            "lennard_jones_cell", "lennard_jones_cell_neighbor",
            "lennard_jones_tail",
-           "CellNeighborList", "coulomb", "ewald_coulomb",
+           "CellNeighborList", "coulomb", "ewald_coulomb", "pme_coulomb",
            "com_restraint", "composite", "as_log_prob",
            "exclusions_from_bonds", "minimize_energy",
            "morse_bonds", "harmonic_impropers", "buckingham"]
@@ -1245,6 +1245,251 @@ def ewald_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
         return u_recip + u_real + u_self + u_bg + u_excl
 
     energy.ewald_alpha = alpha_v
+    return energy
+
+
+def _bspline_weights(order: int, t: Array) -> Array:
+    """Cardinal-B-spline spreading weights ``M_order(t + j)`` for
+    ``j = 0..order-1`` as a trailing axis, via the stable PME
+    coefficient recurrence (Essmann et al. 1995 eq. 4.1; the loop is
+    over the STATIC order, so it unrolls at trace time).  ``t`` is the
+    fractional grid offset in [0, 1); the weights sum to 1 exactly
+    (partition of unity) and are C^(order-2) in ``t`` — order 4 gives
+    continuously twice-differentiable energies, so autodiff forces are
+    smooth."""
+    if order < 2:
+        raise ValueError("spline order must be >= 2")
+    w = [1.0 - t, t] + [jnp.zeros_like(t) for _ in range(order - 2)]
+    for k in range(3, order + 1):
+        div = 1.0 / (k - 1)
+        w[k - 1] = div * t * w[k - 2]
+        for j in range(1, k - 1):
+            w[k - 1 - j] = div * ((t + j) * w[k - 2 - j]
+                                  + (k - j - t) * w[k - 1 - j])
+        w[0] = div * (1.0 - t) * w[0]
+    # The recurrence fills the list as M(t + order-1-j); reverse so the
+    # returned axis is M(t + j) (pinned against the direct two-term
+    # recursion by test — the reflected pairing spreads mirrored charge
+    # clouds: energies almost right by symmetry, forces wrong).
+    return jnp.stack(w[::-1], axis=-1)
+
+
+def _bspline_integer_values(order: int) -> np.ndarray:
+    """``M_order`` at the integers 1..order-1 (numpy, build time) for
+    the Euler exponential-spline factors."""
+    m = {2: lambda x: np.where((x >= 0) & (x <= 2), 1.0 - np.abs(x - 1.0),
+                               0.0)}
+    xs = np.arange(1, order, dtype=np.float64)
+
+    def mn(n, x):
+        if n == 2:
+            return m[2](x)
+        return (x * mn(n - 1, x) + (n - x) * mn(n - 1, x - 1.0)) / (n - 1)
+
+    return mn(order, xs)
+
+
+def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
+                grid_shape: Optional[Sequence[int]] = None,
+                order: int = 6,
+                exclude: Optional[np.ndarray] = None,
+                alpha: Optional[float] = None,
+                tolerance: float = 1e-5,
+                include_real_space: bool = True
+                ) -> Callable[[Array], Array]:
+    """Smooth particle-mesh Ewald (Essmann et al. 1995) — the
+    O(N log N) large-system complement of :func:`ewald_coulomb` (same
+    reduced units, same correction terms, same split contract).
+
+    TPU decomposition of the reciprocal sum: B-spline charge spreading
+    (one ``scatter-add`` of N x order^3 polynomial weights — the one
+    scatter this library's potentials ever perform), one real 3-D FFT
+    (``jnp.fft.rfftn``, XLA-native on TPU), a precomputed influence
+    function ``4 pi/k^2 e^{-k^2/4 alpha^2} / |b1 b2 b3|^2`` (Euler
+    exponential-spline factors folded in at build time), and one
+    weighted reduction.  Forces come from plain autodiff: the order-4
+    spreading weights are C^2 polynomials in the positions, so
+    ``jax.grad`` differentiates THROUGH the scatter and the FFT
+    (both linear) — no separate interpolation pass.
+
+    Crossover guidance (measured, see docs/performance.md): the classic
+    matmul-form :func:`ewald_coulomb` reciprocal sum is exact and
+    MXU-friendly at the N <= tens-of-thousands this library usually
+    targets; PME wins asymptotically and bounds memory at large N
+    (the classic sum's (n, n_k) phase matrix grows as O(N^1.5)).
+    Accuracy is set by ``grid_shape`` x ``order`` (defaults: spacing
+    <= pi / (1.5 k_cut) rounded up to FFT-friendly sizes, order 6 —
+    measured ~1e-5 relative energy / ~1e-4 max force error against the
+    exact classic sum at tolerance 1e-5; order 4 with the same grid is
+    ~30x worse and only ~2x cheaper to spread, so 6 is the default).
+
+    ``include_real_space=False`` drops the dense erfc pair term exactly
+    as in :func:`ewald_coulomb` — pair with
+    :func:`lennard_jones_cell_neighbor`'s ``charges``/``coulomb_alpha``
+    (using ``energy.ewald_alpha``) for the fully O(N) path.  The box is
+    static (the grid is a build-time constant): for NPT/virial
+    dilations use :func:`ewald_coulomb` with ``reference_box``.
+    """
+    q = jnp.asarray(charges, jnp.float32)
+    if q.ndim != 1:
+        raise ValueError(f"charges must be (n,); got {q.shape}")
+    box_np = np.asarray(box, np.float64)
+    if box_np.shape != (3,):
+        raise ValueError(f"box must be 3 lengths; got {box_np.shape}")
+    if not (r_cutoff * 2.0 <= box_np.min()):
+        raise ValueError(
+            f"r_cutoff {r_cutoff} must be <= half the smallest box edge "
+            f"({box_np.min() / 2}) for minimum-image validity")
+    if order < 3:
+        raise ValueError("PME needs spline order >= 3 for usable "
+                         "accuracy (4 is standard)")
+    ln_tol = float(np.sqrt(-np.log(tolerance)))
+    alpha_v = float(alpha) if alpha is not None else ln_tol / float(r_cutoff)
+    k_cut = 2.0 * alpha_v * ln_tol
+
+    if grid_shape is None:
+        # Nyquist pi G / L >= 1.5 k_cut, rounded up to the next
+        # 5-smooth even size (fast FFT lengths).
+        need = np.ceil(1.5 * k_cut * box_np / np.pi).astype(int)
+
+        def next_smooth(n):
+            n = max(int(n), 4)
+            while True:
+                m = n
+                for p in (2, 3, 5):
+                    while m % p == 0:
+                        m //= p
+                if m == 1 and n % 2 == 0:
+                    return n
+                n += 1
+
+        grid_shape = tuple(next_smooth(g) for g in need)
+    gx, gy, gz = (int(g) for g in grid_shape)
+    for g in (gx, gy, gz):
+        if g < 2 * order:
+            raise ValueError(f"grid_shape {grid_shape} too coarse for "
+                             f"order {order} (need >= {2 * order})")
+    grid_np = np.array([gx, gy, gz])
+
+    # ---- build-time influence function on the rfft grid -------------
+    def axis_modes(g):
+        m = np.arange(g)
+        return np.where(m <= g // 2, m, m - g)           # signed mode
+
+    mz_len = gz // 2 + 1
+    mx, my = axis_modes(gx), axis_modes(gy)
+    mz = np.arange(mz_len)
+    kx = 2 * np.pi * mx / box_np[0]
+    ky = 2 * np.pi * my / box_np[1]
+    kz = 2 * np.pi * mz / box_np[2]
+    k2 = (kx[:, None, None] ** 2 + ky[None, :, None] ** 2
+          + kz[None, None, :] ** 2)
+
+    def euler_b2(g, m_signed):
+        """|b(m)|^2 per axis mode (Essmann eq. 4.4)."""
+        mvals = _bspline_integer_values(order)           # M_n(1..n-1)
+        kk = np.arange(order - 1)
+        ph = np.exp(2j * np.pi * m_signed[:, None] * kk[None, :] / g)
+        denom = (mvals[None, :] * ph).sum(axis=1)
+        b2 = 1.0 / np.maximum(np.abs(denom) ** 2, 1e-300)
+        # Even-order splines have a vanishing denominator AT Nyquist
+        # (the interpolation cannot represent that mode): drop it.
+        if order % 2 == 0 and g % 2 == 0:
+            b2 = np.where(np.abs(m_signed) == g // 2, 0.0, b2)
+        return b2
+
+    b2x = euler_b2(gx, mx)
+    b2y = euler_b2(gy, my)
+    b2z = euler_b2(gz, mz)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        infl = (4 * np.pi / k2) * np.exp(-k2 / (4 * alpha_v * alpha_v))
+    infl[0, 0, 0] = 0.0                                  # k = 0 excluded
+    infl = infl * (b2x[:, None, None] * b2y[None, :, None]
+                   * b2z[None, None, :])
+    # rfft half-spectrum: double every mode whose conjugate is NOT in
+    # the stored half (kz strictly inside (0, gz/2)).
+    dbl = np.full(mz_len, 2.0)
+    dbl[0] = 1.0
+    if gz % 2 == 0:
+        dbl[-1] = 1.0
+    infl = infl * dbl[None, None, :]
+    vol = float(np.prod(box_np))
+    infl_j = jnp.asarray(0.5 / vol * infl, jnp.float32)  # (gx, gy, mz)
+
+    box_j = jnp.asarray(box_np, jnp.float32)
+    grid_j = jnp.asarray(grid_np, jnp.float32)
+    qq = q[:, None] * q[None, :]
+    excl_np = None if exclude is None else np.asarray(exclude, bool)
+    from jax.scipy.special import erf, erfc
+
+    def _recip_one(x: Array) -> Array:
+        """Reciprocal energy of ONE (n, 3) configuration."""
+        u = (x / box_j - jnp.floor(x / box_j)) * grid_j  # [0, G)
+        base = jnp.floor(u)
+        t = u - base                                     # (n, 3)
+        w = _bspline_weights(order, t)                   # (n, 3, order)
+        j = jnp.arange(order)
+        pts = (base[..., None].astype(jnp.int32) - j) % jnp.asarray(
+            [gx, gy, gz], jnp.int32)[:, None]            # (n, 3, order)
+        # Outer products over the three axes -> (n, order^3).
+        wq = (q[:, None, None, None]
+              * w[:, 0, :, None, None] * w[:, 1, None, :, None]
+              * w[:, 2, None, None, :]).reshape(x.shape[0], -1)
+        flat = ((pts[:, 0, :, None, None] * gy
+                 + pts[:, 1, None, :, None]) * gz
+                + pts[:, 2, None, None, :]).reshape(x.shape[0], -1)
+        grid = jnp.zeros(gx * gy * gz, x.dtype)
+        grid = grid.at[flat.reshape(-1)].add(wq.reshape(-1))
+        f = jnp.fft.rfftn(grid.reshape(gx, gy, gz))
+        return jnp.sum(infl_j * (f.real ** 2 + f.imag ** 2))
+
+    def energy(x: Array) -> Array:
+        x = jnp.asarray(x)
+        n = x.shape[-2]
+        if n != q.shape[0]:
+            raise ValueError(f"coords have {n} atoms but charges has "
+                             f"{q.shape[0]}")
+        if x.ndim > 2:
+            batch = x.shape[:-2]
+            flat = x.reshape((-1,) + x.shape[-2:])
+            return jax.vmap(energy)(flat).reshape(batch)
+
+        u_recip = _recip_one(x)
+
+        xw = x - box_j * jnp.floor(x / box_j)
+        if include_real_space:
+            pair_mask = np.triu(np.ones((n, n), bool), k=1)
+            if excl_np is not None:
+                pair_mask &= ~excl_np
+            mask = jnp.asarray(pair_mask)
+            d = xw[:, None, :] - xw[None, :, :]
+            d = d - box_j * jnp.round(d / box_j)
+            r2 = jnp.sum(d * d, -1)
+            mask = mask & (r2 < r_cutoff * r_cutoff)
+            r = jnp.sqrt(jnp.maximum(jnp.where(mask, r2, 1.0), _EPS))
+            u_real = jnp.sum(jnp.where(mask, qq * erfc(alpha_v * r) / r,
+                                       0.0))
+        else:
+            u_real = 0.0
+
+        u_self = -alpha_v / jnp.sqrt(jnp.pi) * jnp.sum(q * q)
+        u_bg = -jnp.pi / (2 * vol * alpha_v * alpha_v) * jnp.sum(q) ** 2
+
+        if excl_np is not None:
+            em = jnp.asarray(np.triu(excl_np, k=1))
+            de = xw[:, None, :] - xw[None, :, :]
+            de = de - box_j * jnp.round(de / box_j)
+            re = jnp.sqrt(jnp.maximum(
+                jnp.where(em, jnp.sum(de * de, -1), 1.0), _EPS))
+            u_excl = -jnp.sum(jnp.where(em, qq * erf(alpha_v * re) / re,
+                                        0.0))
+        else:
+            u_excl = 0.0
+
+        return u_recip + u_real + u_self + u_bg + u_excl
+
+    energy.ewald_alpha = alpha_v
+    energy.grid_shape = (gx, gy, gz)
     return energy
 
 
