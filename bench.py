@@ -746,13 +746,18 @@ def _pallas_checks(jax, jnp, out):
 
     # 4. cell-pair LJ kernel vs the XLA cell path (compiled).
     try:
-        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        from vaemolsim_tpu.potentials import (exclusions_from_bonds,
+                                              lennard_jones_cell_neighbor)
         L = 12.0
+        # Bonded exclusions included so the in-kernel id-compare
+        # masking path is golden-checked compiled each round too.
+        excl = exclusions_from_bonds(
+            512, [[2 * k, 2 * k + 1] for k in range(256)])
         build, e_x = lennard_jones_cell_neighbor(
-            box=[L] * 3, cutoff=2.5, skin=0.4, capacity=32)
+            box=[L] * 3, cutoff=2.5, skin=0.4, capacity=32, exclude=excl)
         _, e_p = lennard_jones_cell_neighbor(
             box=[L] * 3, cutoff=2.5, skin=0.4, capacity=32,
-            backend="pallas")
+            backend="pallas", exclude=excl)
         x = jax.random.uniform(jax.random.PRNGKey(7), (512, 3)) * L
         nl = build(x)
         ex_v, gx = jax.jit(jax.value_and_grad(e_x, argnums=1))(nl, x)

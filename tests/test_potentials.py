@@ -1068,3 +1068,158 @@ class TestPME:
         u = pme_coulomb(np.ones(4), box=[8.0] * 3, r_cutoff=3.0)
         with pytest.raises(ValueError, match="atoms"):
             u(jnp.zeros((5, 3)))
+
+
+class TestCellNeighborExclusions:
+    """Bonded exclusions on the O(N) cell-list path: exact subtraction
+    pinned against the dense excluded form, the full Ewald split, an
+    independent numpy pair virial, and the loud-failure contracts."""
+
+    L, CUT = 10.0, 2.5
+
+    def _system(self, n=180, seed=0):
+        x = jax.random.uniform(jax.random.PRNGKey(seed), (n, 3)) * self.L
+        # Chain bonds among consecutive atom triplets: 1-2 + 1-3
+        # exclusions with both near and far members.
+        bonds = [[3 * k, 3 * k + 1] for k in range(n // 3)] \
+            + [[3 * k + 1, 3 * k + 2] for k in range(n // 3)]
+        excl = exclusions_from_bonds(n, bonds)
+        return x, excl
+
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_matches_dense_exclusions(self, backend):
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        x, excl = self._system()
+        kw = {"interpret": True} if backend == "pallas" else {}
+        build, energy = lennard_jones_cell_neighbor(
+            box=[self.L] * 3, cutoff=self.CUT, skin=0.5, capacity=32,
+            backend=backend, exclude=excl, **kw)
+        dense = lennard_jones(box=[self.L] * 3, cutoff=self.CUT,
+                              exclude=excl)
+        nl = build(x)
+        np.testing.assert_allclose(float(energy(nl, x)), float(dense(x)),
+                                   rtol=1e-5, atol=1e-6)
+        g_n = np.asarray(jax.grad(lambda y: energy(nl, y))(x))
+        g_d = np.asarray(jax.grad(dense)(x))
+        # Exclusions are masked INSIDE the sum (never summed, never
+        # subtracted), so only summation-order float32 noise remains.
+        np.testing.assert_allclose(g_n, g_d, rtol=1e-4, atol=1e-5)
+
+    def test_pair_list_equals_matrix(self):
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        x, excl = self._system(n=60, seed=1)
+        pairs = np.stack(np.nonzero(np.triu(excl, k=1)), -1)
+        # Duplicates and swapped order must not double-subtract.
+        pairs_dup = np.concatenate([pairs, pairs[:, ::-1]])
+        b1, e1 = lennard_jones_cell_neighbor(
+            box=[self.L] * 3, cutoff=self.CUT, skin=0.5, capacity=32,
+            exclude=excl)
+        b2, e2 = lennard_jones_cell_neighbor(
+            box=[self.L] * 3, cutoff=self.CUT, skin=0.5, capacity=32,
+            exclude=pairs_dup)
+        nl = b1(x)
+        np.testing.assert_allclose(float(e1(nl, x)), float(e2(nl, x)),
+                                   rtol=1e-6)
+
+    def test_full_ewald_split_with_exclusions(self):
+        """O(N) contract for MOLECULAR systems: cell-list erfc real
+        space WITH exclusions + PME(exclude, recip only) == exact full
+        Ewald with the same exclusions."""
+        from vaemolsim_tpu.potentials import (ewald_coulomb,
+                                              lennard_jones_cell_neighbor,
+                                              pme_coulomb)
+        rng = np.random.default_rng(7)
+        n = 48
+        x = jnp.asarray(rng.uniform(0, self.L, (n, 3)), jnp.float32)
+        q = rng.uniform(-1, 1, n)
+        q -= q.mean()
+        bonds = [[2 * k, 2 * k + 1] for k in range(n // 2)]
+        excl = exclusions_from_bonds(n, bonds, through_angles=False)
+        recip = pme_coulomb(q, box=[self.L] * 3, r_cutoff=self.CUT,
+                            tolerance=1e-5, exclude=excl,
+                            include_real_space=False)
+        build, energy = lennard_jones_cell_neighbor(
+            box=[self.L] * 3, cutoff=self.CUT, skin=0.4, capacity=32,
+            epsilon=0.0, charges=q, coulomb_alpha=recip.ewald_alpha,
+            exclude=excl)
+        nl = build(x)
+        split = float(energy(nl, x)) + float(recip(x))
+        exact = float(ewald_coulomb(q, box=[self.L] * 3,
+                                    r_cutoff=self.CUT, tolerance=1e-5,
+                                    exclude=excl)(x))
+        # Exclusions cancel most of the close-pair energy, so the
+        # TOTAL is small; the bound is PME-interpolation absolute
+        # error plus a relative term.
+        assert abs(split - exact) < 3e-4 * abs(exact) + 1e-4, (split,
+                                                               exact)
+
+    def test_stress_matches_dense_pair_formula(self):
+        x, excl = self._system(n=90, seed=2)
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        build, energy = lennard_jones_cell_neighbor(
+            box=[self.L] * 3, cutoff=self.CUT, skin=0.5, capacity=32,
+            exclude=excl)
+        nl = build(x)
+        sig = np.asarray(energy.stress(nl, x))
+        # Independent truth: numpy dense pair virial with the mask.
+        xd = np.asarray(x, np.float64)
+        box = np.array([self.L] * 3)
+        d = xd[:, None, :] - xd[None, :, :]
+        d -= box * np.round(d / box)
+        r = np.sqrt((d ** 2).sum(-1))
+        n = xd.shape[0]
+        mask = (r < self.CUT) & ~np.eye(n, dtype=bool) & ~np.asarray(excl)
+        r = np.where(mask, r, 1.0)
+        sr6 = 1.0 / r ** 6
+        dudr = 24.0 / r * (sr6 - 2.0 * sr6 * sr6)
+        w = np.where(mask, dudr / r, 0.0)
+        ref = -0.5 * np.einsum("ij,ija,ijb->ab", w, d, d) / self.L ** 3
+        np.testing.assert_allclose(sig, ref, rtol=1e-4, atol=1e-6)
+
+    def test_bonded_pair_truly_gone(self):
+        """Move a bonded pair to overlap: the excluded energy must not
+        change (no LJ wall between bonded atoms)."""
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        n = 6
+        excl = exclusions_from_bonds(n, [[0, 1]], through_angles=False)
+        build, energy = lennard_jones_cell_neighbor(
+            box=[self.L] * 3, cutoff=self.CUT, skin=0.5, capacity=32,
+            exclude=excl)
+        base = jnp.asarray([[5.0, 5.0, 5.0], [6.0, 5.0, 5.0],
+                            [1.0, 1.0, 1.0], [9.0, 9.0, 9.0],
+                            [1.0, 9.0, 1.0], [9.0, 1.0, 9.0]])
+        moved = base.at[1].set(jnp.asarray([5.05, 5.0, 5.0]))
+        e1 = float(energy(build(base), base))
+        e2 = float(energy(build(moved), moved))
+        np.testing.assert_allclose(e1, e2, atol=1e-5)
+
+    def test_validation_and_loud_failures(self):
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        kw = dict(box=[self.L] * 3, cutoff=self.CUT, skin=0.5,
+                  capacity=32)
+        with pytest.raises(ValueError, match="self pairs"):
+            lennard_jones_cell_neighbor(exclude=np.asarray([[1, 1]]),
+                                        **kw)
+        with pytest.raises(ValueError, match="symmetric"):
+            bad = np.zeros((4, 4), bool)
+            bad[0, 1] = True
+            lennard_jones_cell_neighbor(exclude=bad, **kw)
+        build, energy = lennard_jones_cell_neighbor(
+            exclude=np.asarray([[0, 50]]), **kw)
+        x = jax.random.uniform(jax.random.PRNGKey(3), (20, 3)) * self.L
+        with pytest.raises(ValueError, match="exclude references"):
+            energy(build(x), x)
+        build2, energy2 = lennard_jones_cell_neighbor(
+            exclude=np.asarray([[0, 1]]), **kw)
+        with pytest.raises(NotImplementedError, match="heat_flux"):
+            energy2.heat_flux(build2(x), x, jnp.zeros_like(x))
+
+    def test_nan_contract_preserved(self):
+        from vaemolsim_tpu.potentials import lennard_jones_cell_neighbor
+        build, energy = lennard_jones_cell_neighbor(
+            box=[self.L] * 3, cutoff=self.CUT, skin=0.5, capacity=32,
+            exclude=np.asarray([[0, 1]]))
+        x = jax.random.uniform(jax.random.PRNGKey(4), (32, 3)) * self.L
+        nl = build(x)
+        x_far = x.at[5].add(jnp.asarray([0.6, 0.0, 0.0]))
+        assert np.isnan(float(energy(nl, x_far)))

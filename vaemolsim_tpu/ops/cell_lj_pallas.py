@@ -61,7 +61,8 @@ _SLOPE_F = 24.0 / 0.3 * (_SRC6 - 2.0 * _SRC6 * _SRC6)
 
 def _make_kernel(n_atoms: int, sigma: float, epsilon: float,
                  cutoff: float, shift: bool, box: Tuple[float, ...],
-                 species: bool, coulomb: bool, alpha: float):
+                 species: bool, coulomb: bool, alpha: float,
+                 n_excl: int = 0):
     inv_box = tuple(1.0 / b for b in box)
     rc2 = float(cutoff) * float(cutoff)
     inv_cut6 = 1.0 / float(cutoff) ** 6
@@ -75,6 +76,9 @@ def _make_kernel(n_atoms: int, sigma: float, epsilon: float,
         if coulomb:
             cq_ref, nq_ref = refs[i:i + 2]
             i += 2
+        if n_excl:
+            cex_ref = refs[i]
+            i += 1
         e_ref, ft_ref = refs[i:i + 2]
         cT = cxt_ref[0]                     # (3, C)
         nT = nxt_ref[0]                     # (3, 27C)
@@ -102,6 +106,15 @@ def _make_kernel(n_atoms: int, sigma: float, epsilon: float,
 
         mask = ((ci_t < n_atoms) & (ni < n_atoms) & (ci_t != ni)
                 & (r2 < rc2))
+        if n_excl:
+            # Bonded exclusions: cex holds each center slot's excluded
+            # partner ids ((D, C), -1 padding never matches) — D static
+            # (C, 27C) integer compares drop the bonded pairs BEFORE
+            # the LJ wall is ever summed (subtract-after would cancel
+            # catastrophically at float32; see potentials.py).
+            exd = cex_ref[0]                # (D, C) int32
+            for k in range(n_excl):
+                mask = mask & (jnp.transpose(exd[k:k + 1, :]) != ni)
         # Same 1e-12 floor as the XLA paths: exactly coincident atoms
         # must get the finite linear-core energy/force (rsqrt(0) = inf
         # would NaN both), matching the dense form's contract.
@@ -154,6 +167,7 @@ def cell_pair_energy_force(cxt: Array, nxt: Array, cid: Array, nid: Array,
                            species: Optional[Tuple[Array, Array,
                                                    Array, Array]] = None,
                            charge: Optional[Tuple[Array, Array]] = None,
+                           exclusion: Optional[Array] = None,
                            *, n_atoms: int, sigma: float, epsilon: float,
                            cutoff: float, box: Tuple[float, ...],
                            shift: bool = True,
@@ -171,7 +185,10 @@ def cell_pair_energy_force(cxt: Array, nxt: Array, cid: Array, nid: Array,
         sqrt(epsilon) blocks, shapes (n_cells, 1, capacity) /
         (n_cells, 1, K) — overrides the scalar sigma/epsilon;
       charge: optional (cq, nq) per-slot charge blocks — adds the
-        Ewald real-space term ``qq erfc(coulomb_alpha r)/r``.
+        Ewald real-space term ``qq erfc(coulomb_alpha r)/r``;
+      exclusion: optional (n_cells, D, capacity) int32 excluded-partner
+        ids per center slot (-1 padding) — bonded pairs are masked out
+        of the sum in-kernel.
 
     Returns ``(e_cells (n_cells, 1, 1), grad_t (n_cells, 3, capacity))``
     with every pair's half-energy in its two cells and the full row sum
@@ -183,7 +200,8 @@ def cell_pair_energy_force(cxt: Array, nxt: Array, cid: Array, nid: Array,
                           float(cutoff), bool(shift),
                           tuple(float(b) for b in box),
                           species is not None, charge is not None,
-                          float(coulomb_alpha))
+                          float(coulomb_alpha),
+                          0 if exclusion is None else exclusion.shape[1])
     in_specs = [
         pl.BlockSpec((1, 3, cap), lambda c: (c, 0, 0)),
         pl.BlockSpec((1, 3, kp), lambda c: (c, 0, 0)),
@@ -197,6 +215,10 @@ def cell_pair_energy_force(cxt: Array, nxt: Array, cid: Array, nid: Array,
                 in_specs.append(pl.BlockSpec(
                     (1, 1, a.shape[-1]), lambda c: (c, 0, 0)))
                 args.append(a)
+    if exclusion is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, exclusion.shape[1], cap), lambda c: (c, 0, 0)))
+        args.append(exclusion)
     return pl.pallas_call(
         kernel,
         grid=(n_cells,),

@@ -353,7 +353,8 @@ def lennard_jones_cell_neighbor(
         capacity: int = 24, shift: bool = True,
         backend: str = "xla", interpret: bool = False,
         mesh=None, mesh_axis: str = "cells",
-        charges=None, coulomb_alpha: Optional[float] = None
+        charges=None, coulomb_alpha: Optional[float] = None,
+        exclude: Optional[np.ndarray] = None
         ) -> Tuple[Callable[[Array], CellNeighborList],
                    Callable[[CellNeighborList, Array], Array]]:
     """Cell-list Lennard-Jones with an explicit, reusable neighbor
@@ -406,9 +407,27 @@ def lennard_jones_cell_neighbor(
     alpha=<same>, r_cutoff=<same cutoff>)`` for the reciprocal/self/
     background parts: the composite is the exact Ewald sum at
     O(N*capacity) + O(N*n_k) instead of dense O(N^2) (split-exactness
-    pinned by test).  No exclusion support on this path (bulk ionic
-    fluids); no core softening on the Coulomb term (the LJ core
-    prevents opposite-charge collapse).
+    pinned by test).  No core softening on the Coulomb term (the LJ
+    core prevents opposite-charge collapse).
+
+    **Bonded exclusions**: ``exclude`` takes an ``(n, n)`` bool matrix
+    (:func:`exclusions_from_bonds`) or an ``(E, 2)`` pair list; the
+    listed pairs are masked OUT of the pair sum itself on both backends
+    (a per-atom partner table of width D = max exclusion degree, D
+    static integer compares per candidate).  Masking inside — rather
+    than subtracting a correction term after — is load-bearing at
+    float32: a bonded pair sits deep in the LJ core where the wall is
+    ~1e7-1e8, so a subtracted correction would cancel against a total
+    whose ulp exceeds the entire remaining physics (the dense
+    ``lennard_jones(exclude=...)`` masks for the same reason, and so
+    does every production MD engine).  ``energy.stress`` inherits the
+    mask automatically.  For the reciprocal side, pass the SAME
+    exclusions to ``ewald_coulomb``/``pme_coulomb`` — their ``exclude``
+    handles the ``-q_i q_j erf(alpha r)/r`` reciprocal-space
+    correction, while this mask removes the real-space erfc term.
+    ``heat_flux`` refuses exclusions (Irving-Kirkwood for bonded
+    systems needs the bonded-force pair terms this potential does not
+    see).
 
     **Pressure tensor**: ``energy.stress(nl, x)`` returns the full
     ``(dim, dim)`` configurational virial tensor (shear components
@@ -509,6 +528,88 @@ def lennard_jones_cell_neighbor(
     else:
         q_at = None
 
+    # ---- bonded exclusions: per-atom partner table, masked in-sum ----
+    if exclude is not None:
+        ex_np = np.asarray(exclude)
+        if ex_np.dtype == bool:
+            if ex_np.ndim != 2 or ex_np.shape[0] != ex_np.shape[1]:
+                raise ValueError(f"bool exclude must be a square "
+                                 f"(n, n) matrix; got {ex_np.shape}")
+            if not (ex_np == ex_np.T).all():
+                raise ValueError("exclude matrix must be symmetric")
+            ex_i, ex_j = np.nonzero(np.triu(ex_np, k=1))
+        else:
+            pr = ex_np.astype(np.int64).reshape(-1, 2)
+            lo = np.minimum(pr[:, 0], pr[:, 1])
+            hi = np.maximum(pr[:, 0], pr[:, 1])
+            if (lo == hi).any():
+                raise ValueError("exclude pair list contains self pairs")
+            if lo.size and lo.min() < 0:
+                raise ValueError("exclude pair indices must be >= 0")
+            pairs = np.unique(np.stack([lo, hi], 1), axis=0)
+            ex_i, ex_j = pairs[:, 0], pairs[:, 1]
+        ex_max = int(max(ex_i.max(), ex_j.max())) if ex_i.size else -1
+        if n_spec is not None and ex_max >= n_spec:
+            raise ValueError(f"exclude references atom {ex_max} but "
+                             f"per-atom sigma/epsilon has {n_spec}")
+        if q_at is not None and ex_max >= q_at.shape[0]:
+            raise ValueError(f"exclude references atom {ex_max} but "
+                             f"charges has {q_at.shape[0]}")
+        if ex_i.size == 0:
+            exclude = None
+    if exclude is not None:
+        # (ex_max+1, D) partner table padded with -1 (never a valid
+        # candidate id): row a lists every atom excluded against a.
+        deg = np.zeros(ex_max + 1, np.int64)
+        np.add.at(deg, ex_i, 1)
+        np.add.at(deg, ex_j, 1)
+        ex_deg = int(deg.max())
+        excl_tab0 = np.full((ex_max + 1, ex_deg), -1, np.int32)
+        fill = np.zeros(ex_max + 1, np.int64)
+        for a, b in zip(ex_i.tolist(), ex_j.tolist()):
+            excl_tab0[a, fill[a]] = b
+            fill[a] += 1
+            excl_tab0[b, fill[b]] = a
+            fill[b] += 1
+    else:
+        ex_max, ex_deg, excl_tab0 = -1, 0, None
+
+    def _excl_tab(n):
+        """(n, D) excluded-partner ids for an n-atom call (static n)."""
+        if n <= ex_max:
+            raise ValueError(f"exclude references atom {ex_max} but "
+                             f"coords have {n} atoms")
+        if n == excl_tab0.shape[0]:
+            return jnp.asarray(excl_tab0)
+        pad = np.full((n - excl_tab0.shape[0], ex_deg), -1, np.int32)
+        return jnp.asarray(np.concatenate([excl_tab0, pad]))
+
+    def _excl_mask(cand, n):
+        """candidates-to-drop mask: cand (n, K) atom ids vs the partner
+        table — D static compares, no rank-3 intermediate."""
+        tab = _excl_tab(n)
+        hit = jnp.zeros(cand.shape, bool)
+        for k in range(ex_deg):
+            hit = hit | (cand == tab[:, k:k + 1])
+        return hit
+
+    def _with_exclusions(energy_fn):
+        """Attach the heat-flux refusal when exclusions are active (the
+        energy/force/stress paths handle exclusions via the candidate
+        mask and need no wrapping)."""
+        if exclude is None:
+            return energy_fn
+
+        def heat_flux_ex(*a, **k):
+            raise NotImplementedError(
+                "heat_flux with bonded exclusions is not supported: the "
+                "Irving-Kirkwood pair form needs ALL interatomic forces "
+                "(including the bonded terms that motivate exclusions), "
+                "which this nonbonded potential does not see")
+
+        energy_fn.heat_flux = heat_flux_ex
+        return energy_fn
+
     def _pair_qq(nl, n):
         """Per-pair charge products in the XLA candidate layout."""
         nb_cid, _ = _nb_cid_mask(nl, n)
@@ -536,6 +637,9 @@ def lennard_jones_cell_neighbor(
         if q_at is not None and n != q_at.shape[0]:
             raise ValueError(f"coords have {n} atoms but charges has "
                              f"{q_at.shape[0]}")
+        if ex_max >= n:
+            raise ValueError(f"exclude references atom {ex_max} but "
+                             f"coords have {n} atoms")
 
     def _wrap(x):
         return x - box_j * jnp.floor(x / box_j)
@@ -578,6 +682,8 @@ def lennard_jones_cell_neighbor(
             nb_cid = nb3 @ jnp.asarray(strides, jnp.int32)
             cand = cell_atoms[nb_cid].reshape(n, 27 * capacity)
             mask = (cand < n) & (cand != jnp.arange(n)[:, None])
+            if exclude is not None:
+                mask = mask & ~_excl_mask(cand, n)
         # Atom -> flat (cell*capacity + slot), in atom order: maps the
         # kernel's cell-layout forces back with one row gather.
         slot_sorted = jnp.arange(n, dtype=jnp.int32) - start[cid_sorted]
@@ -602,6 +708,8 @@ def lennard_jones_cell_neighbor(
         nb_cid = nb3 @ jnp.asarray(strides, jnp.int32)
         cand = nl.cell_atoms[nb_cid].reshape(n, 27 * capacity)
         mask = (cand < n) & (cand != jnp.arange(n)[:, None])
+        if exclude is not None:
+            mask = mask & ~_excl_mask(cand, n)
         return nb_cid, mask
 
     def _pairs(nl: CellNeighborList, xw):
@@ -785,7 +893,7 @@ def lennard_jones_cell_neighbor(
     energy.heat_flux = heat_flux
 
     if backend == "xla":
-        return build, energy
+        return build, _with_exclusions(energy)
 
     # ---- pallas backend: fused VMEM energy+force kernel ----
     from vaemolsim_tpu.ops.cell_lj_pallas import cell_pair_energy_force
@@ -821,13 +929,21 @@ def lennard_jones_cell_neighbor(
             args += (q_cell.reshape(n_cells_p, 1, capacity),
                      q_cell[cell_nb_j].reshape(n_cells_p, 1,
                                                27 * capacity))
+        if exclude is not None:
+            # Padding slots (id n -> clipped to n-1) gather a real
+            # atom's partner row, but the kernel's ci < n_atoms mask
+            # kills those columns before the ids are consulted.
+            ex_cell = jnp.transpose(_excl_tab(n)[cells], (0, 2, 1))
+            args += (ex_cell,)              # (n_cells, D, capacity)
 
         def _kern(*a):
             i = 4 + (4 if per_atom else 0)
+            j = i + (2 if q_at is not None else 0)
             return cell_pair_energy_force(
                 a[0], a[1], a[2], a[3],
                 species=a[4:i] if per_atom else None,
-                charge=a[i:i + 2] if q_at is not None else None,
+                charge=a[i:j] if q_at is not None else None,
+                exclusion=a[j] if exclude is not None else None,
                 n_atoms=n,
                 sigma=sigma if sigma is not None else 1.0,
                 epsilon=epsilon if epsilon is not None else 1.0,
@@ -880,7 +996,7 @@ def lennard_jones_cell_neighbor(
     # observables, not per-step hot paths.
     energy_pallas.stress = stress
     energy_pallas.heat_flux = heat_flux
-    return build, energy_pallas
+    return build, _with_exclusions(energy_pallas)
 
 
 def lennard_jones_cell(sigma: float = 1.0, epsilon: float = 1.0, *,
