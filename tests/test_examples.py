@@ -369,3 +369,14 @@ def test_example_38_alchemical_free_energy():
     assert set(vals) == {"TI", "MBAR", "Widom"}, out[-500:]
     assert abs(vals["TI"] - vals["Widom"]) < 0.15, vals
     assert "OK" in out
+
+
+@pytest.mark.slow
+def test_example_39_molecular_md_stack():
+    out = run_example("39_molecular_md_stack.py", timeout=1200)
+    import re
+    m = re.search(r"rel err ([0-9.e-]+)", out)
+    assert m and float(m.group(1)) < 3e-4, out[-500:]
+    m = re.search(r"ratio ([0-9.]+)", out)
+    assert m and float(m.group(1)) > 1.15, out[-500:]
+    assert out.strip().split("\n")[-1] == "OK"

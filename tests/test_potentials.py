@@ -1223,3 +1223,54 @@ class TestCellNeighborExclusions:
         nl = build(x)
         x_far = x.at[5].add(jnp.asarray([0.6, 0.0, 0.0]))
         assert np.isnan(float(energy(nl, x_far)))
+
+
+class TestExcludePairListForms:
+    """Every dense potential's ``exclude`` accepts BOTH an (n, n) bool
+    matrix and an (E, 2) pair list (normalized by _exclude_matrix) —
+    form equivalence and loud validation."""
+
+    def _x(self, n=24, seed=0, L=8.0):
+        return jax.random.uniform(jax.random.PRNGKey(seed), (n, 3)) * L
+
+    def test_dense_lj_and_coulomb_forms_agree(self):
+        from vaemolsim_tpu.potentials import coulomb, lennard_jones
+        n, L = 24, 8.0
+        x = self._x(n)
+        pairs = np.asarray([[2 * k, 2 * k + 1] for k in range(n // 2)])
+        mat = exclusions_from_bonds(n, pairs, through_angles=False)
+        q = np.tile([0.4, -0.4], n // 2)
+        for make in (lambda e: lennard_jones(box=[L] * 3, cutoff=2.5,
+                                             exclude=e),
+                     lambda e: coulomb(q, exclude=e)):
+            np.testing.assert_allclose(float(make(mat)(x)),
+                                       float(make(pairs)(x)), rtol=1e-6)
+
+    def test_ewald_and_pme_forms_agree(self):
+        from vaemolsim_tpu.potentials import ewald_coulomb, pme_coulomb
+        n, L = 16, 9.0
+        x = self._x(n, seed=1, L=L)
+        pairs = np.asarray([[2 * k, 2 * k + 1] for k in range(n // 2)])
+        mat = exclusions_from_bonds(n, pairs, through_angles=False)
+        q = np.tile([0.5, -0.5], n // 2)
+        for make in (lambda e: ewald_coulomb(q, box=[L] * 3,
+                                             r_cutoff=3.0, exclude=e),
+                     lambda e: pme_coulomb(q, box=[L] * 3, r_cutoff=3.0,
+                                           exclude=e)):
+            np.testing.assert_allclose(float(make(mat)(x)),
+                                       float(make(pairs)(x)), rtol=1e-6)
+
+    def test_validation(self):
+        from vaemolsim_tpu.potentials import _exclude_matrix
+        with pytest.raises(ValueError, match="self pairs"):
+            _exclude_matrix(np.asarray([[3, 3]]), 8)
+        with pytest.raises(ValueError, match="references atom"):
+            _exclude_matrix(np.asarray([[0, 9]]), 8)
+        with pytest.raises(ValueError, match="symmetric"):
+            bad = np.zeros((8, 8), bool)
+            bad[0, 1] = True
+            _exclude_matrix(bad, 8)
+        with pytest.raises(ValueError, match="matrix is"):
+            _exclude_matrix(np.zeros((6, 6), bool), 8)
+        out = _exclude_matrix(np.asarray([[1, 0], [0, 1], [2, 3]]), 4)
+        assert out.sum() == 4 and out[0, 1] and out[1, 0] and out[2, 3]

@@ -250,6 +250,36 @@ def exclusions_from_bonds(n_atoms: int, bonds,
     return excl
 
 
+def _exclude_matrix(exclude, n: int) -> np.ndarray:
+    """Normalize an ``exclude`` argument — an ``(n, n)`` bool matrix
+    (:func:`exclusions_from_bonds`) or an ``(E, 2)`` integer pair
+    list — to a validated symmetric ``(n, n)`` bool matrix.  Every
+    dense potential's ``exclude`` accepts both forms through this
+    (the cell-list path parses the same two forms natively)."""
+    ex = np.asarray(exclude)
+    if ex.dtype == bool:
+        if ex.ndim != 2 or ex.shape[0] != ex.shape[1]:
+            raise ValueError(f"bool exclude must be a square (n, n) "
+                             f"matrix; got {ex.shape}")
+        if ex.shape[0] != n:
+            raise ValueError(f"exclude matrix is {ex.shape[0]}x"
+                             f"{ex.shape[0]} but the system has {n} "
+                             f"atoms")
+        if not (ex == ex.T).all():
+            raise ValueError("exclude matrix must be symmetric")
+        return ex
+    pr = ex.astype(np.int64).reshape(-1, 2)
+    if (pr[:, 0] == pr[:, 1]).any():
+        raise ValueError("exclude pair list contains self pairs")
+    if pr.size and (pr.min() < 0 or pr.max() >= n):
+        raise ValueError(f"exclude references atom {pr.max()} but the "
+                         f"system has {n} atoms")
+    m = np.zeros((n, n), bool)
+    m[pr[:, 0], pr[:, 1]] = True
+    m[pr[:, 1], pr[:, 0]] = True
+    return m
+
+
 def lennard_jones(sigma=1.0, epsilon=1.0, *,
                   exclude: Optional[np.ndarray] = None,
                   box: Optional[Sequence[float]] = None,
@@ -289,7 +319,7 @@ def lennard_jones(sigma=1.0, epsilon=1.0, *,
         n = x.shape[-2]
         pair_mask = np.triu(np.ones((n, n), bool), k=1)
         if exclude is not None:
-            pair_mask &= ~np.asarray(exclude, bool)
+            pair_mask &= ~_exclude_matrix(exclude, n)
         mask = jnp.asarray(pair_mask)
 
         d = x[..., :, None, :] - x[..., None, :, :]
@@ -1127,7 +1157,7 @@ def lennard_jones_softcore(sigma=1.0, epsilon=1.0, *,
         lam = jnp.asarray(lam, x.dtype)
         pair_mask = np.triu(np.ones((n, n), bool), k=1)
         if exclude is not None:
-            pair_mask &= ~np.asarray(exclude, bool)
+            pair_mask &= ~_exclude_matrix(exclude, n)
         full_mask = jnp.asarray(pair_mask & ~scaled_np)
         soft_mask = jnp.asarray(pair_mask & scaled_np)
 
@@ -1192,7 +1222,7 @@ def coulomb(charges, *, exclude: Optional[np.ndarray] = None,
                              f"{q.shape[0]}")
         pair_mask = np.triu(np.ones((n, n), bool), k=1)
         if exclude is not None:
-            pair_mask &= ~np.asarray(exclude, bool)
+            pair_mask &= ~_exclude_matrix(exclude, n)
         mask = jnp.asarray(pair_mask)
 
         d = x[..., :, None, :] - x[..., None, :, :]
@@ -1297,7 +1327,8 @@ def ewald_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
     modes = jnp.asarray(nn, jnp.float32)            # (n_k, 3)
 
     qq = q[:, None] * q[None, :]
-    excl_np = None if exclude is None else np.asarray(exclude, bool)
+    excl_np = (None if exclude is None
+               else _exclude_matrix(exclude, q.shape[0]))
     from jax.scipy.special import erf, erfc
 
     def energy(x: Array) -> Array:
@@ -1535,7 +1566,8 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
     box_j = jnp.asarray(box_np, jnp.float32)
     grid_j = jnp.asarray(grid_np, jnp.float32)
     qq = q[:, None] * q[None, :]
-    excl_np = None if exclude is None else np.asarray(exclude, bool)
+    excl_np = (None if exclude is None
+               else _exclude_matrix(exclude, q.shape[0]))
     from jax.scipy.special import erf, erfc
 
     def _recip_one(x: Array) -> Array:
