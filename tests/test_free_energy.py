@@ -355,3 +355,119 @@ def test_mbar_expectation_jax_integer_index_and_bad_shape():
     np.testing.assert_allclose(float(m_np), float(m_int), atol=1e-6)
     with pytest.raises(ValueError, match="log-density"):
         mbar_expectation(res, vals, state=jnp.zeros(7))
+
+
+class TestTargetedFEP:
+    """Targeted (flow-mapped) FEP — Wirnsberger et al. 2020 protocol.
+
+    Same Gaussian pair as above: the EXACT map p_0 -> p_1 is the affine
+    x -> 1 + S1 * x, under which every mapped work value equals the true
+    dF (zero-variance estimator)."""
+
+    def _exact_bijector(self):
+        from vaemolsim_tpu.ops import bijectors as bij
+        return bij.Block(
+            bij.Chain((bij.Shift(shift=jnp.asarray(1.0)),
+                       bij.Scale(scale=jnp.asarray(S1)))), ndims=1)
+
+    def test_exact_map_zero_variance(self, gaussian_work):
+        from vaemolsim_tpu.mcmc import targeted_work_values
+        x_a = jax.random.normal(jax.random.PRNGKey(3), (64, 1))
+        w = targeted_work_values(lp0, lp1, x_a,
+                                 bijector=self._exact_bijector())
+        assert w.shape == (64,)
+        np.testing.assert_allclose(np.asarray(w), TRUE_DF, atol=1e-5)
+        assert float(jnp.std(w)) < 1e-5
+
+    def test_identity_map_recovers_plain_work(self):
+        from vaemolsim_tpu.mcmc import targeted_work_values
+        from vaemolsim_tpu.ops import bijectors as bij
+        x = jax.random.normal(jax.random.PRNGKey(4), (128, 1))
+        w_plain = work_values(lp0, lp1, x)
+        w_tgt = targeted_work_values(
+            lp0, lp1, x, bijector=bij.Block(bij.Identity(), ndims=1))
+        np.testing.assert_allclose(np.asarray(w_tgt), np.asarray(w_plain),
+                                   rtol=1e-6)
+
+    def test_targeted_bar_exact_map(self):
+        from vaemolsim_tpu.mcmc import targeted_bar
+        k0, k1 = jax.random.split(jax.random.PRNGKey(5))
+        x_a = jax.random.normal(k0, (256, 1))
+        x_b = 1.0 + S1 * jax.random.normal(k1, (256, 1))
+        df, se = targeted_bar(lp0, lp1, x_a, x_b,
+                              bijector=self._exact_bijector())
+        assert abs(float(df) - TRUE_DF) < 1e-4
+        assert float(se) < 1e-4
+
+    def test_inverse_flag_gives_reverse_leg(self):
+        from vaemolsim_tpu.mcmc import targeted_work_values
+        x_b = 1.0 + S1 * jax.random.normal(jax.random.PRNGKey(6), (64, 1))
+        w_r = targeted_work_values(lp1, lp0, x_b,
+                                   bijector=self._exact_bijector(),
+                                   inverse=True)
+        np.testing.assert_allclose(np.asarray(w_r), -TRUE_DF, atol=1e-5)
+
+    def test_unreduced_log_det_raises(self):
+        from vaemolsim_tpu.mcmc import targeted_work_values
+        from vaemolsim_tpu.ops import bijectors as bij
+        x = jnp.ones((8, 2))
+
+        def lp(z):
+            return -0.5 * jnp.sum(z ** 2, axis=-1)
+
+        with pytest.raises(ValueError, match="Block"):
+            targeted_work_values(lp, lp, x, bijector=bij.Identity())
+
+    def test_map_spec_validation(self):
+        from vaemolsim_tpu.mcmc import targeted_bar, targeted_work_values
+        from vaemolsim_tpu.ops import bijectors as bij
+        x = jnp.ones((4, 1))
+        with pytest.raises(ValueError, match="exactly one"):
+            targeted_work_values(lp0, lp1, x)
+        b = bij.Block(bij.Identity(), ndims=1)
+        with pytest.raises(ValueError, match="exactly one"):
+            targeted_work_values(lp0, lp1, x, bijector=b,
+                                 map_and_log_det=b.forward_and_log_det)
+        with pytest.raises(ValueError, match="not both"):
+            targeted_bar(lp0, lp1, x, x, bijector=b,
+                         map_and_log_det=b.forward_and_log_det)
+        with pytest.raises(ValueError, match="both"):
+            targeted_bar(lp0, lp1, x, x,
+                         map_and_log_det=b.forward_and_log_det)
+
+    def test_training_shrinks_variance_to_exact(self):
+        """tfep_loss gradient descent on an affine map recovers the exact
+        (shift, log-scale) and collapses the work variance by orders of
+        magnitude relative to plain FEP — the whole point of TFEP."""
+        from vaemolsim_tpu.mcmc import tfep_loss, targeted_work_values
+
+        x = jax.random.normal(jax.random.PRNGKey(7), (4096, 1))
+
+        def mald_of(params):
+            shift, log_scale = params
+
+            def mald(z):
+                y = shift + jnp.exp(log_scale) * z
+                ldj = jnp.broadcast_to(log_scale, (z.shape[0],))
+                return y, ldj
+            return mald
+
+        def loss(params):
+            return tfep_loss(lp0, lp1, x, map_and_log_det=mald_of(params))
+
+        params = (jnp.asarray(0.0), jnp.asarray(0.0))
+        g = jax.jit(jax.grad(loss))
+        for _ in range(400):
+            grads = g(params)
+            params = jax.tree_util.tree_map(
+                lambda p, d: p - 0.05 * d, params, grads)
+        shift, log_scale = params
+        assert abs(float(shift) - 1.0) < 1e-2
+        assert abs(float(jnp.exp(log_scale)) - S1) < 1e-2
+
+        w = targeted_work_values(lp0, lp1, x, map_and_log_det=mald_of(params))
+        w_plain = work_values(lp0, lp1, x)
+        assert float(jnp.std(w)) < 1e-2 * float(jnp.std(w_plain))
+        # Gibbs bound is tight at the trained optimum (finite-sample mean
+        # may sit a hair below the population bound).
+        assert abs(float(jnp.mean(w)) - TRUE_DF) < 1e-3

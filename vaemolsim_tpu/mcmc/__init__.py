@@ -28,6 +28,9 @@ from vaemolsim_tpu.mcmc.free_energy import (  # noqa: F401
     mbar_free_energy,
     mbar_from_samples,
     mbar_perturbed_free_energy,
+    targeted_bar,
+    targeted_work_values,
+    tfep_loss,
     work_values,
 )
 from vaemolsim_tpu.mcmc.fused import (  # noqa: F401

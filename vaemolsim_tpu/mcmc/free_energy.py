@@ -39,7 +39,8 @@ __all__ = ["work_values", "exp_free_energy", "bar_free_energy", "ais",
            "AISResult", "MBARResult", "mbar_free_energy",
            "mbar_from_samples", "mbar_perturbed_free_energy",
            "mbar_expectation", "ti_free_energy",
-           "gauss_legendre_lambdas"]
+           "gauss_legendre_lambdas", "targeted_work_values",
+           "targeted_bar", "tfep_loss"]
 
 
 def work_values(log_prob_from: Callable[[Array], Array],
@@ -542,3 +543,113 @@ def ti_free_energy(dudl: Array, lambdas=None, *, weights=None,
     delta_f = jnp.sum(w * means)
     stderr = jnp.sqrt(jnp.sum(w * w * g * var / n))
     return delta_f, stderr
+
+
+# --- targeted free-energy perturbation (learned-map FEP) ---------------
+
+def _resolve_map(bijector, map_and_log_det, inverse):
+    """Normalize the two map-specification styles to one callable
+    ``x -> (y, log|det J|)``."""
+    if (bijector is None) == (map_and_log_det is None):
+        raise ValueError(
+            "pass exactly one of bijector= or map_and_log_det=")
+    if map_and_log_det is not None:
+        return map_and_log_det
+    if inverse:
+        return bijector.inverse_and_log_det
+    return bijector.forward_and_log_det
+
+
+def targeted_work_values(log_prob_from: Callable[[Array], Array],
+                         log_prob_to: Callable[[Array], Array],
+                         samples: Array, *,
+                         bijector=None,
+                         map_and_log_det: Optional[Callable] = None,
+                         inverse: bool = False) -> Array:
+    """Flow-mapped (targeted) reduced work — Wirnsberger et al.,
+    J. Chem. Phys. 153, 144112 (2020).
+
+    For an invertible map ``M`` from the *from* configuration space to
+    the *to* space and samples ``x ~ p_from``:
+
+        w_T = log p~_from(x) - log p~_to(M(x)) - log|det J_M(x)|
+
+    ``dF = -ln < exp(-w_T) >_from`` exactly as for plain
+    :func:`work_values` (``M = Identity`` recovers it), but the variance
+    shrinks as ``M`` pushes ``p_from`` onto ``p_to`` — if the pushforward
+    is exact, every ``w_T`` equals ``dF`` and one sample suffices.  Train
+    ``M`` by minimizing :func:`tfep_loss`.
+
+    The map is given either as ``bijector=`` (any
+    :class:`~vaemolsim_tpu.ops.bijectors.Bijector` — a trained flow's
+    transform; set ``inverse=True`` to use its inverse direction for the
+    reverse leg) or ``map_and_log_det=`` (callable
+    ``x -> (y, log|det J|)``); pass exactly one.  Batched over the
+    leading axis of ``samples``; log-det must reduce over event dims
+    (the Bijector contract).
+
+    Beyond-reference capability: the reference trains flows
+    (vaemolsim/flows.py) but has no free-energy layer to point them at.
+    """
+    fwd = _resolve_map(bijector, map_and_log_det, inverse)
+    mapped, ldj = fwd(samples)
+    lp = log_prob_from(samples)
+    if jnp.shape(ldj) != jnp.shape(lp):
+        raise ValueError(
+            f"log-det shape {jnp.shape(ldj)} does not match log-prob shape "
+            f"{jnp.shape(lp)}; wrap scalar bijectors in ops.bijectors.Block "
+            "so the log-det reduces over event dims")
+    return lp - log_prob_to(mapped) - ldj
+
+
+def targeted_bar(log_prob_a: Callable[[Array], Array],
+                 log_prob_b: Callable[[Array], Array],
+                 samples_a: Array, samples_b: Array, *,
+                 bijector=None,
+                 map_and_log_det: Optional[Callable] = None,
+                 inverse_map_and_log_det: Optional[Callable] = None,
+                 iters: int = 100) -> Tuple[Array, Array]:
+    """Bidirectional targeted FEP: BAR on flow-mapped work from both
+    ends (Wirnsberger et al. 2020, learned-map generalization of
+    Bennett).
+
+    Forward work maps ``samples_a ~ p_a`` through ``M``; reverse work
+    maps ``samples_b ~ p_b`` through ``M^{-1}``.  With ``bijector=`` both
+    directions come from the one object (guaranteeing they invert each
+    other); with callables pass BOTH ``map_and_log_det`` and
+    ``inverse_map_and_log_det``.  Returns ``(delta_f(a->b), stderr)``
+    from :func:`bar_free_energy`.
+    """
+    if bijector is not None:
+        if map_and_log_det is not None or inverse_map_and_log_det is not None:
+            raise ValueError("pass bijector= or the callable pair, not both")
+        fwd, inv = bijector.forward_and_log_det, bijector.inverse_and_log_det
+    else:
+        if map_and_log_det is None or inverse_map_and_log_det is None:
+            raise ValueError(
+                "without bijector=, pass both map_and_log_det= and "
+                "inverse_map_and_log_det=")
+        fwd, inv = map_and_log_det, inverse_map_and_log_det
+    w_f = targeted_work_values(log_prob_a, log_prob_b, samples_a,
+                               map_and_log_det=fwd)
+    w_r = targeted_work_values(log_prob_b, log_prob_a, samples_b,
+                               map_and_log_det=inv)
+    return bar_free_energy(w_f, w_r, iters=iters)
+
+
+def tfep_loss(log_prob_from: Callable[[Array], Array],
+              log_prob_to: Callable[[Array], Array],
+              samples: Array, *,
+              bijector=None,
+              map_and_log_det: Optional[Callable] = None) -> Array:
+    """Training objective for the targeted map: the mean mapped work
+    ``< w_T >_from = KL(M#p_from || p_to) + dF >= dF`` (Gibbs
+    inequality), so minimizing it both tightens the one-sided bound and
+    drives the EXP estimator's variance to zero.  Samples are treated as
+    fixed data (reweighting-free, simulation-free training — the TFEP
+    protocol); differentiate w.r.t. the map parameters inside
+    ``bijector``/``map_and_log_det``.
+    """
+    return jnp.mean(targeted_work_values(
+        log_prob_from, log_prob_to, samples,
+        bijector=bijector, map_and_log_det=map_and_log_det))
