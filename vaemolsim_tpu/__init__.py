@@ -40,6 +40,7 @@ from vaemolsim_tpu import potentials  # noqa: F401
 from vaemolsim_tpu import md  # noqa: F401
 from vaemolsim_tpu import pimd  # noqa: F401
 from vaemolsim_tpu import bd  # noqa: F401
+from vaemolsim_tpu import dpd  # noqa: F401
 from vaemolsim_tpu import gle  # noqa: F401
 from vaemolsim_tpu import metadynamics  # noqa: F401
 from vaemolsim_tpu import colvars  # noqa: F401
