@@ -43,6 +43,7 @@ from vaemolsim_tpu import bd  # noqa: F401
 from vaemolsim_tpu import dpd  # noqa: F401
 from vaemolsim_tpu import gle  # noqa: F401
 from vaemolsim_tpu import metadynamics  # noqa: F401
+from vaemolsim_tpu import opes  # noqa: F401
 from vaemolsim_tpu import colvars  # noqa: F401
 from vaemolsim_tpu import abf  # noqa: F401
 from vaemolsim_tpu import paths  # noqa: F401
