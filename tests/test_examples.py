@@ -380,3 +380,13 @@ def test_example_39_molecular_md_stack():
     m = re.search(r"ratio ([0-9.]+)", out)
     assert m and float(m.group(1)) > 1.15, out[-500:]
     assert out.strip().split("\n")[-1] == "OK"
+
+
+@pytest.mark.slow
+def test_example_40_targeted_fep():
+    out = run_example("40_targeted_fep.py", timeout=900)
+    import re
+    m = re.search(r"VALIDATED: ([0-9]+)x variance reduction", out)
+    assert m and float(m.group(1)) > 5.0, out[-500:]
+    m = re.search(r"within ([0-9.]+) of exact", out)
+    assert m and float(m.group(1)) < 0.05, out[-500:]
