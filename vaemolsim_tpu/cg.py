@@ -201,8 +201,15 @@ def rel_entropy_fit(potential: Callable, params: Any, *,
                 lambda q: rel_entropy_loss(
                     potential, q, mapped_frames, cg_frames, u_ref,
                     beta=beta), has_aux=True)(p)
-            updates, s = opt.update(g, s, p)
-            p = optax.apply_updates(p, updates)
+            # Strict ESS guard: an update whose gradient was computed
+            # from a below-threshold-ESS reweighting is discarded, not
+            # applied-then-stopped (the loop still exits via cond).
+            ok = ess >= ess_frac * n
+            updates, s_new = opt.update(g, s, p)
+            p_new = optax.apply_updates(p, updates)
+            sel = lambda old, new: jnp.where(ok, new, old)
+            p = jax.tree_util.tree_map(sel, p, p_new)
+            s = jax.tree_util.tree_map(sel, s, s_new)
             return i + 1, p, s, ess
 
         ess0 = jnp.asarray(float(n), mapped_frames.dtype)

@@ -77,11 +77,12 @@ def soft_pair_energy(a=25.0, *, r_cut: float = 1.0,
     Flory-Huggins chi).  Returns a ``potentials``-contract callable
     ``x -> energy`` usable with every sampler in the framework.
     """
-    a = jnp.asarray(a, jnp.float32)
+    a = jnp.asarray(a)
 
     def energy(x: Array) -> Array:
         _, w = _pair_geometry(x, r_cut, box)
-        u = 0.5 * a * (r_cut / 2.0) * w * w   # 0.5: double-counted pairs
+        aij = a.astype(x.dtype)   # match dpd_forces' precision under x64
+        u = 0.5 * aij * (r_cut / 2.0) * w * w  # 0.5: double-counted pairs
         return jnp.sum(u, axis=(-2, -1))
 
     return energy

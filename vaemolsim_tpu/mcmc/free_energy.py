@@ -554,6 +554,11 @@ def _resolve_map(bijector, map_and_log_det, inverse):
         raise ValueError(
             "pass exactly one of bijector= or map_and_log_det=")
     if map_and_log_det is not None:
+        if inverse:
+            raise ValueError(
+                "inverse=True only applies to bijector=; a "
+                "map_and_log_det= callable is used as given — pass the "
+                "reverse-direction callable instead")
         return map_and_log_det
     if inverse:
         return bijector.inverse_and_log_det
