@@ -2,10 +2,19 @@
 
 PY ?= python
 
-.PHONY: test docs apidocs docs-check bench clean-docs
+.PHONY: test test-examples test-all docs apidocs docs-check bench clean-docs
 
+# Default lane: everything but the example-workflow smokes, sharded by
+# file over available cores with a hard per-file timeout
+# (tools/partest.py — first-party xdist/timeout stand-in).
 test:
-	$(PY) -m pytest tests/ -q
+	$(PY) tools/partest.py -m "not slow" --timeout 1200
+
+# Examples lane (the 40 subprocess smokes; CI runs it as its own job).
+test-examples:
+	$(PY) tools/partest.py tests/test_examples.py -m slow --timeout 1200
+
+test-all: test test-examples
 
 # Regenerate the per-module API reference (docs/api.md).
 apidocs:

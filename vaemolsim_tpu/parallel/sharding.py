@@ -19,7 +19,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "make_hybrid_mesh", "chain_sharding",
-           "shard_chain_state", "replicate"]
+           "shard_chain_state", "replicate", "shard_map_compat"]
+
+
+def shard_map_compat(f, mesh: Mesh, in_specs, out_specs):
+    """Version-stable ``shard_map`` wrapper (jax >= 0.7 promoted the API
+    out of ``jax.experimental`` and renamed ``check_rep`` to
+    ``check_vma``; replication checking is off either way — kernels here
+    use collectives whose replication the checker can't always infer)."""
+    try:
+        from jax import shard_map as _sm
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sm
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
 
 
 def make_mesh(axis_sizes: Optional[dict] = None,

@@ -1442,7 +1442,8 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
                 exclude: Optional[np.ndarray] = None,
                 alpha: Optional[float] = None,
                 tolerance: float = 1e-5,
-                include_real_space: bool = True
+                include_real_space: bool = True,
+                mesh=None, mesh_axis: str = "atoms"
                 ) -> Callable[[Array], Array]:
     """Smooth particle-mesh Ewald (Essmann et al. 1995) — the
     O(N log N) large-system complement of :func:`ewald_coulomb` (same
@@ -1476,6 +1477,29 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
     (using ``energy.ewald_alpha``) for the fully O(N) path.  The box is
     static (the grid is a build-time constant): for NPT/virial
     dilations use :func:`ewald_coulomb` with ``reference_box``.
+
+    ``mesh=`` shards the whole evaluation over a
+    ``jax.sharding.Mesh`` axis named ``mesh_axis`` — the textbook
+    slab-decomposed distributed FFT, so the reciprocal space genuinely
+    scales past one device instead of running replicated:
+
+    - atoms are sharded over the axis; each device B-spline-spreads its
+      shard onto a full-size local grid (order^3 scatter, local);
+    - ``psum_scatter`` (reduce-scatter, one ICI pass of the grid)
+      leaves each device the fully-summed charge density of its x-slab;
+    - local rFFT(z) + FFT(y) on the slab, ``all_to_all`` transpose
+      (x-slabs -> y-slabs), local FFT(x): together = the full 3-D rFFT;
+    - the influence-function reduction runs on each device's y-slab of
+      the half-spectrum; partial energies ``psum`` to a replicated
+      scalar.
+
+    The dense erfc/exclusion corrections row-shard over the same axis
+    (each device holds its (n/P, n) block).  Forces are plain autodiff
+    through the collectives (reduce-scatter transposes to all-gather,
+    all-to-all to itself).  The auto-selected grid rounds the x/y sizes
+    up to multiples of the axis size; an explicit ``grid_shape`` must
+    already be divisible.  Energies match the replicated path to f32
+    roundoff (tests/test_potentials.py sharded-PME tests).
     """
     q = jnp.asarray(charges, jnp.float32)
     if q.ndim != 1:
