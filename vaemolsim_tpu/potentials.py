@@ -1518,28 +1518,38 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
     alpha_v = float(alpha) if alpha is not None else ln_tol / float(r_cutoff)
     k_cut = 2.0 * alpha_v * ln_tol
 
+    n_shards = 1 if mesh is None else int(mesh.shape[mesh_axis])
     if grid_shape is None:
         # Nyquist pi G / L >= 1.5 k_cut, rounded up to the next
-        # 5-smooth even size (fast FFT lengths).
+        # 5-smooth even size (fast FFT lengths); the slab decomposition
+        # additionally needs the x/y sizes divisible by the mesh-axis
+        # size (clean reduce-scatter slabs / all_to_all blocks).
         need = np.ceil(1.5 * k_cut * box_np / np.pi).astype(int)
 
-        def next_smooth(n):
+        def next_smooth(n, div=1):
             n = max(int(n), 4)
             while True:
                 m = n
                 for p in (2, 3, 5):
                     while m % p == 0:
                         m //= p
-                if m == 1 and n % 2 == 0:
+                if m == 1 and n % 2 == 0 and n % div == 0:
                     return n
                 n += 1
 
-        grid_shape = tuple(next_smooth(g) for g in need)
+        grid_shape = (next_smooth(need[0], n_shards),
+                      next_smooth(need[1], n_shards),
+                      next_smooth(need[2]))
     gx, gy, gz = (int(g) for g in grid_shape)
     for g in (gx, gy, gz):
         if g < 2 * order:
             raise ValueError(f"grid_shape {grid_shape} too coarse for "
                              f"order {order} (need >= {2 * order})")
+    if gx % n_shards or gy % n_shards:
+        raise ValueError(
+            f"mesh-sharded PME needs grid x/y sizes divisible by the "
+            f"'{mesh_axis}' axis size {n_shards}; got {grid_shape} "
+            "(leave grid_shape=None to auto-select)")
     grid_np = np.array([gx, gy, gz])
 
     # ---- build-time influence function on the rfft grid -------------
@@ -1594,8 +1604,9 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
                else _exclude_matrix(exclude, q.shape[0]))
     from jax.scipy.special import erf, erfc
 
-    def _recip_one(x: Array) -> Array:
-        """Reciprocal energy of ONE (n, 3) configuration."""
+    def _spread(x: Array, qv: Array) -> Array:
+        """B-spline charge spreading of (n, 3) coords with charges
+        ``qv`` onto the full (gx, gy, gz) grid."""
         u = (x / box_j - jnp.floor(x / box_j)) * grid_j  # [0, G)
         base = jnp.floor(u)
         t = u - base                                     # (n, 3)
@@ -1604,7 +1615,7 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
         pts = (base[..., None].astype(jnp.int32) - j) % jnp.asarray(
             [gx, gy, gz], jnp.int32)[:, None]            # (n, 3, order)
         # Outer products over the three axes -> (n, order^3).
-        wq = (q[:, None, None, None]
+        wq = (qv[:, None, None, None]
               * w[:, 0, :, None, None] * w[:, 1, None, :, None]
               * w[:, 2, None, None, :]).reshape(x.shape[0], -1)
         flat = ((pts[:, 0, :, None, None] * gy
@@ -1612,8 +1623,83 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
                 + pts[:, 2, None, None, :]).reshape(x.shape[0], -1)
         grid = jnp.zeros(gx * gy * gz, x.dtype)
         grid = grid.at[flat.reshape(-1)].add(wq.reshape(-1))
-        f = jnp.fft.rfftn(grid.reshape(gx, gy, gz))
+        return grid.reshape(gx, gy, gz)
+
+    def _recip_one(x: Array) -> Array:
+        """Reciprocal energy of ONE (n, 3) configuration."""
+        f = jnp.fft.rfftn(_spread(x, q))
         return jnp.sum(infl_j * (f.real ** 2 + f.imag ** 2))
+
+    # ---- mesh-sharded path: slab-decomposed distributed FFT ---------
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as _PS
+
+        from .parallel.sharding import shard_map_compat
+
+        n_total = int(q.shape[0])
+        n_pad = -(-n_total // n_shards) * n_shards
+        q_pad_j = jnp.concatenate(
+            [q, jnp.zeros(n_pad - n_total, q.dtype)])
+
+        def _recip_kernel(x_sh, q_sh, infl_sl):
+            # Local spread of this device's atom shard onto a full-size
+            # grid; reduce-scatter sums all shards and hands each
+            # device its x-slab of the charge density in ONE ICI pass.
+            rho = _spread(x_sh, q_sh)                  # (gx, gy, gz)
+            slab = jax.lax.psum_scatter(
+                rho, mesh_axis, scatter_dimension=0, tiled=True)
+            f = jnp.fft.rfft(slab, axis=2)             # local z rFFT
+            f = jnp.fft.fft(f, axis=1)                 # local y FFT
+            # Transpose x-slabs -> y-slabs, then finish along x: the
+            # three 1-D FFTs over distinct axes = the full 3-D rFFT.
+            f = jax.lax.all_to_all(f, mesh_axis, split_axis=1,
+                                   concat_axis=0, tiled=True)
+            f = jnp.fft.fft(f, axis=0)                 # (gx, gy/P, mz)
+            e_loc = jnp.sum(infl_sl * (f.real ** 2 + f.imag ** 2))
+            return jax.lax.psum(e_loc, mesh_axis)
+
+        _recip_sharded = shard_map_compat(
+            _recip_kernel, mesh,
+            in_specs=(_PS(mesh_axis, None), _PS(mesh_axis),
+                      _PS(None, mesh_axis, None)),
+            out_specs=_PS())
+
+        need_pair = include_real_space or excl_np is not None
+        if need_pair:
+            # Row-sharded erfc real-space + erf exclusion corrections:
+            # each device holds its (n_pad/P, n_pad) block.
+            pm_np = np.zeros((n_pad, n_pad), bool)
+            if include_real_space:
+                m = np.triu(np.ones((n_total, n_total), bool), k=1)
+                if excl_np is not None:
+                    m &= ~excl_np
+                pm_np[:n_total, :n_total] = m
+            em_np = np.zeros((n_pad, n_pad), bool)
+            if excl_np is not None:
+                em_np[:n_total, :n_total] = np.triu(excl_np, k=1)
+            qq_pad_j = q_pad_j[:, None] * q_pad_j[None, :]
+            pm_j, em_j = jnp.asarray(pm_np), jnp.asarray(em_np)
+
+            def _pair_kernel(xs, x_all, qq_r, pm_r, em_r):
+                d = xs[:, None, :] - x_all[None, :, :]
+                d = d - box_j * jnp.round(d / box_j)
+                r2 = jnp.sum(d * d, -1)
+                mr = pm_r & (r2 < r_cutoff * r_cutoff)
+                r = jnp.sqrt(jnp.maximum(jnp.where(mr, r2, 1.0), _EPS))
+                u_r = jnp.sum(jnp.where(
+                    mr, qq_r * erfc(alpha_v * r) / r, 0.0))
+                re = jnp.sqrt(jnp.maximum(
+                    jnp.where(em_r, r2, 1.0), _EPS))
+                u_e = -jnp.sum(jnp.where(
+                    em_r, qq_r * erf(alpha_v * re) / re, 0.0))
+                return jax.lax.psum(u_r + u_e, mesh_axis)
+
+            _pair_sharded = shard_map_compat(
+                _pair_kernel, mesh,
+                in_specs=(_PS(mesh_axis, None), _PS(None, None),
+                          _PS(mesh_axis, None), _PS(mesh_axis, None),
+                          _PS(mesh_axis, None)),
+                out_specs=_PS())
 
     def energy(x: Array) -> Array:
         x = jnp.asarray(x)
@@ -1625,6 +1711,22 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
             batch = x.shape[:-2]
             flat = x.reshape((-1,) + x.shape[-2:])
             return jax.vmap(energy)(flat).reshape(batch)
+
+        if mesh is not None:
+            pad = n_pad - n
+            x_pad = (jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)])
+                     if pad else x)  # zero-charge pad atoms: no effect
+            u_recip = _recip_sharded(x_pad, q_pad_j, infl_j)
+            u_self = -alpha_v / jnp.sqrt(jnp.pi) * jnp.sum(q * q)
+            u_bg = (-jnp.pi / (2 * vol * alpha_v * alpha_v)
+                    * jnp.sum(q) ** 2)
+            if need_pair:
+                xw_pad = x_pad - box_j * jnp.floor(x_pad / box_j)
+                u_pair = _pair_sharded(xw_pad, xw_pad, qq_pad_j,
+                                       pm_j, em_j)
+            else:
+                u_pair = 0.0
+            return u_recip + u_pair + u_self + u_bg
 
         u_recip = _recip_one(x)
 
