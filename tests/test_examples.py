@@ -390,3 +390,12 @@ def test_example_40_targeted_fep():
     assert m and float(m.group(1)) > 5.0, out[-500:]
     m = re.search(r"within ([0-9.]+) of exact", out)
     assert m and float(m.group(1)) < 0.05, out[-500:]
+
+
+@pytest.mark.slow
+def test_example_41_triclinic_npt():
+    out = run_example("41_triclinic_npt.py", timeout=900)
+    import re
+    m = re.search(r"<P_virial> = ([-0-9.]+) \(set 0\.5\)", out)
+    assert m and abs(float(m.group(1)) - 0.5) < 0.1, out[-500:]
+    assert out.strip().split("\n")[-1] == "All validations passed."
