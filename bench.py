@@ -933,16 +933,22 @@ def _pallas_checks(jax, jnp, out):
     try:
         from vaemolsim_tpu.potentials import (exclusions_from_bonds,
                                               lennard_jones_cell_neighbor)
+        import numpy as _np
         L = 12.0
-        # Bonded exclusions included so the in-kernel id-compare
-        # masking path is golden-checked compiled each round too.
+        # Bonded exclusions AND charges/erfc included so the in-kernel
+        # id-compare masking and the Ewald real-space branch (with its
+        # in-kernel erfc approximation — a Mosaic upgrade once dropped
+        # the erf lowering and only this golden would catch it) are
+        # golden-checked compiled each round.
         excl = exclusions_from_bonds(
             512, [[2 * k, 2 * k + 1] for k in range(256)])
+        qs = _np.tile([0.5, -0.5], 256)
         build, e_x = lennard_jones_cell_neighbor(
-            box=[L] * 3, cutoff=2.5, skin=0.4, capacity=32, exclude=excl)
+            box=[L] * 3, cutoff=2.5, skin=0.4, capacity=32, exclude=excl,
+            charges=qs, coulomb_alpha=1.0)
         _, e_p = lennard_jones_cell_neighbor(
             box=[L] * 3, cutoff=2.5, skin=0.4, capacity=32,
-            backend="pallas", exclude=excl)
+            backend="pallas", exclude=excl, charges=qs, coulomb_alpha=1.0)
         x = jax.random.uniform(jax.random.PRNGKey(7), (512, 3)) * L
         nl = build(x)
         ex_v, gx = jax.jit(jax.value_and_grad(e_x, argnums=1))(nl, x)

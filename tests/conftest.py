@@ -10,6 +10,12 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Persistent XLA compilation cache, shared by every test process and
+# the example-smoke subprocesses (the suite is compile-dominated on
+# CPU; vaemolsim_tpu/__init__.py applies this via the config API).
+os.environ.setdefault(
+    "VAEMOLSIM_JAX_CACHE_DIR",
+    os.path.expanduser("~/.cache/vaemolsim_jax_cache"))
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

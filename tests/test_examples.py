@@ -17,6 +17,11 @@ def run_example(name, timeout=420):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the TPU plugin out
+    # Share one persistent compilation cache across all example
+    # subprocesses (and with the test lane — conftest sets the same
+    # default): examples recompile the same model building blocks.
+    env.setdefault("VAEMOLSIM_JAX_CACHE_DIR",
+                   os.path.expanduser("~/.cache/vaemolsim_jax_cache"))
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", name)],
         capture_output=True, text=True, timeout=timeout, env=env)

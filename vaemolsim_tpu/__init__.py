@@ -24,6 +24,21 @@ replaces vaemolsim/losses.py; ``models`` replaces vaemolsim/models.py;
 ``mcmc`` replaces vaemolsim/mcmc.py.
 """
 
+import os as _os
+
+if _os.environ.get("VAEMOLSIM_JAX_CACHE_DIR"):
+    # Opt-in persistent XLA compilation cache (the test/example lanes
+    # set this so the 100+ processes of a CI run share compiles; env
+    # vars alone don't enable it in this jax build — the config API
+    # does).  Harmless if the dir is stale: cache keys include the
+    # jax/XLA versions.
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ["VAEMOLSIM_JAX_CACHE_DIR"])
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 from vaemolsim_tpu import ops  # noqa: F401
 from vaemolsim_tpu import nn  # noqa: F401
 from vaemolsim_tpu import flows  # noqa: F401

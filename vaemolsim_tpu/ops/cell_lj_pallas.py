@@ -143,10 +143,19 @@ def _make_kernel(n_atoms: int, sigma: float, epsilon: float,
             # exp(-(alpha r)^2)).
             qq = jnp.transpose(cq_ref[0]) * nq_ref[0]
             ar = alpha * r2s * rs
-            erfc_t = 1.0 - jax.lax.erf(ar)
+            # In-kernel erfc via Abramowitz-Stegun 7.1.26 (|err| <=
+            # 1.5e-7 for x >= 0; ar >= 0 always here): Mosaic has no
+            # erf lowering (a jax upgrade removed it — caught by the
+            # bench's molecular-stack stage), and the force term needs
+            # exp(-ar^2) anyway, which the rational form reuses.
+            exp_t = jnp.exp(-ar * ar)
+            t = 1.0 / (1.0 + 0.3275911 * ar)
+            erfc_t = (t * (0.254829592 + t * (-0.284496736 + t * (
+                1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+                * exp_t)
             u = u + qq * erfc_t * rs
             w = w - qq * (erfc_t * rs
-                          + two_opi * alpha * jnp.exp(-ar * ar)) * rs * rs
+                          + two_opi * alpha * exp_t) * rs * rs
         w = jnp.where(mask, w, 0.0)
 
         e_ref[0] = (0.5 * jnp.sum(jnp.where(mask, u, 0.0))).reshape(1, 1)
