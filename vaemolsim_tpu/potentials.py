@@ -1599,9 +1599,19 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
 
     box_j = jnp.asarray(box_np, jnp.float32)
     grid_j = jnp.asarray(grid_np, jnp.float32)
-    qq = q[:, None] * q[None, :]
-    excl_np = (None if exclude is None
-               else _exclude_matrix(exclude, q.shape[0]))
+    n_q = int(q.shape[0])
+    # qq and the (n, n) exclusion matrix only exist where an O(n^2)
+    # term genuinely needs them — as HLO constants they are 4n^2 bytes
+    # and broke remote compilation at 8k atoms (HTTP 413); the
+    # exclusion CORRECTION itself is a sparse pair list, O(n_excl).
+    qq = q[:, None] * q[None, :] if include_real_space else None
+    if exclude is None:
+        excl_np = excl_pairs_np = None
+    else:
+        m_host = _exclude_matrix(exclude, n_q)  # validates both forms
+        excl_pairs_np = np.argwhere(np.triu(m_host, 1))
+        excl_np = (m_host if (include_real_space or mesh is not None)
+                   else None)
     from jax.scipy.special import erf, erfc
 
     def _spread(x: Array, qv: Array) -> Array:
@@ -1749,14 +1759,14 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
         u_self = -alpha_v / jnp.sqrt(jnp.pi) * jnp.sum(q * q)
         u_bg = -jnp.pi / (2 * vol * alpha_v * alpha_v) * jnp.sum(q) ** 2
 
-        if excl_np is not None:
-            em = jnp.asarray(np.triu(excl_np, k=1))
-            de = xw[:, None, :] - xw[None, :, :]
+        if excl_pairs_np is not None and excl_pairs_np.size:
+            # Sparse pair-list correction (never the (n, n) grid).
+            pi = jnp.asarray(excl_pairs_np[:, 0])
+            pj = jnp.asarray(excl_pairs_np[:, 1])
+            de = xw[pi] - xw[pj]
             de = de - box_j * jnp.round(de / box_j)
-            re = jnp.sqrt(jnp.maximum(
-                jnp.where(em, jnp.sum(de * de, -1), 1.0), _EPS))
-            u_excl = -jnp.sum(jnp.where(em, qq * erf(alpha_v * re) / re,
-                                        0.0))
+            re = jnp.sqrt(jnp.maximum(jnp.sum(de * de, -1), _EPS))
+            u_excl = -jnp.sum(q[pi] * q[pj] * erf(alpha_v * re) / re)
         else:
             u_excl = 0.0
 
