@@ -1087,8 +1087,7 @@ def main():
             "value": round(ref["rate"], 1),
             "unit": f"proposals/sec/chip ({N_CHAINS_REF} chains — "
                     "reference MC-notebook scale)",
-            "median": round(ref["median_rate"], 1),
-            "roofline": ref["roofline"]})
+            "median": round(ref["median_rate"], 1)})
         add("mc_reference_workload_wallclock", {
             "value": round(ref["workload_s"], 4),
             "unit": f"seconds ({N_CHAINS_REF} chains x {N_STEPS} steps, "
@@ -1122,7 +1121,8 @@ def main():
         add("vae_elbo_train_steps_per_sec", {
             "value": round(best_sps, 2),
             "unit": f"steps/sec (batch {ELBO_BATCH})",
-            "median": round(median_sps, 2), "roofline": eroof})
+            "median": round(median_sps, 2),
+            "mfu": eroof.get("mfu"), "bound": eroof.get("bound")})
     else:
         add("vae_elbo_train_steps_per_sec", note)
 
@@ -1137,7 +1137,7 @@ def main():
         add("backmapping_embed_frames_per_sec", {
             "value": round(fps, 1),
             "unit": "frames/sec (batch 200, max_included 10, embed 20)",
-            "roofline": roof})
+            "bound": roof.get("bound")})
     else:
         add("backmapping_embed_frames_per_sec", note)
 
