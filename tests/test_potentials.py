@@ -946,6 +946,60 @@ class TestPME:
             q -= q.mean()
         return x, q, L
 
+    @pytest.mark.parametrize("order", [4, 6])
+    def test_binned_spread_matches_scatter(self, order):
+        """The scatter-free binned spreading (one-hot placement +
+        static overlap-add) is the SAME sum as the scatter form —
+        energies and forces to f32 roundoff, including wraparound
+        stamps at the box faces."""
+        from vaemolsim_tpu.potentials import pme_coulomb
+        x, q, L = self._random_system(n=80, L=9.0, seed=3)
+        # atoms pushed onto faces/corners exercise the periodic rolls
+        x = jnp.concatenate([x, jnp.asarray(
+            [[0.0, 0.0, 0.0], [L - 1e-4, L - 1e-4, L - 1e-4],
+             [0.01, L / 2, L - 0.01]], jnp.float32)])
+        q = np.concatenate([q, [0.4, -0.3, -0.1]])
+        kw = dict(box=[L] * 3, r_cutoff=2.5, tolerance=1e-4,
+                  order=order, include_real_space=False)
+        e_s = pme_coulomb(q, spread="scatter", **kw)
+        e_b = pme_coulomb(q, spread="binned", **kw)
+        us, ub = float(jax.jit(e_s)(x)), float(jax.jit(e_b)(x))
+        assert ub == pytest.approx(us, rel=2e-5, abs=1e-5)
+        gs = jax.jit(jax.grad(e_s))(x)
+        gb = jax.jit(jax.grad(e_b))(x)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gs),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_binned_spread_batched(self):
+        from vaemolsim_tpu.potentials import pme_coulomb
+        x, q, L = self._random_system(n=40, L=9.0, seed=4)
+        kw = dict(box=[L] * 3, r_cutoff=2.5, tolerance=1e-4,
+                  include_real_space=False)
+        e_s = pme_coulomb(q, spread="scatter", **kw)
+        e_b = pme_coulomb(q, spread="binned", **kw)
+        xb = jnp.stack([x, jnp.roll(x, 7, axis=0) + 0.3])
+        np.testing.assert_allclose(np.asarray(jax.jit(e_b)(xb)),
+                                   np.asarray(jax.jit(e_s)(xb)),
+                                   rtol=2e-5, atol=1e-5)
+
+    def test_binned_spread_overflow_poisons(self):
+        """All atoms stacked in one spreading block must NaN (the loud
+        capacity contract), not silently drop charge."""
+        from vaemolsim_tpu.potentials import pme_coulomb
+        n, L = 512, 20.0
+        q = np.ones(n, np.float32)
+        q[::2] = -1.0
+        e_b = pme_coulomb(q, box=[L] * 3, r_cutoff=2.5, tolerance=1e-4,
+                          include_real_space=False, spread="binned")
+        x = jnp.full((n, 3), 0.5 * L, jnp.float32)
+        assert not np.isfinite(float(jax.jit(e_b)(x)))
+
+    def test_spread_arg_validated(self):
+        from vaemolsim_tpu.potentials import pme_coulomb
+        with pytest.raises(ValueError, match="spread"):
+            pme_coulomb(np.ones(4), box=[8.0] * 3, r_cutoff=2.5,
+                        spread="banana")
+
     def test_bspline_partition_of_unity_and_direct_recursion(self):
         from vaemolsim_tpu.potentials import _bspline_weights
 
