@@ -10,9 +10,11 @@ PY ?= python
 test:
 	$(PY) tools/partest.py -m "not slow" --timeout 1200
 
-# Examples lane (the 40 subprocess smokes; CI runs it as its own job).
+# Examples lane (the 41 subprocess smokes; CI runs it as its own job).
+# --per-test: they all live in one file, so sharding/timeouts apply to
+# individual examples.
 test-examples:
-	$(PY) tools/partest.py tests/test_examples.py -m slow --timeout 1200
+	$(PY) tools/partest.py tests/test_examples.py -m slow --per-test --timeout 1200
 
 test-all: test test-examples
 

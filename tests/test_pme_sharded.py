@@ -74,6 +74,21 @@ def test_sharded_batch_vmap(system, mesh):
                                rtol=1e-5, atol=1e-3)
 
 
+def test_sharded_with_binned_spreading(system, mesh):
+    """The scatter-free binned spreading composes with the sharded
+    slab-FFT path (each shard bins its own atoms onto the local grid
+    before the reduce-scatter)."""
+    q, x, _ = system
+    e_sh = pme_coulomb(q, box=BOX, r_cutoff=3.0, tolerance=1e-4,
+                       include_real_space=False, spread="binned",
+                       mesh=mesh, mesh_axis="atoms")
+    e_rep = pme_coulomb(q, box=BOX, r_cutoff=3.0, tolerance=1e-4,
+                        include_real_space=False, spread="scatter",
+                        grid_shape=e_sh.grid_shape)
+    us, ur = float(jax.jit(e_sh)(x)), float(jax.jit(e_rep)(x))
+    assert abs(ur - us) < 1e-4 * max(1.0, abs(ur)), (ur, us)
+
+
 def test_explicit_grid_must_divide(system, mesh):
     q, _, _ = system
     with pytest.raises(ValueError, match="divisible"):

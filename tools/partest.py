@@ -54,12 +54,27 @@ def main():
                     help="worker count; auto = cpu count (>=1)")
     ap.add_argument("-m", "--markexpr", default="not slow")
     ap.add_argument("--timeout", type=float, default=1200.0,
-                    help="hard per-file wall-clock limit (seconds)")
+                    help="hard per-shard wall-clock limit (seconds)")
+    ap.add_argument("--per-test", action="store_true",
+                    help="shard by individual TEST id instead of by "
+                         "file (for single-file lanes like the 40 "
+                         "example smokes, where a whole-file shard "
+                         "outlives any sane timeout)")
     ap.add_argument("--json", dest="json_out", default=None,
                     help="write per-file results to this path")
     args = ap.parse_args()
 
     files = collect_files(args.paths or [os.path.join(REPO, "tests")])
+    if args.per_test:
+        cmd = [sys.executable, "-m", "pytest", *files, "-q",
+               "-p", "no:cacheprovider", "-m", args.markexpr,
+               "--collect-only"]
+        r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+        files = [ln.strip() for ln in r.stdout.splitlines()
+                 if "::" in ln and not ln.startswith(" ")]
+        if not files:
+            print(f"no tests collected for -m {args.markexpr!r}")
+            return 1
     if args.workers == "auto":
         n_workers = max(os.cpu_count() or 1, 1)
     else:
