@@ -1127,9 +1127,13 @@ def main():
         add("vae_elbo_train_steps_per_sec", note)
 
     dt, note = guarded(lambda: bench_flow_train(jax, jnp), 120)
+    # samples/epochs recorded: the CPU-fallback shrink changes the
+    # workload, and a bare number under the 100k/10-epoch name would
+    # silently compare different workloads round-over-round.
     add("flow_train_100k_10epoch_wallclock",
-        {"value": round(dt, 3), "unit": "seconds"} if dt is not None
-        else note)
+        {"value": round(dt, 3), "unit": "seconds",
+         "samples": FLOW_SAMPLES, "epochs": FLOW_EPOCHS}
+        if dt is not None else note)
 
     b, note = guarded(lambda: bench_backmapping_embed(jax, jnp), 150)
     if b is not None:

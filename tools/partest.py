@@ -70,8 +70,17 @@ def main():
                "-p", "no:cacheprovider", "-m", args.markexpr,
                "--collect-only"]
         r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
-        files = [ln.strip() for ln in r.stdout.splitlines()
-                 if "::" in ln and not ln.startswith(" ")]
+        # Strict test-id lines only (a warnings-summary section also
+        # prints ids — a bare '::' filter would duplicate shards), in
+        # order, deduplicated.
+        import re
+        id_re = re.compile(r"^[\w./-]+\.py::\S+$")
+        seen = {}
+        for ln in r.stdout.splitlines():
+            ln = ln.strip()
+            if id_re.match(ln):
+                seen.setdefault(ln, None)
+        files = list(seen)
         if not files:
             print(f"no tests collected for -m {args.markexpr!r}")
             return 1

@@ -83,7 +83,9 @@ def _dense_blocks(d: Dense, parts) -> Array:
     ``Dense.__call__`` (matmul/bias/activation in the compute dtype).
     """
     W, b = d.kernel, d.bias
-    out_dtype = parts[0][0].dtype
+    # Promoted dtype of every part — the concat form's output dtype
+    # (bf16 values with f32 invariants must come back f32).
+    out_dtype = jnp.result_type(*[a.dtype for a, _ in parts])
     cd = compute_dtype()
     if cd is not None:
         W, b = W.astype(cd), b.astype(cd)

@@ -1499,8 +1499,10 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
       the half-spectrum; partial energies ``psum`` to a replicated
       scalar.
 
-    The dense erfc/exclusion corrections row-shard over the same axis
-    (each device holds its (n/P, n) block).  Forces are plain autodiff
+    The dense erfc real-space term row-shards over the same axis (each
+    device computes its (n/P, n) block with in-kernel iota masking — no
+    O(n^2) operands); exclusion corrections apply sparsely from the
+    pair list.  Forces are plain autodiff
     through the collectives (reduce-scatter transposes to all-gather,
     all-to-all to itself).  The auto-selected grid rounds the x/y sizes
     up to multiples of the axis size; an explicit ``grid_shape`` must
@@ -1534,14 +1536,19 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
 
         def next_smooth(n, div=1):
             n = max(int(n), 4)
-            while True:
-                m = n
+            # A 5-smooth even size divisible by div does not exist when
+            # div has a prime factor > 5 (e.g. a 7- or 14-device mesh
+            # axis) — bound the search and fall back to the smallest
+            # even multiple of div (correct; the FFT is merely slower).
+            for cand in range(n, 8 * n + 1):
+                m = cand
                 for p in (2, 3, 5):
                     while m % p == 0:
                         m //= p
-                if m == 1 and n % 2 == 0 and n % div == 0:
-                    return n
-                n += 1
+                if m == 1 and cand % 2 == 0 and cand % div == 0:
+                    return cand
+            step = div if div % 2 == 0 else 2 * div
+            return -(-n // step) * step
 
         grid_shape = (next_smooth(need[0], n_shards),
                       next_smooth(need[1], n_shards),
@@ -1616,7 +1623,9 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
     else:
         m_host = _exclude_matrix(exclude, n_q)  # validates both forms
         excl_pairs_np = np.argwhere(np.triu(m_host, 1))
-        excl_np = (m_host if (include_real_space or mesh is not None)
+        # Only the replicated dense real-space mask still needs the
+        # matrix form (the mesh path subtracts exclusions sparsely).
+        excl_np = (m_host if (include_real_space and mesh is None)
                    else None)
     from jax.scipy.special import erf, erfc
 
@@ -1666,8 +1675,6 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
     bx_, by_, bz_ = _block(gx), _block(gy), _block(gz)
     ncx_, ncy_, ncz_ = gx // bx_, gy // by_, gz // bz_
     n_spread_cells = ncx_ * ncy_ * ncz_
-    spread_cap = int(max(order,
-                         np.ceil(4.0 * n_q / max(n_spread_cells, 1))))
 
     def _placement(b):
         """(b, order, 2b) one-hot: P[o, m, o + m] = 1 — places the
@@ -1683,6 +1690,12 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
 
     def _spread_binned(x: Array, qv: Array) -> Array:
         n = x.shape[0]
+        # Capacity from the CALL-time atom count (static shape): the
+        # mesh-sharded path spreads per-shard subsets, and a capacity
+        # sized from the global count would make every device pay the
+        # full single-device slot-table and outer-product cost.
+        spread_cap = int(max(order,
+                             np.ceil(4.0 * n / max(n_spread_cells, 1))))
         base, w = _base_weights(x)
         w_rev = w[:, :, ::-1]                            # stamp order
         start = base - (order - 1)                       # lowest index
@@ -1795,41 +1808,37 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
                       _PS(None, mesh_axis, None)),
             out_specs=_PS())
 
-        need_pair = include_real_space or excl_np is not None
-        if need_pair:
-            # Row-sharded erfc real-space + erf exclusion corrections:
-            # each device holds its (n_pad/P, n_pad) block.
-            pm_np = np.zeros((n_pad, n_pad), bool)
-            if include_real_space:
-                m = np.triu(np.ones((n_total, n_total), bool), k=1)
-                if excl_np is not None:
-                    m &= ~excl_np
-                pm_np[:n_total, :n_total] = m
-            em_np = np.zeros((n_pad, n_pad), bool)
-            if excl_np is not None:
-                em_np[:n_total, :n_total] = np.triu(excl_np, k=1)
-            qq_pad_j = q_pad_j[:, None] * q_pad_j[None, :]
-            pm_j, em_j = jnp.asarray(pm_np), jnp.asarray(em_np)
+        if include_real_space:
+            # Row-sharded erfc real space: each device computes its
+            # (n_pad/P, n_pad) block.  The triu/validity mask comes
+            # from in-kernel iota + axis_index and charges from the
+            # per-shard q — NO (n, n) operands, which would bake 4n^2+
+            # bytes of constants into the caller's HLO (the exact
+            # remote-compile blowup the replicated path's sparse
+            # exclusion fix removed).  Excluded pairs are SUBTRACTED
+            # sparsely afterwards.
+            rows = n_pad // n_shards
 
-            def _pair_kernel(xs, x_all, qq_r, pm_r, em_r):
-                d = xs[:, None, :] - x_all[None, :, :]
+            def _pair_kernel(xw_sh, xw_all, q_sh, q_all):
+                pidx = jax.lax.axis_index(mesh_axis)
+                ig = pidx * rows + jnp.arange(rows)
+                jg = jnp.arange(n_pad)
+                d = xw_sh[:, None, :] - xw_all[None, :, :]
                 d = d - box_j * jnp.round(d / box_j)
                 r2 = jnp.sum(d * d, -1)
-                mr = pm_r & (r2 < r_cutoff * r_cutoff)
+                mr = ((jg[None, :] > ig[:, None])
+                      & (jg[None, :] < n_total)
+                      & (r2 < r_cutoff * r_cutoff))
                 r = jnp.sqrt(jnp.maximum(jnp.where(mr, r2, 1.0), _EPS))
+                qq_r = q_sh[:, None] * q_all[None, :]
                 u_r = jnp.sum(jnp.where(
                     mr, qq_r * erfc(alpha_v * r) / r, 0.0))
-                re = jnp.sqrt(jnp.maximum(
-                    jnp.where(em_r, r2, 1.0), _EPS))
-                u_e = -jnp.sum(jnp.where(
-                    em_r, qq_r * erf(alpha_v * re) / re, 0.0))
-                return jax.lax.psum(u_r + u_e, mesh_axis)
+                return jax.lax.psum(u_r, mesh_axis)
 
             _pair_sharded = shard_map_compat(
                 _pair_kernel, mesh,
                 in_specs=(_PS(mesh_axis, None), _PS(None, None),
-                          _PS(mesh_axis, None), _PS(mesh_axis, None),
-                          _PS(mesh_axis, None)),
+                          _PS(mesh_axis), _PS(None)),
                 out_specs=_PS())
 
     def energy(x: Array) -> Array:
@@ -1851,12 +1860,26 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
             u_self = -alpha_v / jnp.sqrt(jnp.pi) * jnp.sum(q * q)
             u_bg = (-jnp.pi / (2 * vol * alpha_v * alpha_v)
                     * jnp.sum(q) ** 2)
-            if need_pair:
-                xw_pad = x_pad - box_j * jnp.floor(x_pad / box_j)
-                u_pair = _pair_sharded(xw_pad, xw_pad, qq_pad_j,
-                                       pm_j, em_j)
-            else:
-                u_pair = 0.0
+            u_pair = 0.0
+            xw_pad = x_pad - box_j * jnp.floor(x_pad / box_j)
+            if include_real_space:
+                u_pair = _pair_sharded(xw_pad, xw_pad, q_pad_j,
+                                       q_pad_j)
+            if excl_pairs_np is not None and excl_pairs_np.size:
+                # Sparse O(n_excl) corrections, replicated (negligible):
+                # remove excluded pairs from the erfc sum, then apply
+                # the -erf reciprocal-space compensation.
+                pi = jnp.asarray(excl_pairs_np[:, 0])
+                pj = jnp.asarray(excl_pairs_np[:, 1])
+                de = xw_pad[pi] - xw_pad[pj]
+                de = de - box_j * jnp.round(de / box_j)
+                re = jnp.sqrt(jnp.maximum(jnp.sum(de * de, -1), _EPS))
+                qq_p = q[pi] * q[pj]
+                if include_real_space:
+                    u_pair = u_pair - jnp.sum(jnp.where(
+                        re < r_cutoff,
+                        qq_p * erfc(alpha_v * re) / re, 0.0))
+                u_pair = u_pair - jnp.sum(qq_p * erf(alpha_v * re) / re)
             return u_recip + u_pair + u_self + u_bg
 
         u_recip = _recip_one(x)

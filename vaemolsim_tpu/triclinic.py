@@ -520,7 +520,9 @@ def make_npt_triclinic_step(energy: Callable[[Array, Array], Array], *,
 def run_npt_triclinic(step_fn, state: NPTTriclinicState, n_steps: int,
                       collect_every: int = 0):
     """Scan ``n_steps`` sweeps; optionally collect (volume, cell)
-    every ``collect_every`` sweeps -> (state, traj_dict | None)."""
+    every ``collect_every`` sweeps -> (state, traj_dict | None).
+    A remainder ``n_steps % collect_every`` still RUNS (after the last
+    collection point) so the requested sweep count is always honored."""
     if collect_every:
         outer = n_steps // collect_every
 
@@ -531,7 +533,14 @@ def run_npt_triclinic(step_fn, state: NPTTriclinicState, n_steps: int,
             s, _ = jax.lax.scan(body, s, None, length=collect_every)
             return s, {"volume": s.volume, "cell": s.cell}
 
-        return jax.lax.scan(chunk, state, None, length=outer)
+        state, traj = jax.lax.scan(chunk, state, None, length=outer)
+        rem = n_steps - outer * collect_every
+        if rem:
+            def body(s, _):
+                return step_fn(s), None
+
+            state, _ = jax.lax.scan(body, state, None, length=rem)
+        return state, traj
 
     def body(s, _):
         return step_fn(s), None
