@@ -388,7 +388,11 @@ def bench_backmapping_embed(jax, jnp, batch=200, n_part=30,
 
     def timed(S):
         f = jax.jit(lambda a: jax.lax.scan(body, a, None, length=S)[0])
-        jax.block_until_ready(f(coords))
+        # True barrier: through the axon tunnel the first
+        # block_until_ready after a remote compile can return before
+        # the work ran (see tools/hbm_profile.py) — a scalar host read
+        # drains the queue, so the timed reps measure real work.
+        float(f(coords).ravel()[0])
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()

@@ -173,6 +173,19 @@ class VectorAttention:
 
     def __call__(self, coords: Array, values: Array,
                  mask: Optional[Array] = None) -> Array:
+        from vaemolsim_tpu.ops.attention_pallas import use_attention_pallas
+        if (use_attention_pallas()
+                and self.score_net.d1.activation
+                == self.value_net.activation
+                and self.score_net.d1.activation in ("relu", "tanh",
+                                                     None)):
+            mf = (jnp.ones(coords.shape[:-1], coords.dtype)
+                  if mask is None else mask.astype(coords.dtype))
+            return _va_fused(self, coords, values, mf)
+        return self._xla_call(coords, values, mask)
+
+    def _xla_call(self, coords: Array, values: Array,
+                  mask: Optional[Array] = None) -> Array:
         N = coords.shape[-2]
         q = pair_invariants(coords)  # (..., N, N, 4)
         # Split-weight evaluation of score/value nets on
@@ -206,6 +219,64 @@ class VectorAttention:
             # Fully-masked query rows produce uniform alpha; zero them.
             alpha = jnp.where(pair_mask, alpha, 0.0)
         return jnp.einsum("...ij,...ijf->...if", alpha, vals)
+
+
+def _va_fused_impl(attn: "VectorAttention", coords: Array, values: Array,
+                   maskf: Array, interpret: bool = False) -> Array:
+    """Prepare node projections + invariant planes and call the fused
+    pair-grid kernel (ops/attention_pallas.py).  f32 inside."""
+    from vaemolsim_tpu.ops.attention_pallas import fused_pair_attention
+    lead = coords.shape[:-2]
+    N, F = coords.shape[-2], values.shape[-1]
+    c = coords.reshape((-1, N, 3)).astype(jnp.float32)
+    v = values.reshape((-1, N, F)).astype(jnp.float32)
+    m = maskf.reshape((-1, N))
+    q4 = jnp.moveaxis(pair_invariants(c), -1, 1)     # (B, 4, N, N)
+    w_s, w_v = attn.score_net.d1.kernel, attn.value_net.d1.kernel
+    out = fused_pair_attention(
+        q4, v @ w_s[:F], v @ w_s[F:2 * F], v @ w_v[:F],
+        v @ w_v[F:2 * F], m,
+        w_s[2 * F:], attn.score_net.d1.bias,
+        attn.score_net.d2.kernel[:, 0], attn.score_net.d2.bias,
+        w_v[2 * F:], attn.value_net.d1.bias,
+        attn.value_net.ln.scale, attn.value_net.ln.offset,
+        attn.value_net.d2.kernel, attn.value_net.d2.bias,
+        reduce=attn.reduce,
+        act_kind=attn.score_net.d1.activation or "linear",
+        ln_eps=float(attn.value_net.ln.eps), interpret=interpret)
+    fo = attn.value_net.d2.out_dim
+    out = out.astype(values.dtype)
+    return out.reshape(lead + ((fo,) if attn.reduce else (N, fo)))
+
+
+@jax.custom_vjp
+def _va_fused(attn, coords, values, maskf):
+    # interpret off-TPU so direct calls (tests) stay runnable; the
+    # __call__ dispatch only routes here on TPU anyway.
+    return _va_fused_impl(attn, coords, values, maskf,
+                          interpret=jax.default_backend() != "tpu")
+
+
+def _va_fused_fwd(attn, coords, values, maskf):
+    return _va_fused(attn, coords, values, maskf), (attn, coords,
+                                                    values, maskf)
+
+
+def _va_fused_bwd(res, g):
+    # Exact gradients by recomputation through the XLA path (the
+    # fused_mlp/maf_fused pattern): the two paths agree to f32
+    # roundoff, so their gradients are interchangeable.
+    attn, coords, values, maskf = res
+
+    def f(a, c, v):
+        return a._xla_call(c, v, maskf > 0.5)
+
+    _, vjp = jax.vjp(f, attn, coords, values)
+    da, dc, dv = vjp(g)
+    return da, dc, dv, jnp.zeros_like(maskf)
+
+
+_va_fused.defvjp(_va_fused_fwd, _va_fused_bwd)
 
 
 @struct.dataclass
