@@ -969,6 +969,28 @@ def _pallas_checks(jax, jnp, out):
         out["cell_lj_ok"] = False
         out["cell_lj_error"] = repr(e)[:300]
         ok = False
+
+    # 5. fused pair-grid attention kernel vs the XLA attention path
+    # (optional measured-slower backend; still rot-guarded compiled).
+    try:
+        from vaemolsim_tpu.nn.attention import (VectorAttention,
+                                                _va_fused_impl)
+        attn = VectorAttention.create(jax.random.PRNGKey(11), 8, 6,
+                                      hidden_dim=16)
+        ac = jax.random.normal(jax.random.PRNGKey(12), (16, 10, 3))
+        av = jax.random.normal(jax.random.PRNGKey(13), (16, 10, 8))
+        am = jax.random.uniform(jax.random.PRNGKey(14), (16, 10)) > 0.2
+        want = jax.jit(lambda c, v: attn._xla_call(c, v, am))(ac, av)
+        got = jax.jit(lambda c, v: _va_fused_impl(
+            attn, c, v, am.astype(jnp.float32)))(ac, av)
+        e = jnp.abs(got - want)
+        out["attn_fused_max_err"] = round(float(jnp.max(e)), 8)
+        out["attn_fused_ok"] = _rot_gate(jnp, e)
+        ok &= out["attn_fused_ok"]
+    except Exception as e:
+        out["attn_fused_ok"] = False
+        out["attn_fused_error"] = repr(e)[:300]
+        ok = False
     return out, ok
 
 
