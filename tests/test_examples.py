@@ -102,6 +102,7 @@ def test_example_10_free_energy():
     assert "BAR" in out and "flow-FEP" in out
 
 
+@pytest.mark.slow
 def test_example_09_ensemble():
     out = run_example("09_ensemble_training.py")
     assert "one vmapped program" in out
