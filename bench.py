@@ -994,15 +994,45 @@ def _pallas_checks(jax, jnp, out):
     return out, ok
 
 
+def _compact_summary(result):
+    """One SHORT summary line with the driver-contract keys.
+
+    The driver records only the last ~2,000 chars of stdout and parses
+    the final JSON line out of that tail.  The full record has grown to
+    ~9 KB, so printing it last clips its own front out of the window
+    (BENCH_r03/r04 both recorded ``parsed=null`` this way).  The last
+    printed line is therefore ALWAYS this compact summary — hard-capped
+    well under the window — and the full record lives in the line
+    before it plus the ``bench_latest.json`` mirror."""
+    s = {k: result.get(k) for k in
+         ("metric", "value", "unit", "vs_baseline", "platform")}
+    for k in ("pallas_backends_ok", "sampler_stats_ok",
+              "device_busy_us_per_step", "elapsed_s"):
+        if k in result:
+            s[k] = result[k]
+    extras = result.get("extra_metrics") or []
+    s["stages_recorded"] = 1 + len(extras)
+    s["full_record"] = "bench_latest.json"
+    line = json.dumps(s)
+    # Hard interface contract: the whole line (plus newline slack) must
+    # fit in the driver's tail window no matter what future fields grow.
+    assert len(line) < 1500, f"summary line too long: {len(line)}"
+    return line
+
+
 def _emit(result):
-    """Print the current record + flush, and mirror it to
-    bench_latest.json — called after the primary and after EVERY later
-    stage so the last stdout line is always the newest parseable
-    record, wherever a later stage dies."""
+    """Print the current record + a compact summary line + flush, and
+    mirror the record to bench_latest.json — called after the primary
+    and after EVERY later stage so the last stdout line is always a
+    short parseable summary, wherever a later stage dies."""
     result["elapsed_s"] = round(time.monotonic() - _T0, 1)
     line = json.dumps(result)
     print(line, flush=True)
+    print(_compact_summary(result), flush=True)
     try:
+        # Mirror to an UNTRACKED path so a driver bench run never
+        # dirties the worktree (VERDICT r4 item 8); per-round snapshots
+        # are committed deliberately by copying this file.
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_latest.json"), "w") as f:
             f.write(line + "\n")
