@@ -70,19 +70,33 @@ def main():
                "-p", "no:cacheprovider", "-m", args.markexpr,
                "--collect-only"]
         r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
-        # Strict test-id lines only (a warnings-summary section also
-        # prints ids — a bare '::' filter would duplicate shards), in
-        # order, deduplicated.
+        # Test-id lines only (a warnings-summary section also prints
+        # ids — a bare '::' filter would duplicate shards), in order,
+        # deduplicated.  Id lines are unindented; warning-message lines
+        # are indented, so indentation is the discriminator — the id
+        # itself may contain spaces/brackets (parametrize ids), so the
+        # whole line past the `.py::` infix is kept.
         import re
-        id_re = re.compile(r"^[\w./-]+\.py::\S+$")
+        id_re = re.compile(r"^[\w./-]+\.py::\S")
         seen = {}
         for ln in r.stdout.splitlines():
-            ln = ln.strip()
+            if ln[:1].isspace():
+                continue  # warning/message continuation line
+            ln = ln.rstrip()
             if id_re.match(ln):
                 seen.setdefault(ln, None)
         files = list(seen)
         if not files:
             print(f"no tests collected for -m {args.markexpr!r}")
+            return 1
+        # Cross-check against pytest's own collected-count summary so a
+        # filtered-out id can never be silently dropped from the lanes.
+        counts = re.findall(r"(\d+)(?:/\d+)? tests? collected",
+                            r.stdout)
+        if counts and int(counts[-1]) != len(files):
+            print(f"collection mismatch: pytest collected {counts[-1]} "
+                  f"tests but {len(files)} ids were parsed — refusing "
+                  "to run an incomplete lane")
             return 1
     if args.workers == "auto":
         n_workers = max(os.cpu_count() or 1, 1)

@@ -34,10 +34,18 @@ if _os.environ.get("VAEMOLSIM_JAX_CACHE_DIR"):
     # jax/XLA versions.
     import jax as _jax
 
-    _jax.config.update("jax_compilation_cache_dir",
-                       _os.environ["VAEMOLSIM_JAX_CACHE_DIR"])
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    try:
+        _jax.config.update("jax_compilation_cache_dir",
+                           _os.environ["VAEMOLSIM_JAX_CACHE_DIR"])
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           0.5)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as _e:  # config names vary across jax versions
+        import warnings as _warnings
+
+        _warnings.warn("VAEMOLSIM_JAX_CACHE_DIR set but this jax build "
+                       f"rejected the cache config ({_e!r}); continuing "
+                       "without a persistent compilation cache.")
 
 from vaemolsim_tpu import ops  # noqa: F401
 from vaemolsim_tpu import nn  # noqa: F401

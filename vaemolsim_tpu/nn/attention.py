@@ -173,12 +173,25 @@ class VectorAttention:
 
     def __call__(self, coords: Array, values: Array,
                  mask: Optional[Array] = None) -> Array:
+        from vaemolsim_tpu.nn.core import compute_dtype
         from vaemolsim_tpu.ops.attention_pallas import use_attention_pallas
+        # The fused kernel hard-codes the create() wiring: d1 linear ->
+        # LayerNorm -> activation -> d2 linear on the value trunk, one
+        # shared activation kind, and f32 arithmetic.  Hand-constructed
+        # nets that deviate (an activation on value_net.d1 / either d2)
+        # or a configured non-f32 compute dtype (the custom_vjp backward
+        # recomputes through the dtype-honoring XLA path, which would
+        # differentiate a different function than the f32 forward) must
+        # take the XLA path.
         if (use_attention_pallas()
                 and self.score_net.d1.activation
                 == self.value_net.activation
                 and self.score_net.d1.activation in ("relu", "tanh",
-                                                     None)):
+                                                     None)
+                and self.value_net.d1.activation is None
+                and self.score_net.d2.activation is None
+                and self.value_net.d2.activation is None
+                and compute_dtype() is None):
             mf = (jnp.ones(coords.shape[:-1], coords.dtype)
                   if mask is None else mask.astype(coords.dtype))
             return _va_fused(self, coords, values, mf)
