@@ -405,3 +405,15 @@ def test_example_41_triclinic_npt():
     m = re.search(r"<P_virial> = ([-0-9.]+) \(set 0\.5\)", out)
     assert m and abs(float(m.group(1)) - 0.5) < 0.1, out[-500:]
     assert out.strip().split("\n")[-1] == "All validations passed."
+
+
+@pytest.mark.slow
+def test_example_42_charged_crystal_npt():
+    out = run_example("42_charged_crystal_npt.py", timeout=900)
+    import re
+    m = re.search(r"electrostatic energy/ion at d_eq: ([-0-9.]+) "
+                  r"\(Madelung ([-0-9.]+)\)", out)
+    assert m, out[-500:]
+    got, want = float(m.group(1)), float(m.group(2))
+    assert abs(got - want) < 0.01 * abs(want), (got, want)
+    assert out.strip().split("\n")[-1] == "All validations passed."

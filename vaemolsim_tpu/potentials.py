@@ -1351,7 +1351,12 @@ def ewald_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
         k = 2 * jnp.pi * modes / box_row            # (..., n_k, 3)
         k2 = jnp.sum(k * k, -1)
         w = (4 * jnp.pi / k2) * jnp.exp(-k2 / (4 * alpha_v * alpha_v))
-        phase = jnp.einsum("...nd,...kd->...nk", xw, k)  # (..., n, n_k)
+        # precision=HIGHEST: this 3-wide contraction otherwise hits the
+        # MXU at bf16-mantissa default precision, and phases of O(100)
+        # rad turn the mantissa loss into O(1e-3) relative energy error
+        # (measured on chip in large cells; CPU tests cannot see it).
+        phase = jnp.einsum("...nd,...kd->...nk", xw, k,
+                           precision=jax.lax.Precision.HIGHEST)
         s_cos = jnp.sum(q[:, None] * jnp.cos(phase), axis=-2)
         s_sin = jnp.sum(q[:, None] * jnp.sin(phase), axis=-2)
         # Half set: each +-k pair counted once, factor 2 vs the 1/2V.

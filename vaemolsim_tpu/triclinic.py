@@ -50,7 +50,8 @@ Array = jax.Array
 __all__ = [
     "validate_cell", "cell_volume", "perpendicular_widths", "wrap",
     "to_fractional", "from_fractional", "min_image", "lattice_in_cell",
-    "lennard_jones_triclinic", "pressure_tensor", "kinetic_tensor",
+    "lennard_jones_triclinic", "ewald_coulomb_triclinic",
+    "pressure_tensor", "kinetic_tensor",
     "lennard_jones_cell_triclinic", "NPTTriclinicState",
     "npt_triclinic_init", "make_npt_triclinic_step", "run_npt_triclinic",
 ]
@@ -217,6 +218,168 @@ def lennard_jones_triclinic(sigma: float = 1.0, epsilon: float = 1.0, *,
         u = eps4 * (s6 * s6 - s6) - u_cut
         return jnp.sum(jnp.where(mask, u, 0.0), axis=(-2, -1))
 
+    return energy
+
+
+def ewald_coulomb_triclinic(charges, *, reference_cell,
+                            r_cutoff: float,
+                            exclude: Optional[np.ndarray] = None,
+                            alpha: Optional[float] = None,
+                            tolerance: float = 1e-5,
+                            k_cutoff: Optional[float] = None,
+                            include_real_space: bool = True
+                            ) -> Callable[[Array, Array], Array]:
+    """EXACT periodic electrostatics in a general (sheared) cell:
+    cell-parametric ``energy(x, cell)`` — the triclinic completion of
+    :func:`vaemolsim_tpu.potentials.ewald_coulomb` (same reduced units,
+    same tolerance heuristics, same correction terms, same
+    ``include_real_space`` split contract), unlocking charged/ionic
+    crystals for the anisotropic-NPT machinery in this module.
+
+    TPU decomposition, triclinic pieces:
+
+    - **reciprocal vectors** come from the dual basis ``H k = 2 pi n``
+      (rows of H are the cell vectors, ``x = s @ H``): the
+      lower-triangular inverse is written ELEMENTWISE (VPU full-f32;
+      a 3-wide matmul-with-inverse would hit the MXU at bf16-mantissa
+      default precision — the to_fractional lesson), so the traced
+      cell differentiates cleanly and strain derivatives
+      (:func:`pressure_tensor`) pick up the reciprocal-space virial
+      through plain autodiff;
+    - the integer half-space mode set is FIXED at build time from
+      ``reference_cell`` (``|k| <= k_cutoff`` there) while the
+      k-VALUES re-evaluate from the call-time cell — exactly
+      ``ewald_coulomb``'s ``reference_box`` contract, so NPT tilt/
+      stretch moves and strain dilations trace through with an
+      O(tolerance) mode-set error for small deformations;
+    - the short-range erfc sum uses the SEQUENTIAL triclinic minimum
+      image (:func:`min_image`; valid while ``r_cutoff`` <= half the
+      minimum perpendicular width of the call-time cell — the caller's
+      NPT bounds must keep cells inside that, as with the
+      orthorhombic ``min_box`` wall);
+    - self term, neutralizing background (net charge), and sparse
+      excluded-pair ``-q_i q_j erf(alpha r)/r`` compensation are as in
+      the orthorhombic factory.
+
+    Batched over leading axes of ``x`` with a matching/broadcastable
+    batch of cells (per-chain cells in NPT MC).  Pinned by the
+    orthorhombic-limit identity, lattice re-representation invariance
+    (a unimodular shear of the SAME lattice), alpha-invariance in a
+    sheared cell, and strain-pressure finite differences
+    (tests/test_triclinic_ewald.py).
+    """
+    q = jnp.asarray(charges, jnp.float32)
+    if q.ndim != 1:
+        raise ValueError(f"charges must be (n,); got {q.shape}")
+    h_ref = validate_cell(reference_cell)                # (3, 3) f64
+    w_ref = np.asarray(perpendicular_widths(jnp.asarray(h_ref)))
+    if not (r_cutoff * 2.0 <= w_ref.min() + 1e-9):
+        raise ValueError(
+            f"r_cutoff {r_cutoff} must be <= half the minimum "
+            f"perpendicular width ({w_ref.min() / 2}) of the reference "
+            "cell for minimum-image validity")
+    ln_tol = float(np.sqrt(-np.log(tolerance)))
+    alpha_v = float(alpha) if alpha is not None else ln_tol / float(r_cutoff)
+    k_cut = (float(k_cutoff) if k_cutoff is not None
+             else 2.0 * alpha_v * ln_tol)
+
+    # Half-space integer mode set at the reference cell.  Per-axis
+    # bound: |n_i| = |k . a_i| / 2pi <= k_cut |a_i| / 2pi.
+    row_len = np.sqrt((h_ref ** 2).sum(axis=1))
+    n_max = np.maximum(np.ceil(k_cut * row_len / (2 * np.pi)),
+                       1).astype(int)
+    axes_r = [np.arange(-m, m + 1) for m in n_max]
+    nn = np.stack(np.meshgrid(*axes_r, indexing="ij"), -1).reshape(-1, 3)
+    half = ((nn[:, 0] > 0)
+            | ((nn[:, 0] == 0) & (nn[:, 1] > 0))
+            | ((nn[:, 0] == 0) & (nn[:, 1] == 0) & (nn[:, 2] > 0)))
+    nn = nn[half]
+    k_ref = 2 * np.pi * nn @ np.linalg.inv(h_ref).T      # H k = 2pi n
+    nn = nn[(k_ref ** 2).sum(-1) <= k_cut * k_cut]
+    if nn.shape[0] == 0:
+        raise ValueError("empty k-vector set; increase k_cutoff/"
+                         "tolerance")
+    modes = jnp.asarray(nn, jnp.float32)                 # (n_k, 3)
+
+    qq = q[:, None] * q[None, :]
+    from vaemolsim_tpu.potentials import _exclude_matrix
+    excl_np = (None if exclude is None
+               else _exclude_matrix(exclude, int(q.shape[0])))
+    from jax.scipy.special import erf, erfc
+
+    def _k_vectors(cell: Array) -> Array:
+        """(..., n_k, 3) reciprocal vectors 2 pi H^{-1} n, elementwise
+        lower-triangular back-substitution (differentiable in cell)."""
+        h = cell
+
+        def c(i, j):  # (...,) -> (..., 1) broadcast over the mode axis
+            return h[..., i, j][..., None]
+
+        n0, n1, n2 = modes[:, 0], modes[:, 1], modes[:, 2]
+        k0 = n0 / c(0, 0)
+        k1 = (n1 - k0 * c(1, 0)) / c(1, 1)
+        k2 = (n2 - k0 * c(2, 0) - k1 * c(2, 1)) / c(2, 2)
+        return 2 * jnp.pi * jnp.stack([k0, k1, k2], axis=-1)
+
+    def energy(x: Array, cell: Array) -> Array:
+        x = jnp.asarray(x)
+        n = x.shape[-2]
+        if n != q.shape[0]:
+            raise ValueError(f"coords have {n} atoms but charges has "
+                             f"{q.shape[0]}")
+        h = jnp.asarray(cell, x.dtype)
+        vol = cell_volume(h)
+        xw = wrap(x, h)                          # bounds f32 phases
+
+        # Reciprocal sum: one matmul + cos/sin reductions (half set,
+        # factor 2 folded against the 1/2V prefactor).
+        k = _k_vectors(h)                        # (..., n_k, 3)
+        k2 = jnp.sum(k * k, -1)
+        w = (4 * jnp.pi / k2) * jnp.exp(-k2 / (4 * alpha_v * alpha_v))
+        # precision=HIGHEST: 3-wide contraction, O(100)-rad phases —
+        # MXU default precision costs O(1e-3) relative energy on chip
+        # (the to_fractional / PME-spreading lesson; measured live).
+        phase = jnp.einsum("...nd,...kd->...nk", xw, k,
+                           precision=jax.lax.Precision.HIGHEST)
+        s_cos = jnp.sum(q[:, None] * jnp.cos(phase), axis=-2)
+        s_sin = jnp.sum(q[:, None] * jnp.sin(phase), axis=-2)
+        u_recip = (jnp.sum(w * (s_cos ** 2 + s_sin ** 2), axis=-1)
+                   / vol)
+
+        h_pair = (h[..., None, None, :, :] if jnp.ndim(h) > 2 else h)
+        if include_real_space:
+            pair_mask = np.triu(np.ones((n, n), bool), k=1)
+            if excl_np is not None:
+                pair_mask &= ~excl_np
+            mask = jnp.asarray(pair_mask)
+            d = xw[..., :, None, :] - xw[..., None, :, :]
+            d = min_image(d, h_pair)
+            r2 = jnp.sum(d * d, -1)
+            mask = mask & (r2 < r_cutoff * r_cutoff)
+            r = jnp.sqrt(jnp.maximum(jnp.where(mask, r2, 1.0), _EPS))
+            u_real = jnp.sum(jnp.where(mask,
+                                       qq * erfc(alpha_v * r) / r, 0.0),
+                             axis=(-2, -1))
+        else:
+            u_real = 0.0
+
+        u_self = -alpha_v / jnp.sqrt(jnp.pi) * jnp.sum(q * q)
+        u_bg = -jnp.pi / (2 * vol * alpha_v * alpha_v) * jnp.sum(q) ** 2
+
+        if excl_np is not None:
+            em = jnp.asarray(np.triu(excl_np, k=1))
+            de = xw[..., :, None, :] - xw[..., None, :, :]
+            de = min_image(de, h_pair)
+            re = jnp.sqrt(jnp.maximum(
+                jnp.where(em, jnp.sum(de * de, -1), 1.0), _EPS))
+            u_excl = -jnp.sum(jnp.where(em, qq * erf(alpha_v * re) / re,
+                                        0.0), axis=(-2, -1))
+        else:
+            u_excl = 0.0
+
+        return u_recip + u_real + u_self + u_bg + u_excl
+
+    energy.ewald_alpha = alpha_v
     return energy
 
 
