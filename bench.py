@@ -248,7 +248,49 @@ def _mc_setup(jax, jnp, n_chains):
     return step, state, run
 
 
-def bench_mc(jax, jnp, n_chains, include_workload=False):
+def _device_busy_us_per_step(jax, run, state, n_steps):
+    """Hardware device-busy microseconds per MC step from an xplane
+    trace: the summed duration of the top-level scan's ``while`` op
+    (the round-4 hbm_profile methodology).  Separates the CHIP number
+    from axon-tunnel dispatch/gap overhead (VERDICT r4 item 5: at 50k
+    chains wall-clock exceeds device-busy by ~1.5x, and a regression
+    in the chip rate must not hide behind tunnel weather)."""
+    try:
+        import tempfile
+
+        from tools.hbm_profile import _load_xspaces
+        jax.block_until_ready(run(state, n_steps).configs)
+        with tempfile.TemporaryDirectory() as tmp:
+            with jax.profiler.trace(tmp):
+                out = run(state, n_steps)
+                jax.block_until_ready(out.configs)
+            spaces = _load_xspaces(tmp)
+        best = 0.0
+        for xs in spaces:
+            for plane in xs.planes:
+                if "/device:TPU" not in plane.name:
+                    continue
+                totals = {}
+                for line in plane.lines:
+                    if "Ops" not in line.name or "Async" in line.name:
+                        continue
+                    for ev in line.events:
+                        em = plane.event_metadata[ev.metadata_id].name
+                        key = em.split(" = ")[0].lstrip("%")
+                        if key.startswith("while"):
+                            totals[key] = (totals.get(key, 0)
+                                           + ev.duration_ps)
+                if totals:
+                    # The top-level scan is the single largest while
+                    # total; nested whiles are strictly smaller.
+                    best = max(best, max(totals.values()))
+        return (best / 1e6) / n_steps if best else None   # ps -> us
+    except Exception:
+        return None
+
+
+def bench_mc(jax, jnp, n_chains, include_workload=False,
+             measure_device_busy=False):
     step, state, run = _mc_setup(jax, jnp, n_chains)
 
     # Warmup/compile with the same static step counts as the timed runs.
@@ -263,13 +305,20 @@ def bench_mc(jax, jnp, n_chains, include_workload=False):
     flops, bts = _cost_per_call(jax, step, state)
     roof = _roofline(jax, flops, bts, steps_per_sec)
 
+    busy_us = None
+    if measure_device_busy and jax.default_backend() == "tpu":
+        busy_us = _device_busy_us_per_step(jax, run, state,
+                                           N_TIMING_STEPS)
+
     w_best = None
     if include_workload:
         jax.block_until_ready(run(state, N_STEPS).configs)
         w_best, _, _ = _time_reps(
             lambda: jax.block_until_ready(run(state, N_STEPS).configs))
     return {"rate": proposals / best, "median_rate": proposals / median,
-            "times": times, "workload_s": w_best, "roofline": roof}
+            "times": times, "workload_s": w_best, "roofline": roof,
+            "device_busy_us_per_step": (round(busy_us, 2)
+                                        if busy_us else None)}
 
 
 def bench_elbo_train(jax, jnp):
@@ -1132,7 +1181,8 @@ def main():
         return val, err
 
     # --- PRIMARY: headline MC (emit immediately; VERDICT r3 item 1) ---
-    head, note = guarded(lambda: bench_mc(jax, jnp, N_CHAINS_HEADLINE),
+    head, note = guarded(lambda: bench_mc(jax, jnp, N_CHAINS_HEADLINE,
+                                          measure_device_busy=True),
                          360)
     if head is not None:
         result.update({
@@ -1141,6 +1191,17 @@ def main():
             "median": round(head["median_rate"], 1),
             "roofline": head["roofline"],
         })
+        if head.get("device_busy_us_per_step"):
+            # Chip time vs wall-clock: the implied pure-chip rate and
+            # the tunnel/dispatch overhead factor, tracked separately
+            # so chip regressions don't hide behind tunnel weather.
+            busy = head["device_busy_us_per_step"]
+            wall_us = 1e6 * N_CHAINS_HEADLINE / head["rate"]
+            result["device_busy_us_per_step"] = busy
+            result["chip_rate_proposals_per_sec"] = round(
+                N_CHAINS_HEADLINE / (busy * 1e-6), 1)
+            result["dispatch_overhead_factor"] = round(
+                wall_us / busy, 3)
     else:
         result["error"] = note
     _emit(result)
