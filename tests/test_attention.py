@@ -283,3 +283,46 @@ class TestCapabilityEquivalence:
         # ... and neither dramatically out-learns the other.
         assert final_t < 10 * final_f + 0.02
         assert final_f < 10 * final_t + 0.02
+
+
+class TestComputeDtypeGrid:
+    """The bf16-compute path keeps the (N, N, H) pair-grid
+    intermediates in the compute dtype (round-5 embed traffic halving,
+    docs/performance.md): outputs must stay f32, agree with the f32
+    path to bf16 tolerance, and differentiate finitely."""
+
+    def test_bf16_grid_parity_and_dtypes(self):
+        from vaemolsim_tpu.nn.attention import VectorAttention
+        from vaemolsim_tpu.nn.core import set_compute_dtype
+        attn = VectorAttention.create(jax.random.PRNGKey(0), 8, 6,
+                                      hidden_dim=16, reduce=True)
+        c = jax.random.normal(jax.random.PRNGKey(1), (4, 12, 3))
+        v = jax.random.normal(jax.random.PRNGKey(2), (4, 12, 8))
+        m = jax.random.uniform(jax.random.PRNGKey(3), (4, 12)) > 0.2
+        ref = attn._xla_call(c, v, m)
+        try:
+            set_compute_dtype(jnp.bfloat16)
+            got = attn._xla_call(c, v, m)
+            g = jax.grad(lambda cc: attn._xla_call(cc, v, m)
+                         .astype(jnp.float32).sum())(c)
+        finally:
+            set_compute_dtype(None)
+        assert got.dtype == ref.dtype == jnp.float32
+        assert float(jnp.max(jnp.abs(got - ref))) < 0.05
+        assert bool(jnp.all(jnp.isfinite(g)))
+
+    def test_bf16_grid_equivariant_path(self):
+        from vaemolsim_tpu.nn.attention import VectorAttention
+        from vaemolsim_tpu.nn.core import set_compute_dtype
+        attn = VectorAttention.create(jax.random.PRNGKey(4), 8, 6,
+                                      hidden_dim=16, reduce=False)
+        c = jax.random.normal(jax.random.PRNGKey(5), (3, 10, 3))
+        v = jax.random.normal(jax.random.PRNGKey(6), (3, 10, 8))
+        ref = attn._xla_call(c, v, None)
+        try:
+            set_compute_dtype(jnp.bfloat16)
+            got = attn._xla_call(c, v, None)
+        finally:
+            set_compute_dtype(None)
+        assert got.shape == ref.shape and got.dtype == jnp.float32
+        assert float(jnp.max(jnp.abs(got - ref))) < 0.05

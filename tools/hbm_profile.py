@@ -73,6 +73,35 @@ def measure_stream_bandwidth(jax, jnp, sizes_mb=(256, 1024), reps=3,
     return best, per_size
 
 
+def measure_vpu_throughput(jax, jnp, n_mb=32, chain=128, reps=3):
+    """Best measured elementwise Tops/s over an UNROLLED dependent
+    chain ``y = max(y * a + b, 0)`` (3 VPU ops per element per link)
+    inside ONE fusion: the array is read/written once while the chain
+    executes entirely in registers/VMEM, so for chain >> 1 the timing
+    is VPU-throughput-bound, not HBM-bound — the denominator for any
+    'this workload is at the VPU roofline' claim (the elementwise
+    analog of measure_stream_bandwidth).  A lax.scan would NOT work
+    here: each scan iteration round-trips the carry through HBM."""
+    n = n_mb * 2**20 // 4
+    x = jnp.ones((n,), jnp.float32)
+    a = jnp.float32(1.000001)
+    b = jnp.float32(1e-7)
+
+    @jax.jit
+    def f(y):
+        for _ in range(chain):          # unrolled -> one XLA fusion
+            y = jnp.maximum(y * a + b, 0.0)
+        return y
+
+    float(f(x)[0])                      # true barrier (see above)
+    t_best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        t_best = min(t_best, time.perf_counter() - t0)
+    return 3.0 * n * chain / t_best / 1e12
+
+
 def _load_xspaces(logdir):
     from xplane_pb2 import XSpace
     spaces = []

@@ -65,7 +65,8 @@ def pair_invariants(coords: Array) -> Array:
     return jnp.stack([dots, cross_norm, n2_i, n2_j], axis=-1)
 
 
-def _dense_blocks(d: Dense, parts) -> Array:
+def _dense_blocks(d: Dense, parts, keep_compute_dtype: bool = False
+                  ) -> Array:
     """Evaluate ``d(concat(parts))`` over the (N, N) pair grid without
     materializing the concatenated pair tensor.
 
@@ -105,7 +106,9 @@ def _dense_blocks(d: Dense, parts) -> Array:
     if off != W.shape[0]:
         raise ValueError(f"parts cover {off} of {W.shape[0]} input dims")
     y = resolve_activation(d.activation)(y + b)
-    return y.astype(out_dtype) if cd is not None else y
+    if cd is not None and not keep_compute_dtype:
+        return y.astype(out_dtype)
+    return y
 
 
 @struct.dataclass
@@ -206,16 +209,40 @@ class VectorAttention:
         # adds touch the (N, N) grid, no concat materializes
         # (_dense_blocks; same math as self.score_net(pair)).
         parts = [(values, "i"), (values, "j"), (q, None)]
-        scores = self.score_net.d2(
-            _dense_blocks(self.score_net.d1, parts))[..., 0]
-        h = self.value_net.ln(_dense_blocks(self.value_net.d1, parts))
-        vals = self.value_net.d2(
-            resolve_activation(self.value_net.activation)(h))
+        cd = compute_dtype()
+        if cd is None:
+            scores = self.score_net.d2(
+                _dense_blocks(self.score_net.d1, parts))[..., 0]
+            h = self.value_net.ln(_dense_blocks(self.value_net.d1,
+                                                parts))
+            vals = self.value_net.d2(
+                resolve_activation(self.value_net.activation)(h))
+        else:
+            # Keep the (N, N, H) pair-grid INTERMEDIATES in the compute
+            # dtype explicitly.  Measured on chip (round-5 embed study,
+            # docs/performance.md): XLA's convert-motion was ALREADY
+            # collapsing the per-Dense f32 cast-backs to bf16 grids
+            # (boundary bytes and device time are identical either
+            # way), so this branch is about making the numerics
+            # contract explicit — the grid tensors are compute-dtype,
+            # scores are cast to f32 before the softmax, LayerNorm
+            # statistics run in f32 — rather than relying on a
+            # compiler pass.  The workload itself is VPU-elementwise
+            # bound at these shapes, not HBM bound.
+            scores = self.score_net.d2(_dense_blocks(
+                self.score_net.d1, parts,
+                keep_compute_dtype=True))[..., 0]
+            h = _dense_blocks(self.value_net.d1, parts,
+                              keep_compute_dtype=True)
+            h = self.value_net.ln(h.astype(jnp.float32))
+            h = resolve_activation(self.value_net.activation)(h)
+            vals = self.value_net.d2(h.astype(cd))
 
         pair_mask = (None if mask is None
                      else mask[..., :, None] & mask[..., None, :])
         if pair_mask is not None:
             scores = jnp.where(pair_mask, scores, _NEG_INF)
+        scores = scores.astype(jnp.float32)  # stable softmax arithmetic
 
         if self.reduce:
             flat = scores.reshape(scores.shape[:-2] + (N * N,))
