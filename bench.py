@@ -856,6 +856,12 @@ def bench_measured_hbm(jax, jnp):
            "device_kind": kind}
     if peak_bw:
         out["fraction_of_datasheet_peak"] = round(best * 1e9 / peak_bw, 3)
+    # Elementwise VPU ceiling (round-5 embed study): the denominator
+    # for VPU-roofline claims, recorded beside the HBM ceiling.
+    from hbm_profile import measure_vpu_throughput
+    mb = 32 if jax.default_backend() == "tpu" else 4
+    out["vpu_ceiling_tops"] = round(
+        measure_vpu_throughput(jax, jnp, n_mb=mb), 3)
     return out
 
 

@@ -412,7 +412,7 @@ def test_example_42_charged_crystal_npt():
     out = run_example("42_charged_crystal_npt.py", timeout=900)
     import re
     m = re.search(r"electrostatic energy/ion at d_eq: ([-0-9.]+) "
-                  r"\(Madelung ([-0-9.]+)\)", out)
+                  r"\(Madelung -M/2d = ([-0-9.]+)\)", out)
     assert m, out[-500:]
     got, want = float(m.group(1)), float(m.group(2))
     assert abs(got - want) < 0.01 * abs(want), (got, want)

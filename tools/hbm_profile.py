@@ -73,33 +73,47 @@ def measure_stream_bandwidth(jax, jnp, sizes_mb=(256, 1024), reps=3,
     return best, per_size
 
 
-def measure_vpu_throughput(jax, jnp, n_mb=32, chain=128, reps=3):
-    """Best measured elementwise Tops/s over an UNROLLED dependent
-    chain ``y = max(y * a + b, 0)`` (3 VPU ops per element per link)
-    inside ONE fusion: the array is read/written once while the chain
-    executes entirely in registers/VMEM, so for chain >> 1 the timing
-    is VPU-throughput-bound, not HBM-bound — the denominator for any
-    'this workload is at the VPU roofline' claim (the elementwise
-    analog of measure_stream_bandwidth).  A lax.scan would NOT work
-    here: each scan iteration round-trips the carry through HBM."""
+def measure_vpu_throughput(jax, jnp, n_mb=32, chains=(128, 512),
+                           reps=3):
+    """Measured elementwise Tera-ops/s of an UNROLLED dependent chain
+    ``y = max(y * a + b, 0)`` (counted as 3 VPU ops per element per
+    link) inside one XLA fusion — the elementwise analog of
+    measure_stream_bandwidth, the denominator for 'this workload is at
+    the VPU roofline' claims.  The rate is MARGINAL between two chain
+    lengths, which cancels both the fixed dispatch/tunnel overhead
+    (~27 ms through axon — comparable to the whole compute at these
+    sizes) and the one HBM read+write of the array.  A lax.scan would
+    not work here: each iteration round-trips the carry through HBM."""
     n = n_mb * 2**20 // 4
     x = jnp.ones((n,), jnp.float32)
     a = jnp.float32(1.000001)
     b = jnp.float32(1e-7)
+    ilp = 8   # independent chains: a single dependent chain measures
+    #           op LATENCY per lane, not issue throughput
 
-    @jax.jit
-    def f(y):
-        for _ in range(chain):          # unrolled -> one XLA fusion
-            y = jnp.maximum(y * a + b, 0.0)
-        return y
+    def timed(chain):
+        @jax.jit
+        def f(y):
+            ys = [y + jnp.float32(k) * b for k in range(ilp)]
+            for _ in range(chain // ilp):   # unrolled -> one fusion
+                ys = [jnp.maximum(yk * a + b, 0.0) for yk in ys]
+            out = ys[0]
+            for yk in ys[1:]:
+                out = out + yk
+            return out
 
-    float(f(x)[0])                      # true barrier (see above)
-    t_best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(x))
-        t_best = min(t_best, time.perf_counter() - t0)
-    return 3.0 * n * chain / t_best / 1e12
+        float(f(x)[0])                  # true barrier (see above)
+        t_best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(x))
+            t_best = min(t_best, time.perf_counter() - t0)
+        return t_best
+
+    c1, c2 = chains
+    t1, t2 = timed(c1), timed(c2)
+    links = (c2 // ilp - c1 // ilp) * ilp
+    return 3.0 * n * links / max(t2 - t1, 1e-9) / 1e12
 
 
 def _load_xspaces(logdir):
