@@ -1710,17 +1710,24 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
         c3 = jnp.mod(c3, jnp.asarray([ncx_, ncy_, ncz_], jnp.int32))
         cid = (c3[:, 0] * ncy_ + c3[:, 1]) * ncz_ + c3[:, 2]
 
-        # Capacity-slot table (the cell-list build pattern): the only
-        # scatter left, an int32 1:1 set.
-        srt = jnp.argsort(cid)
-        rank = jnp.searchsorted(cid[srt], cid, side="left")
-        slot_in = jnp.arange(n) - rank[srt]
+        # Capacity-slot table; the only scatter is an int32 1:1 set.
+        # Slot-within-cell = count of earlier atoms in the same cell,
+        # via one-hot + cumsum + diagonal gather — an argsort +
+        # searchsorted did the same job but the sort alone measured
+        # 0.82 ms of the 4.3 ms reciprocal gradient at 8k atoms (TPU
+        # sorts are slow); the (n, n_cells) f32 cumsum is a few
+        # memory-bound passes instead.  f32 counting is exact to 2^24.
+        occ = jax.nn.one_hot(cid, n_spread_cells, dtype=jnp.float32)
+        run = jnp.cumsum(occ, axis=0)                  # (n, n_cells)
+        slot_in = jnp.take_along_axis(
+            run, cid[:, None], axis=1)[:, 0].astype(jnp.int32) - 1
         overflow = jnp.any(slot_in >= spread_cap)
         slot = jnp.where(slot_in < spread_cap,
-                         cid[srt] * spread_cap + slot_in,
+                         cid * spread_cap + slot_in,
                          n_spread_cells * spread_cap)
         ids = jnp.full((n_spread_cells * spread_cap + 1,), n,
-                       jnp.int32).at[slot].set(srt.astype(jnp.int32))
+                       jnp.int32).at[slot].set(
+            jnp.arange(n, dtype=jnp.int32))
         ids = ids[:-1].reshape(n_spread_cells, spread_cap)
         valid = (ids < n).astype(x.dtype)
         idc = jnp.minimum(ids, n - 1)
