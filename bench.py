@@ -318,7 +318,8 @@ def bench_mc(jax, jnp, n_chains, include_workload=False,
     return {"rate": proposals / best, "median_rate": proposals / median,
             "times": times, "workload_s": w_best, "roofline": roof,
             "device_busy_us_per_step": (round(busy_us, 2)
-                                        if busy_us else None)}
+                                        if busy_us is not None
+                                        else None)}
 
 
 def bench_elbo_train(jax, jnp):
@@ -860,8 +861,8 @@ def bench_measured_hbm(jax, jnp):
     # for VPU-roofline claims, recorded beside the HBM ceiling.
     from hbm_profile import measure_vpu_throughput
     mb = 32 if jax.default_backend() == "tpu" else 4
-    out["vpu_ceiling_tops"] = round(
-        measure_vpu_throughput(jax, jnp, n_mb=mb), 3)
+    vpu = measure_vpu_throughput(jax, jnp, n_mb=mb)
+    out["vpu_ceiling_tops"] = (None if vpu is None else round(vpu, 3))
     return out
 
 

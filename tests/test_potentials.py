@@ -1328,3 +1328,29 @@ class TestExcludePairListForms:
             _exclude_matrix(np.zeros((6, 6), bool), 8)
         out = _exclude_matrix(np.asarray([[1, 0], [0, 1], [2, 3]]), 4)
         assert out.sum() == 4 and out[0, 1] and out[1, 0] and out[2, 3]
+
+
+class TestPMESlotBuilders:
+    """Both slot-table builders (one-hot+cumsum fast path, argsort
+    fallback above _SLOT_CUMSUM_MAX) must produce identical spreading —
+    the assignment rule (count of earlier same-cell atoms) is shared,
+    so energies should agree bit-for-bit at f32."""
+
+    def test_argsort_fallback_matches_cumsum(self, monkeypatch):
+        import vaemolsim_tpu.potentials as pot
+        rs = np.random.RandomState(0)
+        n, L = 200, 9.0
+        x = jnp.asarray(rs.uniform(0, L, (n, 3)), jnp.float32)
+        q = rs.normal(size=n)
+        q -= q.mean()
+
+        def build():
+            u = pot.pme_coulomb(q, box=[L] * 3, r_cutoff=2.5,
+                                tolerance=1e-5, spread="binned")
+            return float(u(x)), np.asarray(jax.grad(u)(x))
+
+        e_cumsum, g_cumsum = build()
+        monkeypatch.setattr(pot, "_SLOT_CUMSUM_MAX", 0)
+        e_sort, g_sort = build()
+        assert e_cumsum == e_sort, (e_cumsum, e_sort)
+        np.testing.assert_array_equal(g_cumsum, g_sort)

@@ -20,13 +20,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("XLA_FLAGS",
-                      "--xla_force_host_platform_device_count=8")
+_FLAG = "--xla_force_host_platform_device_count=8"
+if _FLAG not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " " + _FLAG).strip()
 
 import numpy as np  # noqa: E402
 
 
-def pme_budget(n_atoms, grid, P):
+def pme_budget(grid, P):
     """Per-device bytes over ICI for ONE sharded-PME energy+force eval
     (potentials.py::pme_coulomb mesh path, _recip_kernel + autodiff).
 
@@ -71,7 +73,7 @@ def cell_md_budget(n_atoms, P):
     }
 
 
-def remd_budget(n_atoms, P, with_velocities=True):
+def remd_budget(n_atoms, with_velocities=True):
     """Per-device bytes for ONE REMD swap attempt with replicas
     sharded 1/device (parallel/remd.py): neighbor energies/betas move
     as scalars; an accepted swap moves the neighbor's full state
@@ -100,13 +102,13 @@ def fmt(d):
 def budgets():
     print("== analytic per-device ICI budgets ==")
     print("sharded PME, bench scale (8192 atoms, 64^3 grid, P=8):")
-    for k, v in fmt(pme_budget(8192, (64, 64, 64), 8)).items():
+    for k, v in fmt(pme_budget((64, 64, 64), 8)).items():
         print(f"   {k:24s} {v}")
     print("sharded cell-list MD (262144 atoms, P=8):")
     for k, v in fmt(cell_md_budget(262_144, 8)).items():
         print(f"   {k:24s} {v}")
     print("REMD swap attempt (8192 atoms/replica, 1 replica/device):")
-    for k, v in fmt(remd_budget(8192, 8)).items():
+    for k, v in fmt(remd_budget(8192)).items():
         print(f"   {k:24s} {v}")
     print("chain-sharded MC: 0 B per step (scalar psum per segment)")
 
@@ -125,6 +127,9 @@ def weak_scaling():
     print(f"{'P':>3} {'atoms':>7} {'grid':>14} {'ms/eval':>9} "
           f"{'per-dev ICI/eval':>17}")
     devs = jax.devices()
+    assert len(devs) >= 8, (
+        f"virtual mesh has {len(devs)} devices (XLA_FLAGS not applied "
+        "before jax import?) - the P>1 rows would silently run on one")
     for P in (1, 2, 4, 8):
         n = 1024 * P
         L = float((n / 0.6) ** (1 / 3.0))
@@ -143,7 +148,8 @@ def weak_scaling():
             t0 = time.perf_counter()
             jax.block_until_ready(g(x))
             best = min(best, time.perf_counter() - t0)
-        tot = pme_budget(n, u.grid_shape, max(P, 2))["total_B_per_eval"]
+        tot = (0.0 if P == 1
+               else pme_budget(u.grid_shape, P)["total_B_per_eval"])
         print(f"{P:>3} {n:>7} {str(u.grid_shape):>14} "
               f"{1e3 * best:>9.1f} {tot / 2**20:>13.2f} MiB")
 

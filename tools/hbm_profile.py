@@ -113,7 +113,9 @@ def measure_vpu_throughput(jax, jnp, n_mb=32, chains=(128, 512),
     c1, c2 = chains
     t1, t2 = timed(c1), timed(c2)
     links = (c2 // ilp - c1 // ilp) * ilp
-    return 3.0 * n * links / max(t2 - t1, 1e-9) / 1e12
+    if t2 - t1 < max(0.05 * t2, 1e-4):
+        return None  # timing noise swamped the marginal - no number
+    return 3.0 * n * links / (t2 - t1) / 1e12
 
 
 def _load_xspaces(logdir):

@@ -3,9 +3,10 @@
 component traces — the measured answer to "where does the 18x cost vs
 LJ-only go?" (VERDICT r4 weak #2).
 
-Runs the exact bench workload (bench.bench_molecular_stack_md shapes:
-8,192 atoms as charged dimers, rho 0.6, cutoff 2.5, PME tolerance 1e-4)
-and reports:
+Runs the bench workload (bench.bench_molecular_stack_md shapes —
+defaults here track the bench stage: 8,192 atoms as charged dimers,
+rho 0.6, tuned r_cutoff 3.5 / capacity 72, PME tolerance 1e-4; the
+sweep/order modes override the split per row) and reports:
 
 1. roofline_report on the full jitted MD scan (per-step device budget);
 2. separate traces of grad(cell LJ/erfc), grad(PME reciprocal), the
@@ -27,8 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
-def build_stack(jax, jnp, n_atoms=8192, rho=0.6, cutoff=2.5,
-                skin=0.4, capacity=48, rebuild_every=5, n_steps=50,
+def build_stack(jax, jnp, n_atoms=8192, rho=0.6, cutoff=3.5,
+                skin=0.4, capacity=72, rebuild_every=5, n_steps=50,
                 tolerance=1e-4, alpha=None, coul_cutoff=None,
                 order=6, grid_shape=None):
     """The bench_molecular_stack_md system, with the Ewald split

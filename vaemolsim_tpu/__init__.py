@@ -34,18 +34,21 @@ if _os.environ.get("VAEMOLSIM_JAX_CACHE_DIR"):
     # jax/XLA versions.
     import jax as _jax
 
-    try:
-        _jax.config.update("jax_compilation_cache_dir",
-                           _os.environ["VAEMOLSIM_JAX_CACHE_DIR"])
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                           0.5)
-        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception as _e:  # config names vary across jax versions
-        import warnings as _warnings
+    for _name, _val in (
+            ("jax_compilation_cache_dir",
+             _os.environ["VAEMOLSIM_JAX_CACHE_DIR"]),
+            ("jax_persistent_cache_min_compile_time_secs", 0.5),
+            ("jax_persistent_cache_min_entry_size_bytes", 0)):
+        try:  # config names vary across jax versions; per-key so a
+            #   rejected tuning knob cannot disable (or misreport) the
+            #   cache dir itself
+            _jax.config.update(_name, _val)
+        except Exception as _e:
+            import warnings as _warnings
 
-        _warnings.warn("VAEMOLSIM_JAX_CACHE_DIR set but this jax build "
-                       f"rejected the cache config ({_e!r}); continuing "
-                       "without a persistent compilation cache.")
+            _warnings.warn(f"VAEMOLSIM_JAX_CACHE_DIR: this jax build "
+                           f"rejected {_name}={_val!r} ({_e!r}); "
+                           "continuing with the remaining cache config.")
 
 from vaemolsim_tpu import ops  # noqa: F401
 from vaemolsim_tpu import nn  # noqa: F401

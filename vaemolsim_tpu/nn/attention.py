@@ -176,7 +176,6 @@ class VectorAttention:
 
     def __call__(self, coords: Array, values: Array,
                  mask: Optional[Array] = None) -> Array:
-        from vaemolsim_tpu.nn.core import compute_dtype
         from vaemolsim_tpu.ops.attention_pallas import use_attention_pallas
         # The fused kernel hard-codes the create() wiring: d1 linear ->
         # LayerNorm -> activation -> d2 linear on the value trunk, one

@@ -1400,6 +1400,13 @@ def ewald_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
     return energy
 
 
+# Crossover for the two PME slot-table builders (see _spread_binned):
+# below this (n * spread-cell count) the one-hot+cumsum build wins on
+# TPU; above it the O(n * n_cells) cumsum footprint outgrows the
+# argsort fallback.  Module-level so tests can force either branch.
+_SLOT_CUMSUM_MAX = 16 * 2**20
+
+
 def _bspline_weights(order: int, t: Array) -> Array:
     """Cardinal-B-spline spreading weights ``M_order(t + j)`` for
     ``j = 0..order-1`` as a trailing axis, via the stable PME
@@ -1711,23 +1718,35 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
         cid = (c3[:, 0] * ncy_ + c3[:, 1]) * ncz_ + c3[:, 2]
 
         # Capacity-slot table; the only scatter is an int32 1:1 set.
-        # Slot-within-cell = count of earlier atoms in the same cell,
-        # via one-hot + cumsum + diagonal gather — an argsort +
-        # searchsorted did the same job but the sort alone measured
-        # 0.82 ms of the 4.3 ms reciprocal gradient at 8k atoms (TPU
-        # sorts are slow); the (n, n_cells) f32 cumsum is a few
-        # memory-bound passes instead.  f32 counting is exact to 2^24.
-        occ = jax.nn.one_hot(cid, n_spread_cells, dtype=jnp.float32)
-        run = jnp.cumsum(occ, axis=0)                  # (n, n_cells)
-        slot_in = jnp.take_along_axis(
-            run, cid[:, None], axis=1)[:, 0].astype(jnp.int32) - 1
+        # Slot-within-cell = count of earlier atoms in the same cell.
+        # Two equivalent builders (both assign count-of-earlier-same-
+        # cell-atoms, so the table is identical):
+        # - one-hot + cumsum + diagonal gather: a few memory-bound
+        #   passes over (n, n_cells) — beats argsort on TPU (the sort
+        #   alone measured 0.82 ms of the 4.3 ms reciprocal gradient
+        #   at 8k atoms) but its footprint is O(n * n_cells);
+        # - argsort + searchsorted: O(n log n) time, O(n) memory — the
+        #   large-scale fallback (262k atoms x a 128^3 grid's 4096
+        #   bins would make the cumsum a 4.3 GB intermediate).
+        # f32 counting is exact to 2^24 atoms.
+        if n * n_spread_cells <= _SLOT_CUMSUM_MAX:
+            occ = jax.nn.one_hot(cid, n_spread_cells, dtype=jnp.float32)
+            run = jnp.cumsum(occ, axis=0)              # (n, n_cells)
+            slot_in = jnp.take_along_axis(
+                run, cid[:, None], axis=1)[:, 0].astype(jnp.int32) - 1
+            src_ids = jnp.arange(n, dtype=jnp.int32)
+        else:
+            srt = jnp.argsort(cid)
+            rank = jnp.searchsorted(cid[srt], cid, side="left")
+            slot_in = jnp.arange(n) - rank[srt]
+            cid = cid[srt]
+            src_ids = srt.astype(jnp.int32)
         overflow = jnp.any(slot_in >= spread_cap)
         slot = jnp.where(slot_in < spread_cap,
                          cid * spread_cap + slot_in,
                          n_spread_cells * spread_cap)
         ids = jnp.full((n_spread_cells * spread_cap + 1,), n,
-                       jnp.int32).at[slot].set(
-            jnp.arange(n, dtype=jnp.int32))
+                       jnp.int32).at[slot].set(src_ids)
         ids = ids[:-1].reshape(n_spread_cells, spread_cap)
         valid = (ids < n).astype(x.dtype)
         idc = jnp.minimum(ids, n - 1)
