@@ -202,3 +202,74 @@ class TestTriclinicEwald:
                                        r_cutoff=2.0)
         with pytest.raises(ValueError, match="atoms"):
             u(jnp.zeros((3, 3)), jnp.asarray(CELL))
+
+
+class TestTriclinicPME:
+    """pme_coulomb(cell=...) — the O(N log N) triclinic reciprocal
+    path: fractional-space B-spline spreading (the machinery is
+    cell-agnostic once coordinates are fractional), dual-basis
+    influence function, sequential-min-image corrections."""
+
+    def test_matches_classic_triclinic_ewald(self):
+        from vaemolsim_tpu.potentials import pme_coulomb
+        x, q = _neutral_system(24, 10, CELL)
+        kw = dict(r_cutoff=2.8, tolerance=1e-5)
+        ue = tc.ewald_coulomb_triclinic(q, reference_cell=CELL, **kw)
+        up = pme_coulomb(q, cell=CELL, **kw)
+        e_ref = float(ue(x, jnp.asarray(CELL)))
+        e_pme = float(up(x))
+        np.testing.assert_allclose(e_pme, e_ref, rtol=2e-4)
+
+    def test_diagonal_cell_matches_box_path(self):
+        from vaemolsim_tpu.potentials import pme_coulomb
+        box = [7.0, 8.0, 9.0]
+        cell = np.diag(box)
+        x, q = _neutral_system(20, 11, cell)
+        kw = dict(r_cutoff=3.0, tolerance=1e-5)
+        e_cell = float(pme_coulomb(q, cell=cell, **kw)(x))
+        e_box = float(pme_coulomb(q, box=box, **kw)(x))
+        np.testing.assert_allclose(e_cell, e_box, rtol=1e-6)
+
+    def test_forces_match_finite_difference(self):
+        from vaemolsim_tpu.potentials import pme_coulomb
+        x, q = _neutral_system(12, 12, CELL)
+        x = np.asarray(x, np.float64)
+        u = pme_coulomb(q, cell=CELL, r_cutoff=2.8, tolerance=1e-5)
+        g = np.asarray(jax.grad(u)(jnp.asarray(x, jnp.float32)))
+        h = 1e-3
+        for (i, a) in ((0, 0), (7, 1), (11, 2)):
+            xp, xm = x.copy(), x.copy()
+            xp[i, a] += h
+            xm[i, a] -= h
+            fd = (float(u(jnp.asarray(xp, jnp.float32)))
+                  - float(u(jnp.asarray(xm, jnp.float32)))) / (2 * h)
+            np.testing.assert_allclose(g[i, a], fd, rtol=3e-2,
+                                       atol=3e-3)
+
+    def test_spread_forms_agree_in_sheared_cell(self):
+        from vaemolsim_tpu.potentials import pme_coulomb
+        x, q = _neutral_system(16, 13, CELL)
+        kw = dict(cell=CELL, r_cutoff=2.8, tolerance=1e-5)
+        e_b = float(pme_coulomb(q, spread="binned", **kw)(x))
+        e_s = float(pme_coulomb(q, spread="scatter", **kw)(x))
+        np.testing.assert_allclose(e_b, e_s, rtol=2e-6)
+
+    def test_exclusions_match_classic(self):
+        from vaemolsim_tpu.potentials import pme_coulomb
+        x, q = _neutral_system(16, 14, CELL)
+        excl = np.asarray([[0, 1], [2, 3]])
+        kw = dict(r_cutoff=2.8, tolerance=1e-5, exclude=excl)
+        e_ref = float(tc.ewald_coulomb_triclinic(
+            q, reference_cell=CELL, **kw)(x, jnp.asarray(CELL)))
+        e_pme = float(pme_coulomb(q, cell=CELL, **kw)(x))
+        np.testing.assert_allclose(e_pme, e_ref, rtol=2e-4)
+
+    def test_validation(self):
+        from vaemolsim_tpu.potentials import pme_coulomb
+        q = np.asarray([1.0, -1.0])
+        with pytest.raises(ValueError, match="exactly one of"):
+            pme_coulomb(q, r_cutoff=1.0)
+        with pytest.raises(ValueError, match="exactly one of"):
+            pme_coulomb(q, box=[5.0] * 3, cell=CELL, r_cutoff=1.0)
+        with pytest.raises(ValueError, match="perpendicular width"):
+            pme_coulomb(q, cell=CELL, r_cutoff=4.0)

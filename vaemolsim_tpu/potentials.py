@@ -1448,7 +1448,8 @@ def _bspline_integer_values(order: int) -> np.ndarray:
     return mn(order, xs)
 
 
-def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
+def pme_coulomb(charges, *, box: Optional[Sequence[float]] = None,
+                cell=None, r_cutoff: float,
                 grid_shape: Optional[Sequence[int]] = None,
                 order: int = 6,
                 exclude: Optional[np.ndarray] = None,
@@ -1496,6 +1497,18 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
     static (the grid is a build-time constant): for NPT/virial
     dilations use :func:`ewald_coulomb` with ``reference_box``.
 
+    ``cell=`` (instead of ``box=``) accepts a restricted-triclinic
+    (3, 3) cell matrix (:func:`vaemolsim_tpu.triclinic.validate_cell`
+    conventions): spreading moves to FRACTIONAL space (``u = frac(s)
+    G`` — the B-spline machinery is cell-agnostic there), the
+    influence function uses the dual-basis ``k(m) = 2 pi H^{-1} m``,
+    and real-space/exclusion corrections use the sequential triclinic
+    minimum image.  Static cell, replicated path only (the slab
+    decomposition stays orthorhombic); for traced NPT cells use
+    :func:`vaemolsim_tpu.triclinic.ewald_coulomb_triclinic`.  Pinned
+    against the classic triclinic sum, the diagonal-cell box path, and
+    finite differences (tests/test_triclinic_ewald.py::TestTriclinicPME).
+
     ``mesh=`` shards the whole evaluation over a
     ``jax.sharding.Mesh`` axis named ``mesh_axis`` — the textbook
     slab-decomposed distributed FFT, so the reciprocal space genuinely
@@ -1524,13 +1537,44 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
     q = jnp.asarray(charges, jnp.float32)
     if q.ndim != 1:
         raise ValueError(f"charges must be (n,); got {q.shape}")
-    box_np = np.asarray(box, np.float64)
-    if box_np.shape != (3,):
-        raise ValueError(f"box must be 3 lengths; got {box_np.shape}")
-    if not (r_cutoff * 2.0 <= box_np.min()):
-        raise ValueError(
-            f"r_cutoff {r_cutoff} must be <= half the smallest box edge "
-            f"({box_np.min() / 2}) for minimum-image validity")
+    if (box is None) == (cell is None):
+        raise ValueError("pass exactly one of box= (orthorhombic "
+                         "lengths) or cell= (restricted-triclinic "
+                         "(3, 3) matrix)")
+    if cell is not None:
+        # General (sheared) cells: spreading happens in FRACTIONAL
+        # space (u = frac(s) * G, so the B-spline machinery is
+        # unchanged), the influence function uses the dual-basis
+        # k(m) = 2 pi H^{-1} m, and real-space/exclusion terms use the
+        # sequential triclinic minimum image.  The cell is STATIC
+        # (the grid and influence are build-time constants), like the
+        # orthorhombic ``box``; for traced NPT cells use
+        # :func:`vaemolsim_tpu.triclinic.ewald_coulomb_triclinic`.
+        if mesh is not None:
+            raise NotImplementedError(
+                "mesh-sharded PME currently supports orthorhombic "
+                "boxes only; pass box= for the slab-decomposed path")
+        from vaemolsim_tpu.triclinic import (perpendicular_widths,
+                                             validate_cell)
+        h_np = validate_cell(cell)
+        w_np = np.asarray(perpendicular_widths(jnp.asarray(h_np)))
+        if not (r_cutoff * 2.0 <= w_np.min() + 1e-9):
+            raise ValueError(
+                f"r_cutoff {r_cutoff} must be <= half the minimum "
+                f"perpendicular width ({w_np.min() / 2}) of the cell "
+                "for minimum-image validity")
+        # Per-axis grid heuristic uses the cell-vector lengths (the
+        # fractional-space Nyquist rule along each cell vector).
+        box_np = np.sqrt((h_np ** 2).sum(axis=1))
+    else:
+        h_np = None
+        box_np = np.asarray(box, np.float64)
+        if box_np.shape != (3,):
+            raise ValueError(f"box must be 3 lengths; got {box_np.shape}")
+        if not (r_cutoff * 2.0 <= box_np.min()):
+            raise ValueError(
+                f"r_cutoff {r_cutoff} must be <= half the smallest box "
+                f"edge ({box_np.min() / 2}) for minimum-image validity")
     if order < 3:
         raise ValueError("PME needs spline order >= 3 for usable "
                          "accuracy (4 is standard)")
@@ -1585,11 +1629,19 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
     mz_len = gz // 2 + 1
     mx, my = axis_modes(gx), axis_modes(gy)
     mz = np.arange(mz_len)
-    kx = 2 * np.pi * mx / box_np[0]
-    ky = 2 * np.pi * my / box_np[1]
-    kz = 2 * np.pi * mz / box_np[2]
-    k2 = (kx[:, None, None] ** 2 + ky[None, :, None] ** 2
-          + kz[None, None, :] ** 2)
+    if h_np is None:
+        kx = 2 * np.pi * mx / box_np[0]
+        ky = 2 * np.pi * my / box_np[1]
+        kz = 2 * np.pi * mz / box_np[2]
+        k2 = (kx[:, None, None] ** 2 + ky[None, :, None] ** 2
+              + kz[None, None, :] ** 2)
+    else:
+        # Dual basis H k = 2 pi m (rows of H are the cell vectors,
+        # x = s @ H): same convention as ewald_coulomb_triclinic.
+        m3 = np.stack(np.meshgrid(mx, my, mz, indexing="ij"), axis=0)
+        kvec = 2 * np.pi * np.einsum("ab,bxyz->axyz",
+                                     np.linalg.inv(h_np), m3)
+        k2 = (kvec ** 2).sum(axis=0)
 
     def euler_b2(g, m_signed):
         """|b(m)|^2 per axis mode (Essmann eq. 4.4)."""
@@ -1619,11 +1671,42 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
     if gz % 2 == 0:
         dbl[-1] = 1.0
     infl = infl * dbl[None, None, :]
-    vol = float(np.prod(box_np))
+    vol = (float(np.prod(box_np)) if h_np is None
+           else float(abs(np.linalg.det(h_np))))
     infl_j = jnp.asarray(0.5 / vol * infl, jnp.float32)  # (gx, gy, mz)
 
     box_j = jnp.asarray(box_np, jnp.float32)
     grid_j = jnp.asarray(grid_np, jnp.float32)
+
+    # Geometry helpers shared by spreading / real space / exclusions:
+    # the orthorhombic forms are elementwise in the box lengths; the
+    # triclinic forms use fractional coords + the sequential minimum
+    # image (triclinic.py), all static-cell.
+    if h_np is None:
+        def _frac_u(x):
+            return (x / box_j - jnp.floor(x / box_j)) * grid_j
+
+        def _wrapx(x):
+            return x - box_j * jnp.floor(x / box_j)
+
+        def _minimg(d):
+            return d - box_j * jnp.round(d / box_j)
+    else:
+        from vaemolsim_tpu.triclinic import (from_fractional,
+                                             min_image as _tric_mi,
+                                             to_fractional)
+        cell_j = jnp.asarray(h_np, jnp.float32)
+
+        def _frac_u(x):
+            s = to_fractional(x, cell_j)
+            return (s - jnp.floor(s)) * grid_j
+
+        def _wrapx(x):
+            s = to_fractional(x, cell_j)
+            return from_fractional(s - jnp.floor(s), cell_j)
+
+        def _minimg(d):
+            return _tric_mi(d, cell_j)
     n_q = int(q.shape[0])
     # qq and the (n, n) exclusion matrix only exist where an O(n^2)
     # term genuinely needs them — as HLO constants they are 4n^2 bytes
@@ -1643,7 +1726,7 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
 
     def _base_weights(x: Array):
         """(base int (n, 3), w (n, 3, order)) of the B-spline stamp."""
-        u = (x / box_j - jnp.floor(x / box_j)) * grid_j  # [0, G)
+        u = _frac_u(x)                                   # [0, G)
         base = jnp.floor(u)
         t = u - base                                     # (n, 3)
         return base.astype(jnp.int32), _bspline_weights(order, t)
@@ -1915,14 +1998,14 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
 
         u_recip = _recip_one(x)
 
-        xw = x - box_j * jnp.floor(x / box_j)
+        xw = _wrapx(x)
         if include_real_space:
             pair_mask = np.triu(np.ones((n, n), bool), k=1)
             if excl_np is not None:
                 pair_mask &= ~excl_np
             mask = jnp.asarray(pair_mask)
             d = xw[:, None, :] - xw[None, :, :]
-            d = d - box_j * jnp.round(d / box_j)
+            d = _minimg(d)
             r2 = jnp.sum(d * d, -1)
             mask = mask & (r2 < r_cutoff * r_cutoff)
             r = jnp.sqrt(jnp.maximum(jnp.where(mask, r2, 1.0), _EPS))
@@ -1939,7 +2022,7 @@ def pme_coulomb(charges, *, box: Sequence[float], r_cutoff: float,
             pi = jnp.asarray(excl_pairs_np[:, 0])
             pj = jnp.asarray(excl_pairs_np[:, 1])
             de = xw[pi] - xw[pj]
-            de = de - box_j * jnp.round(de / box_j)
+            de = _minimg(de)
             re = jnp.sqrt(jnp.maximum(jnp.sum(de * de, -1), _EPS))
             u_excl = -jnp.sum(q[pi] * q[pj] * erf(alpha_v * re) / re)
         else:
