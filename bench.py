@@ -1301,7 +1301,14 @@ def main():
             "value": round(fps, 1),
             "unit": "frames/sec (batch 200, max_included 50 — the "
                     "compute-dense MFU workload)",
-            "roofline": roof})
+            "roofline": roof,
+            # The roofline's boundary-bytes "memory" label is
+            # upper-bound semantics only: the round-5 dtype experiment
+            # (grid bytes halved, time unchanged) proves this workload
+            # is VPU-elementwise-bound — compare its ~2 Tops/s of
+            # element-ops against measured_hbm_streaming's
+            # vpu_ceiling_tops.  Study: docs/performance.md.
+            "measured_bound": "vpu-elementwise"})
     else:
         add("backmapping_embed_dense_frames_per_sec", note)
 
